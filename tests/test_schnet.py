@@ -1,0 +1,164 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geossl_tpu.models.schnet import SchNet
+from tests import reference_impls as ref
+
+
+def _random_mol(rng, n, node_class=9, scale=2.0):
+    z = rng.integers(0, node_class, size=(n,))
+    pos = (rng.normal(size=(n, 3)) * scale).astype(np.float32)
+    return z.astype(np.int32), pos
+
+
+def _pad(z, pos, n_max):
+    n = len(z)
+    zp = np.zeros((n_max,), np.int32)
+    zp[:n] = z
+    pp = np.zeros((n_max, 3), np.float32)
+    pp[:n] = pos
+    m = np.zeros((n_max,), bool)
+    m[:n] = True
+    return zp, pp, m
+
+
+@pytest.fixture(scope="module")
+def schnet_setup():
+    model = SchNet(
+        hidden_channels=32,
+        num_filters=32,
+        num_interactions=3,
+        num_gaussians=17,
+        cutoff=4.0,
+        node_class=9,
+        readout="mean",
+    )
+    rng = np.random.default_rng(0)
+    z, pos = _random_mol(rng, 6)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(z)[None],
+        jnp.asarray(pos)[None],
+        jnp.ones((1, 6), bool),
+    )["params"]
+    return model, params
+
+
+def test_dense_matches_edge_list_reference(schnet_setup):
+    """Dense padded forward == independent NumPy edge-list implementation."""
+    model, params = schnet_setup
+    rng = np.random.default_rng(1)
+    for n, n_max in [(5, 8), (7, 16), (3, 8)]:
+        z, pos = _random_mol(rng, n)
+        zp, pp, m = _pad(z, pos, n_max)
+        out, node = model.apply(
+            {"params": params},
+            jnp.asarray(zp)[None],
+            jnp.asarray(pp)[None],
+            jnp.asarray(m)[None],
+        )
+        ref_out, ref_node = ref.schnet_forward(
+            params, z, pos, cutoff=4.0, num_interactions=3, readout="mean"
+        )
+        np.testing.assert_allclose(np.asarray(out)[0], ref_out, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(node)[0, :n], ref_node, rtol=2e-4, atol=1e-5
+        )
+
+
+def test_padding_invariance(schnet_setup):
+    """Same molecule in different bucket sizes -> identical outputs."""
+    model, params = schnet_setup
+    rng = np.random.default_rng(2)
+    z, pos = _random_mol(rng, 6)
+    outs = []
+    for n_max in (8, 16, 32):
+        zp, pp, m = _pad(z, pos, n_max)
+        out, _ = model.apply(
+            {"params": params},
+            jnp.asarray(zp)[None],
+            jnp.asarray(pp)[None],
+            jnp.asarray(m)[None],
+        )
+        outs.append(np.asarray(out)[0])
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-5, atol=1e-6)
+
+
+def test_rotation_translation_invariance(schnet_setup):
+    """SchNet output depends only on distances -> SE(3) invariant."""
+    model, params = schnet_setup
+    rng = np.random.default_rng(3)
+    z, pos = _random_mol(rng, 7)
+    # random rotation via QR
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    pos2 = pos @ q.T.astype(np.float32) + np.float32(1.7)
+    zp, pp, m = _pad(z, pos, 8)
+    _, pp2, _ = _pad(z, pos2, 8)
+    out1, _ = model.apply(
+        {"params": params}, jnp.asarray(zp)[None], jnp.asarray(pp)[None],
+        jnp.asarray(m)[None],
+    )
+    out2, _ = model.apply(
+        {"params": params}, jnp.asarray(zp)[None], jnp.asarray(pp2)[None],
+        jnp.asarray(m)[None],
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-4, atol=1e-5)
+
+
+def test_permutation_invariance(schnet_setup):
+    model, params = schnet_setup
+    rng = np.random.default_rng(4)
+    z, pos = _random_mol(rng, 6)
+    perm = rng.permutation(6)
+    zp, pp, m = _pad(z, pos, 8)
+    zq, pq, _ = _pad(z[perm], pos[perm], 8)
+    out1, _ = model.apply(
+        {"params": params}, jnp.asarray(zp)[None], jnp.asarray(pp)[None],
+        jnp.asarray(m)[None],
+    )
+    out2, _ = model.apply(
+        {"params": params}, jnp.asarray(zq)[None], jnp.asarray(pq)[None],
+        jnp.asarray(m)[None],
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-4, atol=1e-5)
+
+
+def test_forces_finite_and_match_fd(schnet_setup):
+    """-dE/dpos is finite and matches finite differences (MD17 path)."""
+    model, params = schnet_setup
+    rng = np.random.default_rng(5)
+    z, pos = _random_mol(rng, 5)
+    zp, pp, m = _pad(z, pos, 8)
+    zp, m = jnp.asarray(zp)[None], jnp.asarray(m)[None]
+
+    def energy(p):
+        out, _ = model.apply({"params": params}, zp, p, m)
+        return jnp.sum(out)
+
+    g = jax.grad(energy)(jnp.asarray(pp)[None])
+    g = np.asarray(g)[0]
+    assert np.all(np.isfinite(g))
+    # finite differences on a few coordinates
+    eps = 1e-3
+    for (i, k) in [(0, 0), (2, 1), (4, 2)]:
+        pp_plus = pp.copy()
+        pp_plus[i, k] += eps
+        pp_minus = pp.copy()
+        pp_minus[i, k] -= eps
+        fd = (
+            float(energy(jnp.asarray(pp_plus)[None]))
+            - float(energy(jnp.asarray(pp_minus)[None]))
+        ) / (2 * eps)
+        np.testing.assert_allclose(g[i, k], fd, rtol=5e-2, atol=1e-4)
+    # second-order (loss on forces) is finite
+    def force_loss(p):
+        f = -jax.grad(energy)(p)
+        return jnp.sum(f**2)
+
+    g2 = jax.grad(force_loss)(jnp.asarray(pp)[None])
+    assert np.all(np.isfinite(np.asarray(g2)))
