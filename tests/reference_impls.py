@@ -114,7 +114,8 @@ def painn_forward(params, z, pos, edges, cutoff, n_interactions, readout="add"):
     def silu(x):
         return x / (1.0 + np.exp(-x))
 
-    emb = np.asarray(params["Embed_0"]["embedding"])
+    emb = np.asarray(params["embedding"]).copy()
+    emb[0] = 0.0  # padding_idx=0 semantics (painn.py:174)
     f = emb.shape[1]
     n = z.shape[0]
 
