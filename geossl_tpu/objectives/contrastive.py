@@ -1,0 +1,98 @@
+"""Contrastive GeoSSL objectives: view perturbation, InfoNCE, EBM-NCE.
+
+Reference: ``examples/pretrain_GeoSSL.py:68-176`` and ``examples/util.py:19-64``.
+View 2 is always the same atoms at positions + N(mu, sigma) noise
+(``perturb``, ``pretrain_GeoSSL.py:68-74``); negatives come from cyclic batch
+shifts (``util.py:19-22``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def perturb_positions(
+    rng: jax.Array, positions: jnp.ndarray, mu: float, sigma: float
+) -> jnp.ndarray:
+    """positions + N(mu, sigma) elementwise (``pretrain_GeoSSL.py:68-74``).
+    Padded rows get noise too — harmless, they are masked downstream."""
+    noise = mu + sigma * jax.random.normal(rng, positions.shape, positions.dtype)
+    return positions + noise
+
+
+def cycle_shift(x: jnp.ndarray, shift: int = 1) -> jnp.ndarray:
+    """``cycle_index(B, shift)`` indexing (``util.py:19-22``): element i maps
+    to i + shift with wraparound — equivalent to rolling the batch axis."""
+    return jnp.roll(x, -shift, axis=0)
+
+
+def _bce_logits(logits, labels, weights=None):
+    loss = optax.sigmoid_binary_cross_entropy(logits, labels)
+    if weights is None:
+        return jnp.mean(loss)
+    w = weights.astype(loss.dtype)
+    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def ebm_nce_loss(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    graph_mask: Optional[jnp.ndarray] = None,
+    num_neg: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EBM-NCE (``pretrain_GeoSSL.py:103-138``): positive = dot(x_i, y_i),
+    negatives = dot(x_i, y_{i+k}) for cyclic shifts k=1..num_neg; BCE both,
+    combined (pos + num_neg·neg)/(1+num_neg). Returns (loss, accuracy)."""
+    pred_pos = jnp.sum(x * y, axis=1)
+    negs = [jnp.sum(x * cycle_shift(y, k + 1), axis=1) for k in range(num_neg)]
+    pred_neg = jnp.concatenate(negs, axis=0)
+    neg_mask = None
+    if graph_mask is not None:
+        neg_mask = jnp.concatenate([graph_mask] * num_neg, axis=0)
+    loss_pos = _bce_logits(pred_pos, jnp.ones_like(pred_pos), graph_mask)
+    loss_neg = _bce_logits(pred_neg, jnp.zeros_like(pred_neg), neg_mask)
+    loss = (loss_pos + num_neg * loss_neg) / (1 + num_neg)
+    acc = (jnp.sum(pred_pos > 0) + jnp.sum(pred_neg < 0)) / (
+        pred_pos.shape[0] + pred_neg.shape[0]
+    )
+    return loss, acc
+
+
+def infonce_loss(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    temperature: float = 0.1,
+    graph_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One direction of InfoNCE (``pretrain_GeoSSL.py:159-168``):
+    CE over B×B dot-product logits / T with diagonal labels."""
+    b = x.shape[0]
+    logits = (x @ y.T) / temperature
+    labels = jnp.arange(b)
+    loss_per = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    pred = jnp.argmax(logits, axis=1)
+    if graph_mask is None:
+        loss = jnp.mean(loss_per)
+        acc = jnp.mean((pred == labels).astype(jnp.float32))
+    else:
+        gm = graph_mask.astype(loss_per.dtype)
+        loss = jnp.sum(loss_per * gm) / jnp.maximum(jnp.sum(gm), 1.0)
+        acc = jnp.sum((pred == labels) * gm) / jnp.maximum(jnp.sum(gm), 1.0)
+    return loss, acc
+
+
+def dual_infonce_loss(x, y, temperature=0.1, graph_mask=None):
+    """Symmetric InfoNCE (``pretrain_GeoSSL.py:170-176``)."""
+    l1, a1 = infonce_loss(x, y, temperature, graph_mask)
+    l2, a2 = infonce_loss(y, x, temperature, graph_mask)
+    return (l1 + l2) / 2, (a1 + a2) / 2
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """F.normalize equivalent (``pretrain_GeoSSL.py:92-93``)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)

@@ -1,0 +1,132 @@
+"""NCSN denoising-score-matching heads on pairwise distances — the GeoSSL-DDM
+objective (annealed denoising distance matching).
+
+Reference: ``examples/NCSN.py:46-220``. Three variants; ``NCSN_version_03``
+is the one the DDM driver instantiates (``pretrain_GeoSSL.py:19,323-330``).
+Shared recipe (v3, ``NCSN.py:183-212``):
+
+1. per-graph noise level σ_g sampled uniformly from a geometric ladder
+   exp(linspace(log σ_begin, log σ_end, L)) (non-trainable),
+2. perturb pair distances d' = d + ε·σ, ε ~ N(0, 1),
+3. target score  −(d' − d)/σ² = −ε/σ,
+4. predicted score  MLP([h_i + h_j, demb(d')]) / σ,
+5. loss  ½(score − target)²·σ^anneal, summed per graph over selected pairs,
+   mean over graphs.
+
+Dense formulation: all pair quantities live on the ``[B, N, N]`` grid with a
+selection mask from ``objectives.pairs`` (the reference's O(N²)
+``super_edge_index`` — "symmetry" = unordered pairs, each perturbed once).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from geossl_tpu.models.common import MLP, gaussian_smearing
+
+
+def sigma_ladder(
+    sigma_begin: float, sigma_end: float, num_noise_level: int
+) -> np.ndarray:
+    """Geometric σ schedule (``NCSN.py:178-179``)."""
+    return np.exp(
+        np.linspace(math.log(sigma_begin), math.log(sigma_end), num_noise_level)
+    ).astype(np.float32)
+
+
+class _NCSNBase(nn.Module):
+    emb_dim: int = 128
+    sigma_begin: float = 10.0
+    sigma_end: float = 0.01
+    num_noise_level: int = 50
+    anneal_power: float = 2.0
+
+    def _sample_sigmas(self, rng, batch_size):
+        sigmas = jnp.asarray(
+            sigma_ladder(self.sigma_begin, self.sigma_end, self.num_noise_level)
+        )
+        level = jax.random.randint(rng, (batch_size,), 0, self.num_noise_level)
+        return sigmas[level]  # [B]
+
+    def _loss(self, scores, target, sel_mask, used_sigmas, graph_mask):
+        """½(score−target)²·σ^anneal → per-graph sum → mean over graphs
+        (``NCSN.py:208-212``)."""
+        per_pair = 0.5 * (scores - target) ** 2 * used_sigmas**self.anneal_power
+        per_pair = per_pair * sel_mask.astype(per_pair.dtype)
+        per_graph = jnp.sum(per_pair, axis=(1, 2))
+        if graph_mask is None:
+            return jnp.mean(per_graph)
+        gm = graph_mask.astype(per_graph.dtype)
+        return jnp.sum(per_graph * gm) / jnp.maximum(jnp.sum(gm), 1.0)
+
+
+class NCSNv3(_NCSNBase):
+    """``NCSN_version_03`` (``NCSN.py:168-220``) — the DDM head.
+
+    ``__call__(rng, node_feat [B,N,F], dist [B,N,N], sel_mask [B,N,N],
+    graph_mask [B] | None) -> scalar loss``.
+    """
+
+    @nn.compact
+    def __call__(self, rng, node_feat, dist, sel_mask, graph_mask=None):
+        b = node_feat.shape[0]
+        rng_sigma, rng_noise = jax.random.split(rng)
+        used = self._sample_sigmas(rng_sigma, b)[:, None, None]  # [B,1,1]
+
+        noise = jax.random.normal(rng_noise, dist.shape, dist.dtype)
+        perturbed = dist + noise * used
+        target = -(perturbed - dist) / used**2
+
+        # input_distance_mlp: MLP(1 -> emb -> 1), relu (``NCSN.py:175``)
+        demb = MLP([self.emb_dim, 1])(perturbed[..., None])  # [B,N,N,1]
+        # h_i + h_j on the pair grid (``NCSN.py:201-203``)
+        hsum = node_feat[:, :, None, :] + node_feat[:, None, :, :]
+        feat = jnp.concatenate([hsum, demb], axis=-1)  # [B,N,N,F+1]
+        # output_mlp: MLP(F+1 -> emb -> emb/2 -> 1) (``NCSN.py:176``)
+        scores = MLP([self.emb_dim, self.emb_dim // 2, 1])(feat)[..., 0]
+        scores = scores / used  # f_θ,σ = f_θ / σ (``NCSN.py:205``)
+        return self._loss(scores, target, sel_mask, used, graph_mask)
+
+
+class NCSNv1(_NCSNBase):
+    """``NCSN_version_01`` (``NCSN.py:46-95``): features = h_i ⊙ h_j."""
+
+    @nn.compact
+    def __call__(self, rng, node_feat, dist, sel_mask, graph_mask=None):
+        b = node_feat.shape[0]
+        rng_sigma, rng_noise = jax.random.split(rng)
+        used = self._sample_sigmas(rng_sigma, b)[:, None, None]
+        noise = jax.random.normal(rng_noise, dist.shape, dist.dtype)
+        perturbed = dist + noise * used
+        target = -(perturbed - dist) / used**2
+        hprod = node_feat[:, :, None, :] * node_feat[:, None, :, :]
+        scores = MLP([self.emb_dim, self.emb_dim // 2, 1])(hprod)[..., 0]
+        scores = scores / used
+        return self._loss(scores, target, sel_mask, used, graph_mask)
+
+
+class NCSNv2(_NCSNBase):
+    """``NCSN_version_02`` (``NCSN.py:110-166``): Gaussian-smeared perturbed
+    distance (51 gaussians over [0, 10]) embedded to emb_dim."""
+
+    @nn.compact
+    def __call__(self, rng, node_feat, dist, sel_mask, graph_mask=None):
+        b = node_feat.shape[0]
+        rng_sigma, rng_noise = jax.random.split(rng)
+        used = self._sample_sigmas(rng_sigma, b)[:, None, None]
+        noise = jax.random.normal(rng_noise, dist.shape, dist.dtype)
+        perturbed = dist + noise * used
+        target = -(perturbed - dist) / used**2
+        rbf = gaussian_smearing(perturbed, 0.0, 10.0, 51)  # NCSN.py:117-119
+        demb = MLP([self.emb_dim, self.emb_dim])(rbf)
+        hsum = node_feat[:, :, None, :] + node_feat[:, None, :, :]
+        feat = jnp.concatenate([hsum, demb], axis=-1)
+        scores = MLP([self.emb_dim, self.emb_dim // 2, 1])(feat)[..., 0]
+        scores = scores / used
+        return self._loss(scores, target, sel_mask, used, graph_mask)
