@@ -41,6 +41,8 @@ class DenseMolBatch:
     # perturbed views (pretrain_GeoSSL.py:88-89). When set, PaiNN uses this
     # mask instead of recomputing one from live positions.
     pair_mask: Optional[jnp.ndarray] = None  # [B, N, N] bool
+    # True for real graphs; False for padding slots in a partial batch.
+    graph_mask: Optional[jnp.ndarray] = None  # [B] bool
 
     @property
     def batch_size(self) -> int:

@@ -1,0 +1,143 @@
+"""Bucketed host-side batch loader.
+
+Replaces the reference's PyG ``DataLoader`` + ragged concat-collate
+(``Geom3D/dataloaders/*``) with fixed-shape padded batches: every batch is
+``[batch_size, n_max]`` for a static bucket size ``n_max``, so each
+(batch_size, n_max) pair compiles exactly once under jit.
+
+Partial final batches are padded with empty graph slots and flagged via
+``graph_mask`` — losses and metrics must honour it.
+
+The hot packing loop has a C++ implementation (``geossl_tpu/native``) with
+this NumPy path as fallback; ``pack_batch`` dispatches automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from geossl_tpu.data.batch import DenseMolBatch
+from geossl_tpu.data.store import MolRecord, MolStore
+
+
+def pick_bucket(n: int, bucket_sizes: Sequence[int]) -> int:
+    for b in bucket_sizes:
+        if n <= b:
+            return b
+    raise ValueError(f"molecule with {n} atoms exceeds largest bucket {bucket_sizes[-1]}")
+
+
+def pack_batch(
+    records: Sequence[MolRecord],
+    n_max: int,
+    batch_size: Optional[int] = None,
+    with_forces: bool = False,
+) -> DenseMolBatch:
+    """Pad a list of molecules into one DenseMolBatch (NumPy).
+
+    ``batch_size > len(records)`` adds empty graph slots (graph_mask False).
+    """
+    b = batch_size or len(records)
+    m = len(records)
+    assert m <= b
+    try:
+        from geossl_tpu.native import packing as native_packing
+
+        if native_packing.available() and not with_forces:
+            return native_packing.pack_batch(records, n_max, b)
+    except ImportError:
+        pass
+
+    atom_type = np.zeros((b, n_max), np.int32)
+    positions = np.zeros((b, n_max, 3), np.float32)
+    node_mask = np.zeros((b, n_max), bool)
+    graph_mask = np.zeros((b,), bool)
+    ys = None
+    forces = np.zeros((b, n_max, 3), np.float32) if with_forces else None
+    for i, r in enumerate(records):
+        n = r.num_atoms
+        atom_type[i, :n] = r.atom_type
+        positions[i, :n] = r.positions
+        node_mask[i, :n] = True
+        graph_mask[i] = True
+        if r.y is not None:
+            if ys is None:
+                ys = np.zeros((b, np.atleast_1d(r.y).shape[0]), np.float32)
+            ys[i] = np.atleast_1d(r.y)
+        if with_forces and r.forces is not None:
+            forces[i, :n] = r.forces
+    return DenseMolBatch(
+        atom_type=atom_type,
+        positions=positions,
+        node_mask=node_mask,
+        y=ys,
+        forces=forces,
+        graph_mask=graph_mask,
+    )
+
+
+class BucketedLoader:
+    """Iterate a MolStore as padded batches.
+
+    For the reference workloads every dataset fits one bucket (QM9/MD17/
+    Molecule3D ≤ 32 atoms; LBA/LEP ≤ 512 after env capping), so batches are
+    plain shuffled slices — the multi-bucket path groups molecules by size
+    class first (batch composition then differs from the reference's uniform
+    shuffle; statistics are unaffected for single-bucket data).
+    """
+
+    def __init__(
+        self,
+        store: MolStore,
+        batch_size: int,
+        bucket_sizes: Sequence[int] = (32, 64, 128, 256, 512),
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        with_forces: bool = False,
+        transform: Optional[Callable[[MolRecord, np.random.Generator], MolRecord]] = None,
+    ):
+        self.store = store
+        self.batch_size = batch_size
+        self.bucket_sizes = tuple(sorted(bucket_sizes))
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.with_forces = with_forces
+        self.transform = transform
+        sizes = store.num_atoms()
+        self._bucket_of = np.array([pick_bucket(int(n), self.bucket_sizes) for n in sizes])
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        total = 0
+        for b in np.unique(self._bucket_of):
+            cnt = int((self._bucket_of == b).sum())
+            total += cnt // self.batch_size if self.drop_last else -(-cnt // self.batch_size)
+        return total
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[DenseMolBatch]:
+        """Yield one epoch of batches; deterministic per (seed, epoch)."""
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        rng = np.random.default_rng((self.seed, epoch))
+        for bucket in np.unique(self._bucket_of):
+            idx = np.where(self._bucket_of == bucket)[0]
+            if self.shuffle:
+                idx = rng.permutation(idx)
+            for s in range(0, len(idx), self.batch_size):
+                chunk = idx[s : s + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    continue
+                records = [self.store.get(int(i)) for i in chunk]
+                if self.transform is not None:
+                    records = [self.transform(r, rng) for r in records]
+                yield pack_batch(
+                    records, int(bucket), self.batch_size, self.with_forces
+                )
+
+    def __iter__(self) -> Iterator[DenseMolBatch]:
+        return self.epoch()

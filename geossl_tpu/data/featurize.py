@@ -1,0 +1,102 @@
+"""Featurization: chemistry files -> index-coded numpy arrays.
+
+Reference: ``Geom3D/datasets/datasets_utils.py:14-176``. The vocabulary is
+index-coded: atom type = index into ``ATOMIC_NUM_LIST`` (9 classes, index 8 =
+"unknown", which doubles as the charge-prediction mask token); chirality has
+4 classes; bonds 4 types; bond dirs 4.
+
+RDKit is an optional dependency — import is deferred so the rest of the
+framework works without it (featurization is an offline preprocessing step).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Tuple
+
+import numpy as np
+
+# {'H':1,'C':6,'N':7,'O':8,'F':9,'P':15,'S':16,'Cl':17} + unknown
+ATOMIC_NUM_LIST = [1, 6, 7, 8, 9, 15, 16, 17, "unknown"]
+NODE_CLASS = len(ATOMIC_NUM_LIST)  # 9
+EDGE_CLASS = 4
+UNKNOWN_INDEX = NODE_CLASS - 1  # 8: unknown atom == mask token
+
+
+def atomic_number_to_index(z: int) -> int:
+    """Map a true atomic number to the 9-way index code."""
+    try:
+        return ATOMIC_NUM_LIST.index(z)
+    except ValueError:
+        return UNKNOWN_INDEX
+
+
+def mol_to_arrays(mol) -> Tuple[dict, Dict[int, int]]:
+    """RDKit mol -> dict of numpy arrays + per-element atom counts.
+
+    Mirrors ``mol_to_graph_data_obj_simple_3D`` (``datasets_utils.py:112-176``):
+    ``atom_type [N]`` (index-coded), ``chirality [N]``, ``positions [N,3]``
+    from conformer 0, ``bond_index [2, 2E]`` (both directions),
+    ``bond_attr [2E, 2]`` (type idx, dir idx).
+    """
+    from rdkit import Chem  # deferred
+
+    chirality_list = [
+        Chem.rdchem.ChiralType.CHI_UNSPECIFIED,
+        Chem.rdchem.ChiralType.CHI_TETRAHEDRAL_CW,
+        Chem.rdchem.ChiralType.CHI_TETRAHEDRAL_CCW,
+        Chem.rdchem.ChiralType.CHI_OTHER,
+    ]
+    bond_list = [
+        Chem.rdchem.BondType.SINGLE,
+        Chem.rdchem.BondType.DOUBLE,
+        Chem.rdchem.BondType.TRIPLE,
+        Chem.rdchem.BondType.AROMATIC,
+    ]
+    bond_dir_list = [
+        Chem.rdchem.BondDir.NONE,
+        Chem.rdchem.BondDir.ENDUPRIGHT,
+        Chem.rdchem.BondDir.ENDDOWNRIGHT,
+        Chem.rdchem.BondDir.EITHERDOUBLE,
+    ]
+
+    atom_types, chirality = [], []
+    atom_count: Dict[int, int] = defaultdict(int)
+    for atom in mol.GetAtoms():
+        z = atom.GetAtomicNum()
+        atom_count[z] += 1
+        atom_types.append(atomic_number_to_index(z))
+        chirality.append(chirality_list.index(atom.GetChiralTag()))
+
+    conformer = mol.GetConformers()[0]
+    positions = np.asarray(conformer.GetPositions(), dtype=np.float32)
+
+    edges, edge_attrs = [], []
+    for bond in mol.GetBonds():
+        i, j = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
+        bt = bond_list.index(bond.GetBondType())
+        bd = bond.GetBondDir()
+        bd = bond_dir_list.index(bd) if bd in bond_dir_list else 0
+        edges += [(i, j), (j, i)]
+        edge_attrs += [(bt, bd), (bt, bd)]
+
+    bond_index = (
+        np.asarray(edges, dtype=np.int32).T.reshape(2, -1)
+        if edges
+        else np.zeros((2, 0), np.int32)
+    )
+    bond_attr = (
+        np.asarray(edge_attrs, dtype=np.int32).reshape(-1, 2)
+        if edge_attrs
+        else np.zeros((0, 2), np.int32)
+    )
+    return (
+        dict(
+            atom_type=np.asarray(atom_types, dtype=np.int32),
+            chirality=np.asarray(chirality, dtype=np.int32),
+            positions=positions,
+            bond_index=bond_index,
+            bond_attr=bond_attr,
+        ),
+        dict(atom_count),
+    )

@@ -1,0 +1,86 @@
+"""Molecule3D pretraining corpus builder.
+
+Reference: ``Geom3D/datasets/datasets_Molecule3D.py:18-175``. Raw inputs:
+four SDF shards (``combined_mols_0_to_1000000.sdf`` …) + ``properties.csv``
+(3.9M molecules). Featurizes every molecule, attaches the property row as
+``y``, and writes the full cache plus 1M / 2M head subsets — training uses
+the 1M subset (``submit_pretrain_GeoSSL_DDM.sh:14``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from geossl_tpu.data.featurize import mol_to_arrays
+from geossl_tpu.data.store import MolRecord, MolStore
+
+SDF_SHARDS = [
+    "combined_mols_0_to_1000000.sdf",
+    "combined_mols_1000000_to_2000000.sdf",
+    "combined_mols_2000000_to_3000000.sdf",
+    "combined_mols_3000000_to_3899647.sdf",
+]
+
+
+def build_molecule3d(root: str, limit: Optional[int] = None) -> MolStore:
+    import pandas as pd
+    from rdkit import Chem
+
+    raw = os.path.join(root, "raw")
+    props = pd.read_csv(os.path.join(raw, "properties.csv"))
+    prop_np = props.to_numpy(dtype=np.float32)
+
+    records: List[MolRecord] = []
+    idx = 0
+    for shard in SDF_SHARDS:
+        path = os.path.join(raw, shard)
+        if not os.path.exists(path):
+            continue
+        suppl = Chem.SDMolSupplier(path, removeHs=False, sanitize=True)
+        for mol in suppl:
+            if mol is None:
+                idx += 1
+                continue
+            arrays, _ = mol_to_arrays(mol)
+            records.append(
+                MolRecord(
+                    atom_type=arrays["atom_type"],
+                    positions=arrays["positions"],
+                    chirality=arrays["chirality"],
+                    bond_index=arrays["bond_index"],
+                    y=prop_np[idx],
+                )
+            )
+            idx += 1
+            if limit is not None and len(records) >= limit:
+                return MolStore.from_records(records)
+    return MolStore.from_records(records)
+
+
+def load_molecule3d(
+    root: str,
+    subset: Optional[int] = 1_000_000,
+    synthetic: bool = False,
+    synthetic_size: int = 512,
+) -> MolStore:
+    """Load the (optionally size-limited) corpus; e.g. subset=1_000_000
+    reproduces ``Molecule3D_1000000``."""
+    if synthetic:
+        from geossl_tpu.data.synthetic import synthetic_molecule3d
+
+        return synthetic_molecule3d(synthetic_size)
+    tag = f"_{subset}" if subset else ""
+    cache = os.path.join(root, "processed", f"molecule3d{tag}_store.npz")
+    if os.path.exists(cache):
+        return MolStore.load(cache)
+    if not os.path.exists(os.path.join(root, "raw", "properties.csv")):
+        raise FileNotFoundError(
+            f"Molecule3D raw files not found under {root}/raw (no network "
+            "egress). Use synthetic=True for the stand-in."
+        )
+    store = build_molecule3d(root, limit=subset)
+    store.save(cache)
+    return store

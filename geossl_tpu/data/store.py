@@ -1,0 +1,139 @@
+"""MolStore — the cached on-disk dataset format.
+
+Replaces PyG ``InMemoryDataset``'s collated ``.pt`` tensor store
+(``Geom3D/datasets/datasets_3D.py:69-80``): one ``.npz`` holding every
+molecule's arrays concatenated along the atom/bond axis plus offset tables.
+``get(i)`` slices per-molecule views; everything is plain NumPy, so the host
+loader stays allocation-light and the file is mmap-friendly.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class MolRecord:
+    atom_type: np.ndarray  # [N] int32
+    positions: np.ndarray  # [N, 3] f32
+    chirality: Optional[np.ndarray] = None  # [N] int32
+    bond_index: Optional[np.ndarray] = None  # [2, E] int32
+    y: Optional[np.ndarray] = None  # [T] f32
+    forces: Optional[np.ndarray] = None  # [N, 3] f32
+
+    @property
+    def num_atoms(self) -> int:
+        return int(self.atom_type.shape[0])
+
+
+class MolStore:
+    """A list of molecules backed by flat arrays."""
+
+    def __init__(
+        self,
+        atom_type: np.ndarray,
+        positions: np.ndarray,
+        offsets: np.ndarray,  # [M+1]
+        chirality: Optional[np.ndarray] = None,
+        bond_index: Optional[np.ndarray] = None,  # [2, sumE]
+        bond_offsets: Optional[np.ndarray] = None,  # [M+1]
+        y: Optional[np.ndarray] = None,  # [M, T]
+        forces: Optional[np.ndarray] = None,  # [sumN, 3]
+    ):
+        self.atom_type = atom_type
+        self.positions = positions
+        self.offsets = offsets
+        self.chirality = chirality
+        self.bond_index = bond_index
+        self.bond_offsets = bond_offsets
+        self.y = y
+        self.forces = forces
+
+    def __len__(self) -> int:
+        return len(self.offsets) - 1
+
+    def num_atoms(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def get(self, i: int) -> MolRecord:
+        s, e = self.offsets[i], self.offsets[i + 1]
+        bond = None
+        if self.bond_index is not None:
+            bs, be = self.bond_offsets[i], self.bond_offsets[i + 1]
+            bond = self.bond_index[:, bs:be]
+        return MolRecord(
+            atom_type=self.atom_type[s:e],
+            positions=self.positions[s:e],
+            chirality=None if self.chirality is None else self.chirality[s:e],
+            bond_index=bond,
+            y=None if self.y is None else self.y[i],
+            forces=None if self.forces is None else self.forces[s:e],
+        )
+
+    def __getitem__(self, i: int) -> MolRecord:
+        return self.get(i)
+
+    # -- construction / io ---------------------------------------------------
+
+    @staticmethod
+    def from_records(records: List[MolRecord]) -> "MolStore":
+        offsets = np.zeros(len(records) + 1, np.int64)
+        for i, r in enumerate(records):
+            offsets[i + 1] = offsets[i] + r.num_atoms
+        atom_type = np.concatenate([r.atom_type for r in records]).astype(np.int32)
+        positions = np.concatenate([r.positions for r in records]).astype(np.float32)
+        chirality = None
+        if records[0].chirality is not None:
+            chirality = np.concatenate([r.chirality for r in records]).astype(np.int32)
+        bond_index = bond_offsets = None
+        if records[0].bond_index is not None:
+            bond_offsets = np.zeros(len(records) + 1, np.int64)
+            for i, r in enumerate(records):
+                bond_offsets[i + 1] = bond_offsets[i] + r.bond_index.shape[1]
+            bond_index = np.concatenate(
+                [r.bond_index for r in records], axis=1
+            ).astype(np.int32)
+        y = None
+        if records[0].y is not None:
+            y = np.stack([np.atleast_1d(r.y) for r in records]).astype(np.float32)
+        forces = None
+        if records[0].forces is not None:
+            forces = np.concatenate([r.forces for r in records]).astype(np.float32)
+        return MolStore(
+            atom_type, positions, offsets, chirality, bond_index, bond_offsets, y, forces
+        )
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        arrays = dict(
+            atom_type=self.atom_type, positions=self.positions, offsets=self.offsets
+        )
+        for name in ("chirality", "bond_index", "bond_offsets", "y", "forces"):
+            v = getattr(self, name)
+            if v is not None:
+                arrays[name] = v
+        np.savez(path, **arrays)
+
+    @staticmethod
+    def load(path: str) -> "MolStore":
+        z = np.load(path, allow_pickle=False)
+        def opt(k):
+            return z[k] if k in z.files else None
+        return MolStore(
+            atom_type=z["atom_type"],
+            positions=z["positions"],
+            offsets=z["offsets"],
+            chirality=opt("chirality"),
+            bond_index=opt("bond_index"),
+            bond_offsets=opt("bond_offsets"),
+            y=opt("y"),
+            forces=opt("forces"),
+        )
+
+    def select(self, indices) -> "MolStore":
+        """Subset store (used by the split functions)."""
+        return MolStore.from_records([self.get(int(i)) for i in indices])
