@@ -1,0 +1,55 @@
+"""SPMD data parallelism over a device mesh.
+
+The reference has no distributed layer at all (SURVEY.md §2.8) — one GPU, one
+process. Here every training step is jitted over a 1-D ``data`` mesh:
+parameters/optimizer state replicated, batch sharded along its leading axis,
+XLA inserts the gradient all-reduce (psum over ICI). Models are 1-5M params,
+so parameter sharding would be pure overhead; the batch axis is where the
+FLOPs scale.
+
+The same code path runs single-device (mesh of 1) and on a virtual CPU mesh
+for testing (``XLA_FLAGS=--xla_force_host_platform_device_count=8``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding for every array leaf in a batch pytree."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """device_put a host batch with its leading axis split over the mesh.
+    Requires batch_size % mesh.size == 0 (loaders pad partial batches)."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def put_replicated(mesh: Mesh, tree: Any) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,55 @@
+"""Checkpointing — the pretrain → finetune transfer contract.
+
+Reference (SURVEY.md §5.4): ``torch.save({"model": backbone.state_dict()})``
+to ``model.pth`` on best train loss and ``model_final.pth`` at the end
+(``pretrain_GeoSSL.py:48-65``); fine-tune saves
+``{"model": ..., "graph_pred_linear": ...}`` on best val. Here the same
+contract is a dict of flax param pytrees serialized with
+``flax.serialization`` msgpack:
+
+    {"model": <backbone params>, ["graph_pred_linear": <head params>], ...}
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, tree: Dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tree = jax.tree_util.tree_map(np.asarray, tree)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(tree))
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+class BestModelSaver:
+    """Best-by-metric + final checkpoints (lower is better), mirroring the
+    reference's ``save_model`` (``pretrain_GeoSSL.py:48-65``)."""
+
+    def __init__(self, output_dir: str, best_name="model.ckpt", final_name="model_final.ckpt"):
+        self.output_dir = output_dir
+        self.best_name = best_name
+        self.final_name = final_name
+        self.best_metric = float("inf")
+
+    def maybe_save_best(self, metric: float, tree: Dict[str, Any]) -> bool:
+        if not self.output_dir or metric >= self.best_metric:
+            self.best_metric = min(self.best_metric, metric)
+            return False
+        self.best_metric = metric
+        save_checkpoint(os.path.join(self.output_dir, self.best_name), tree)
+        return True
+
+    def save_final(self, tree: Dict[str, Any]) -> None:
+        if self.output_dir:
+            save_checkpoint(os.path.join(self.output_dir, self.final_name), tree)

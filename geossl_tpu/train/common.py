@@ -1,0 +1,158 @@
+"""Shared driver plumbing: backbone construction, train state, step builders.
+
+Mirrors the reference's per-script ``model_setup()`` dispatch
+(``pretrain_GeoSSL.py:22-45``): only SchNet and PaiNN are runnable backbones.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from geossl_tpu.config import Config, ModelConfig
+from geossl_tpu.models.painn import PaiNN
+from geossl_tpu.models.schnet import SchNet
+
+
+def make_backbone(cfg: ModelConfig):
+    """Returns (module, apply) where
+    ``apply(params, atom_type, positions, node_mask, pair_mask=None)``
+    -> (graph_repr [B,F], node_repr [B,N,F]) for either backbone."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    if cfg.model_3d == "schnet":
+        s = cfg.schnet
+        module = SchNet(
+            hidden_channels=cfg.emb_dim,
+            num_filters=s.num_filters,
+            num_interactions=s.num_interactions,
+            num_gaussians=s.num_gaussians,
+            cutoff=s.cutoff,
+            node_class=s.node_class,
+            readout=s.readout,
+            dtype=dtype,
+        )
+
+        def apply(params, atom_type, positions, node_mask, pair_mask=None):
+            return module.apply({"params": params}, atom_type, positions, node_mask)
+
+    elif cfg.model_3d == "painn":
+        p = cfg.painn
+        module = PaiNN(
+            n_atom_basis=cfg.emb_dim,
+            n_interactions=p.n_interactions,
+            n_rbf=p.n_rbf,
+            cutoff=p.cutoff,
+            readout=p.readout,
+            max_z=p.max_z,
+            shared_interactions=p.shared_interactions,
+            shared_filters=p.shared_filters,
+            epsilon=p.epsilon,
+            dtype=dtype,
+        )
+
+        def apply(params, atom_type, positions, node_mask, pair_mask=None):
+            return module.apply(
+                {"params": params}, atom_type, positions, node_mask, pair_mask
+            )
+
+    else:
+        raise ValueError(f"3D model {cfg.model_3d!r} not included.")
+    return module, apply
+
+
+def init_backbone(module, rng, n_max: int = 32, batch: int = 2):
+    z = jnp.zeros((batch, n_max), jnp.int32)
+    pos = jnp.zeros((batch, n_max, 3), jnp.float32)
+    # two real atoms per graph so every code path traces
+    mask = jnp.zeros((batch, n_max), bool).at[:, :2].set(True)
+    pos = pos.at[:, 1, 0].set(1.0)
+    return module.init(rng, z, pos, mask)["params"]
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @staticmethod
+    def create(params, tx: optax.GradientTransformation):
+        return TrainState(
+            params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+        )
+
+
+def apply_updates(state: TrainState, grads, tx) -> TrainState:
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    return TrainState(
+        params=optax.apply_updates(state.params, updates),
+        opt_state=new_opt,
+        step=state.step + 1,
+    )
+
+
+def graph_masked_mean(per_graph: jnp.ndarray, graph_mask) -> jnp.ndarray:
+    if graph_mask is None:
+        return jnp.mean(per_graph)
+    gm = graph_mask.astype(per_graph.dtype)
+    return jnp.sum(per_graph * gm) / jnp.maximum(jnp.sum(gm), 1.0)
+
+
+class EpochTimer:
+    def __init__(self):
+        self.start = time.time()
+
+    def elapsed(self) -> float:
+        return time.time() - self.start
+
+
+def setup_platform(args) -> None:
+    """Pin the JAX platform before any backend initialization. The TPU PJRT
+    plugin in some images overrides JAX_PLATFORMS at interpreter startup, so
+    the config API is the only reliable switch."""
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu", "axon"],
+                   help="force a JAX platform (default: auto)")
+    p.add_argument("--model_3d", default="schnet", choices=["schnet", "painn"])
+    p.add_argument("--emb_dim", type=int, default=128)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--decay", type=float, default=0.0)
+    p.add_argument("--lr_scheduler", default="CosineAnnealingLR")
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic stand-in dataset (no downloads)")
+    p.add_argument("--synthetic_size", type=int, default=256)
+    p.add_argument("--output_model_dir", default="")
+    p.add_argument("--input_model_file", default="")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="data-parallel devices (default: all)")
+    p.add_argument("--bucket", type=int, default=32, help="max atoms per molecule")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def model_config_from_args(args) -> ModelConfig:
+    from geossl_tpu.config import PaiNNConfig, SchNetConfig
+
+    return ModelConfig(
+        model_3d=args.model_3d,
+        emb_dim=args.emb_dim,
+        schnet=SchNetConfig(),
+        painn=PaiNNConfig(),
+        compute_dtype=args.compute_dtype,
+    )

@@ -1,0 +1,153 @@
+"""Atom3D LBA fine-tuning driver — binding-affinity (logKd) regression.
+
+Reference: ``examples/finetune_lba.py`` — MSE train loss (``:244``), metrics
+RMSE + Pearson + Spearman (``:98-101``), best-val-MSE selection, identity-30
+split from downloaded index files (``splitters.py:361-388``), batch 64,
+lr 1e-4, 300 epochs (``submit_finetune_lba_lep_schnet.sh:10-33``).
+Complexes are ~500 atoms → bucket 512.
+
+Run: ``python -m geossl_tpu.train.finetune_lba --synthetic --epochs 3``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geossl_tpu.data.bucketing import BucketedLoader
+from geossl_tpu.data.lba import load_lba
+from geossl_tpu.data.splitters import atom3d_lba_split, random_split
+from geossl_tpu.parallel import mesh as pmesh
+from geossl_tpu.train import checkpoints, common, optim
+from geossl_tpu.train.finetune_qm9 import LinearHead
+from geossl_tpu.utils import metrics
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument("--LBA_year", type=int, default=2020)
+    p.add_argument("--split", default="random", choices=["random", "atom3d_lba_split30"])
+    p.set_defaults(lr=1e-4, epochs=300, batch_size=64, bucket=512)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    common.setup_platform(args)
+    if args.synthetic:
+        from geossl_tpu.data.synthetic import synthetic_lba
+
+        store = synthetic_lba(
+            args.synthetic_size, max_atoms=min(400, args.bucket - 16)
+        )
+    else:
+        store = load_lba(args.data_root, year=args.LBA_year)
+    if args.split == "atom3d_lba_split30" and not args.synthetic:
+        tr, va, te = atom3d_lba_split(args.data_root, args.LBA_year)
+    else:
+        tr, va, te = random_split(len(store), seed=args.seed)
+    train_store, valid_store, test_store = (
+        store.select(tr), store.select(va), store.select(te)
+    )
+
+    mesh = pmesh.make_mesh(args.num_devices)
+    cfg = common.model_config_from_args(args)
+    module, backbone_apply = common.make_backbone(cfg)
+    head = LinearHead()
+    rng = jax.random.PRNGKey(args.seed)
+    params = {
+        "model": common.init_backbone(module, rng, n_max=args.bucket),
+        "graph_pred_linear": head.init(rng, jnp.zeros((2, args.emb_dim)))["params"],
+    }
+    if args.input_model_file:
+        params["model"] = checkpoints.load_checkpoint(args.input_model_file)["model"]
+        print(f"Loaded pretrained backbone from {args.input_model_file}")
+
+    bs = args.batch_size + (-args.batch_size) % mesh.size
+    loaders = [
+        BucketedLoader(s, bs, (args.bucket,), shuffle=(i == 0), seed=args.seed)
+        for i, s in enumerate((train_store, valid_store, test_store))
+    ]
+    train_loader, valid_loader, test_loader = loaders
+
+    tx = optim.make_optimizer(
+        args.lr, args.epochs, len(train_loader), args.decay, args.lr_scheduler
+    )
+    state = common.TrainState.create(params, tx)
+    state = jax.device_put(state, pmesh.replicated(mesh))
+
+    def loss_fn(params, batch):
+        graph, _ = backbone_apply(
+            params["model"], batch.atom_type, batch.positions, batch.node_mask
+        )
+        pred = head.apply({"params": params["graph_pred_linear"]}, graph)
+        per = (pred - batch.y[:, 0]) ** 2  # MSE (finetune_lba.py:244)
+        return common.graph_masked_mean(per, batch.graph_mask)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        return common.apply_updates(state, grads, tx), loss
+
+    @jax.jit
+    def predict(params, batch):
+        graph, _ = backbone_apply(
+            params["model"], batch.atom_type, batch.positions, batch.node_mask
+        )
+        return head.apply({"params": params["graph_pred_linear"]}, graph)
+
+    def evaluate(params, loader):
+        preds, trues = [], []
+        for batch in loader.epoch(0):
+            b = pmesh.shard_batch(mesh, batch)
+            gm = np.asarray(batch.graph_mask)
+            preds.append(np.asarray(predict(params, b))[gm])
+            trues.append(np.asarray(batch.y)[gm, 0])
+        p, t = np.concatenate(preds), np.concatenate(trues)
+        return {
+            "mse": metrics.mse(t, p),
+            "rmse": metrics.rmse(t, p),
+            "pearson": metrics.pearson(t, p),
+            "spearman": metrics.spearman(t, p),
+        }
+
+    best_val_mse, best_epoch, best_test = float("inf"), -1, {}
+    for epoch in range(1, args.epochs + 1):
+        timer = common.EpochTimer()
+        losses = []
+        for batch in train_loader.epoch(epoch):
+            state, loss = train_step(state, pmesh.shard_batch(mesh, batch))
+            losses.append(loss)
+        train_loss = float(np.mean([float(l) for l in losses]))
+        val = evaluate(state.params, valid_loader)
+        test = evaluate(state.params, test_loader)
+        print(
+            f"Epoch: {epoch}\tLoss: {train_loss:.5f}\t"
+            f"val RMSE: {val['rmse']:.5f} P: {val['pearson']:.4f} "
+            f"S: {val['spearman']:.4f}\ttest RMSE: {test['rmse']:.5f}"
+            f"\tTime: {timer.elapsed():.3f}"
+        )
+        if val["mse"] < best_val_mse:
+            best_val_mse, best_epoch, best_test = val["mse"], epoch, test
+            if args.output_model_dir:
+                checkpoints.save_checkpoint(
+                    os.path.join(args.output_model_dir, "model.ckpt"),
+                    jax.device_get(state.params),
+                )
+    print(
+        f"best val MSE: {best_val_mse:.5f} (epoch {best_epoch})\ttest @ best: "
+        f"RMSE {best_test.get('rmse', float('nan')):.5f} "
+        f"Pearson {best_test.get('pearson', float('nan')):.4f} "
+        f"Spearman {best_test.get('spearman', float('nan')):.4f}"
+    )
+    return best_val_mse, best_test
+
+
+if __name__ == "__main__":
+    main()

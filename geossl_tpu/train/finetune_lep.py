@@ -1,0 +1,196 @@
+"""Atom3D LEP fine-tuning driver — ligand efficacy binary classification.
+
+Reference: ``examples/finetune_lep.py`` — dual tower: the SHARED backbone
+encodes the active and inactive structures, pooled representations are
+concatenated into Linear(2·emb -> 1) with BCE-with-logits (``:34-45,179-206``);
+metrics ROC-AUC + PR-AUC (``:96-99``); best-val-ROC selection; batch 16,
+lr 1e-4 (``submit_finetune_lba_lep_schnet.sh:28-33``). LEP ships pre-split
+by protein (train/val/test LMDB dirs); the synthetic stand-in is randomly
+split here.
+
+Run: ``python -m geossl_tpu.train.finetune_lep --synthetic --epochs 3``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from functools import partial
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from geossl_tpu.data.batch import DenseMolBatch, DualMolBatch
+from geossl_tpu.data.bucketing import pack_batch
+from geossl_tpu.data.lep import load_lep
+from geossl_tpu.data.splitters import random_split
+from geossl_tpu.models.common import Dense
+from geossl_tpu.parallel import mesh as pmesh
+from geossl_tpu.train import checkpoints, common, optim
+from geossl_tpu.utils import metrics
+from flax import linen as nn
+
+
+class DualHead(nn.Module):
+    """Linear(2·emb -> 1) on concatenated tower representations
+    (``finetune_lep.py:34-45``)."""
+
+    @nn.compact
+    def __call__(self, repr_active, repr_inactive):
+        x = jnp.concatenate([repr_active, repr_inactive], axis=-1)
+        return Dense(1)(x)[..., 0]
+
+
+class DualLoader:
+    """Zip two MolStores + labels into DualMolBatch batches
+    (reference collate: ``dataloaders_LEP.py:6-68``)."""
+
+    def __init__(self, active, inactive, labels, batch_size, n_max, shuffle, seed=0):
+        assert len(active) == len(inactive) == len(labels)
+        self.active, self.inactive, self.labels = active, inactive, labels
+        self.batch_size, self.n_max = batch_size, n_max
+        self.shuffle, self.seed = shuffle, seed
+
+    def __len__(self):
+        return -(-len(self.labels) // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[DualMolBatch]:
+        idx = np.arange(len(self.labels))
+        if self.shuffle:
+            idx = np.random.default_rng((self.seed, epoch)).permutation(idx)
+        for s in range(0, len(idx), self.batch_size):
+            chunk = idx[s : s + self.batch_size]
+            a = pack_batch(
+                [self.active.get(int(i)) for i in chunk], self.n_max, self.batch_size
+            )
+            b = pack_batch(
+                [self.inactive.get(int(i)) for i in chunk], self.n_max, self.batch_size
+            )
+            y = np.zeros((self.batch_size,), np.float32)
+            y[: len(chunk)] = self.labels[chunk]
+            yield DualMolBatch(active=a, inactive=b, y=y)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.set_defaults(lr=1e-4, epochs=300, batch_size=16, bucket=512)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    common.setup_platform(args)
+    if args.synthetic:
+        from geossl_tpu.data.synthetic import synthetic_lep
+
+        act, inact, labels = synthetic_lep(
+            args.synthetic_size, max_atoms=min(300, args.bucket - 16)
+        )
+        tr, va, te = random_split(len(labels), seed=args.seed)
+        splits = {
+            "train": (act.select(tr), inact.select(tr), labels[tr]),
+            "val": (act.select(va), inact.select(va), labels[va]),
+            "test": (act.select(te), inact.select(te), labels[te]),
+        }
+    else:
+        splits = {
+            k: load_lep(args.data_root, split_dir=k) for k in ("train", "val", "test")
+        }
+
+    mesh = pmesh.make_mesh(args.num_devices)
+    cfg = common.model_config_from_args(args)
+    module, backbone_apply = common.make_backbone(cfg)
+    head = DualHead()
+    rng = jax.random.PRNGKey(args.seed)
+    params = {
+        "model": common.init_backbone(module, rng, n_max=args.bucket),
+        "graph_pred_linear": head.init(
+            rng, jnp.zeros((2, args.emb_dim)), jnp.zeros((2, args.emb_dim))
+        )["params"],
+    }
+    if args.input_model_file:
+        params["model"] = checkpoints.load_checkpoint(args.input_model_file)["model"]
+        print(f"Loaded pretrained backbone from {args.input_model_file}")
+
+    bs = args.batch_size + (-args.batch_size) % mesh.size
+    loaders = {
+        k: DualLoader(a, i, y, bs, args.bucket, shuffle=(k == "train"), seed=args.seed)
+        for k, (a, i, y) in splits.items()
+    }
+
+    tx = optim.make_optimizer(
+        args.lr, args.epochs, len(loaders["train"]), args.decay, args.lr_scheduler
+    )
+    state = common.TrainState.create(params, tx)
+    state = jax.device_put(state, pmesh.replicated(mesh))
+
+    def logits_fn(params, dual: DualMolBatch):
+        ga, _ = backbone_apply(
+            params["model"], dual.active.atom_type, dual.active.positions,
+            dual.active.node_mask,
+        )
+        gi, _ = backbone_apply(
+            params["model"], dual.inactive.atom_type, dual.inactive.positions,
+            dual.inactive.node_mask,
+        )
+        return head.apply({"params": params["graph_pred_linear"]}, ga, gi)
+
+    def loss_fn(params, dual):
+        logits = logits_fn(params, dual)
+        per = optax.sigmoid_binary_cross_entropy(logits, dual.y)
+        return common.graph_masked_mean(per, dual.active.graph_mask)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, dual):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, dual)
+        return common.apply_updates(state, grads, tx), loss
+
+    predict = jax.jit(logits_fn)
+
+    def evaluate(params, loader):
+        scores, trues = [], []
+        for dual in loader.epoch(0):
+            d = pmesh.shard_batch(mesh, dual)
+            gm = np.asarray(dual.active.graph_mask)
+            scores.append(np.asarray(predict(params, d))[gm])
+            trues.append(np.asarray(dual.y)[gm])
+        s, t = np.concatenate(scores), np.concatenate(trues)
+        return {"roc": metrics.roc_auc(t, s), "pr": metrics.pr_auc(t, s)}
+
+    best_val_roc, best_epoch, best_test = -1.0, -1, {}
+    for epoch in range(1, args.epochs + 1):
+        timer = common.EpochTimer()
+        losses = []
+        for dual in loaders["train"].epoch(epoch):
+            state, loss = train_step(state, pmesh.shard_batch(mesh, dual))
+            losses.append(loss)
+        train_loss = float(np.mean([float(l) for l in losses]))
+        val, test = evaluate(state.params, loaders["val"]), evaluate(
+            state.params, loaders["test"]
+        )
+        print(
+            f"Epoch: {epoch}\tLoss: {train_loss:.5f}\tval ROC: {val['roc']:.4f} "
+            f"PR: {val['pr']:.4f}\ttest ROC: {test['roc']:.4f} PR: {test['pr']:.4f}"
+            f"\tTime: {timer.elapsed():.3f}"
+        )
+        if val["roc"] > best_val_roc:
+            best_val_roc, best_epoch, best_test = val["roc"], epoch, test
+            if args.output_model_dir:
+                checkpoints.save_checkpoint(
+                    os.path.join(args.output_model_dir, "model.ckpt"),
+                    jax.device_get(state.params),
+                )
+    print(
+        f"best val ROC: {best_val_roc:.4f} (epoch {best_epoch})\ttest @ best: "
+        f"ROC {best_test.get('roc', float('nan')):.4f} "
+        f"PR {best_test.get('pr', float('nan')):.4f}"
+    )
+    return best_val_roc, best_test
+
+
+if __name__ == "__main__":
+    main()

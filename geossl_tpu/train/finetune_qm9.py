@@ -1,0 +1,187 @@
+"""QM9 fine-tuning driver.
+
+Reference: ``examples/finetune_qm9.py`` — single-target regression with a
+linear head on the pooled representation, y z-normalized by the *train
+split*'s mean/std (``:255-257,444-447``), MAE loss (``--loss mae`` default),
+denormalized eval, best-val-MAE selection, predictions saved
+(``:550-565``). Split: ``qm9_random_customized_01`` (110k/10k/rest).
+
+Run: ``python -m geossl_tpu.train.finetune_qm9 --synthetic --task mu --epochs 3``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from geossl_tpu.data.bucketing import BucketedLoader
+from geossl_tpu.data.qm9 import TARGET_FIELDS, load_qm9
+from geossl_tpu.data.splitters import qm9_random_customized_01
+from geossl_tpu.models.common import Dense, xavier_uniform, zeros_init
+from geossl_tpu.parallel import mesh as pmesh
+from geossl_tpu.train import checkpoints, common, optim
+from geossl_tpu.utils import metrics
+from flax import linen as nn
+
+
+class LinearHead(nn.Module):
+    """graph_pred_linear: Linear(emb -> 1) (``finetune_qm9.py:102-129``)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return Dense(1)(x)[..., 0]
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument("--task", default="mu", choices=TARGET_FIELDS)
+    p.add_argument("--loss", default="mae", choices=["mae", "mse"])
+    p.add_argument("--split_seed", type=int, default=0)
+    return p
+
+
+def make_train_step(backbone_apply, head, tx, loss_kind: str):
+    def loss_fn(params, batch, mean, std):
+        graph_repr, _ = backbone_apply(
+            params["model"], batch.atom_type, batch.positions, batch.node_mask
+        )
+        pred = head.apply({"params": params["graph_pred_linear"]}, graph_repr)
+        y = (batch.y[:, 0] - mean) / std
+        err = pred - y
+        per = jnp.abs(err) if loss_kind == "mae" else err**2
+        return common.graph_masked_mean(per, batch.graph_mask)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, mean, std):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, mean, std)
+        return common.apply_updates(state, grads, tx), loss
+
+    return train_step
+
+
+def make_eval_step(backbone_apply, head):
+    @jax.jit
+    def eval_step(params, batch, mean, std):
+        graph_repr, _ = backbone_apply(
+            params["model"], batch.atom_type, batch.positions, batch.node_mask
+        )
+        pred = head.apply({"params": params["graph_pred_linear"]}, graph_repr)
+        return pred * std + mean  # denormalize (finetune_qm9.py:375)
+
+    return eval_step
+
+
+def evaluate(eval_step, params, loader, mean, std, mesh):
+    preds, trues = [], []
+    for batch in loader.epoch(0):
+        b = pmesh.shard_batch(mesh, batch)
+        p = np.asarray(eval_step(params, b, mean, std))
+        gm = np.asarray(batch.graph_mask)
+        preds.append(p[gm])
+        trues.append(np.asarray(batch.y)[gm, 0])
+    return np.concatenate(preds), np.concatenate(trues)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    common.setup_platform(args)
+    store = load_qm9(args.data_root, synthetic=args.synthetic,
+                     synthetic_size=args.synthetic_size)
+    task_id = TARGET_FIELDS.index(args.task)
+    tr, va, te = qm9_random_customized_01(len(store), seed=args.split_seed)
+    train_store, valid_store, test_store = (
+        store.select(tr), store.select(va), store.select(te)
+    )
+    # train-split normalization (finetune_qm9.py:444-447)
+    mean = float(train_store.y[:, task_id].mean())
+    std = float(train_store.y[:, task_id].std())
+    print(f"Train mean: {mean:.6f}\tTrain std: {std:.6f}")
+
+    def select_task(s):
+        s.y = s.y[:, task_id : task_id + 1]
+        return s
+
+    train_store, valid_store, test_store = map(
+        select_task, (train_store, valid_store, test_store)
+    )
+
+    mesh = pmesh.make_mesh(args.num_devices)
+    cfg = common.model_config_from_args(args)
+    module, backbone_apply = common.make_backbone(cfg)
+    head = LinearHead()
+    rng = jax.random.PRNGKey(args.seed)
+    backbone_params = common.init_backbone(module, rng, n_max=args.bucket)
+    head_params = head.init(rng, jnp.zeros((2, args.emb_dim)))["params"]
+    params = {"model": backbone_params, "graph_pred_linear": head_params}
+    if args.input_model_file:
+        ckpt = checkpoints.load_checkpoint(args.input_model_file)
+        params["model"] = ckpt["model"]  # pretrain transfer contract
+        if "graph_pred_linear" in ckpt:
+            params["graph_pred_linear"] = ckpt["graph_pred_linear"]
+        print(f"Loaded pretrained backbone from {args.input_model_file}")
+
+    train_loader = BucketedLoader(
+        train_store, args.batch_size, (args.bucket,), shuffle=True, seed=args.seed
+    )
+    valid_loader = BucketedLoader(
+        valid_store, args.batch_size, (args.bucket,), shuffle=False, seed=0
+    )
+    test_loader = BucketedLoader(
+        test_store, args.batch_size, (args.bucket,), shuffle=False, seed=0
+    )
+
+    tx = optim.make_optimizer(
+        args.lr, args.epochs, len(train_loader), args.decay, args.lr_scheduler
+    )
+    state = common.TrainState.create(params, tx)
+    state = jax.device_put(state, pmesh.replicated(mesh))
+    train_step = make_train_step(backbone_apply, head, tx, args.loss)
+    eval_step = make_eval_step(backbone_apply, head)
+
+    saver = checkpoints.BestModelSaver(args.output_model_dir)
+    best_val, best_epoch, test_at_best = float("inf"), -1, float("nan")
+    for epoch in range(1, args.epochs + 1):
+        timer = common.EpochTimer()
+        losses = []
+        for batch in train_loader.epoch(epoch):
+            b = pmesh.shard_batch(mesh, batch)
+            state, loss = train_step(state, b, mean, std)
+            losses.append(loss)
+        train_loss = float(np.mean([float(l) for l in losses]))
+        vp, vt = evaluate(eval_step, state.params, valid_loader, mean, std, mesh)
+        tp, tt = evaluate(eval_step, state.params, test_loader, mean, std, mesh)
+        val_mae, test_mae = metrics.mae(vt, vp), metrics.mae(tt, tp)
+        print(
+            f"Epoch: {epoch}\tLoss: {train_loss:.5f}\tval MAE: {val_mae:.5f}"
+            f"\ttest MAE: {test_mae:.5f}\tTime: {timer.elapsed():.3f}"
+        )
+        if val_mae < best_val:
+            best_val, best_epoch, test_at_best = val_mae, epoch, test_mae
+            if args.output_model_dir:
+                checkpoints.save_checkpoint(
+                    os.path.join(args.output_model_dir, "model.ckpt"),
+                    jax.device_get(state.params),
+                )
+                np.savez(
+                    os.path.join(args.output_model_dir, "evaluation_best.npz"),
+                    val_target=vt, val_pred=vp, test_target=tt, test_pred=tp,
+                )
+    print(f"best val MAE: {best_val:.5f} (epoch {best_epoch})\t"
+          f"test MAE @ best: {test_at_best:.5f}")
+    if args.output_model_dir:
+        checkpoints.save_checkpoint(
+            os.path.join(args.output_model_dir, "model_final.ckpt"),
+            jax.device_get(state.params),
+        )
+    return best_val, test_at_best
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Baseline SSL pretraining drivers: Supervised, ChargePrediction,
+DistancePrediction, TorsionAnglePrediction, 3D-InfoGraph.
+
+One ``main_*`` per workload, mirroring the reference's one-script-per-
+objective layout (``examples/pretrain_{Supervised,ChargePrediction,
+DistancePrediction,TorsionAnglePrediction,3DInfoGraph}.py``). Each saves the
+backbone-only checkpoint on best epoch-mean train loss + a final checkpoint.
+
+Run e.g.:
+``python -m geossl_tpu.train.pretrain_baselines charge --synthetic --epochs 2``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geossl_tpu.data.bucketing import BucketedLoader
+from geossl_tpu.data.molecule3d import load_molecule3d
+from geossl_tpu.objectives import (
+    ChargePredictor,
+    DistancePredictor,
+    InfoGraphDiscriminator,
+    TorsionAnglePredictor,
+    charge_loss,
+    charge_masking,
+    distance_loss,
+    infograph_loss,
+    pair_selection,
+    torsion_loss,
+    torsion_triples,
+)
+from geossl_tpu.ops import geometry
+from geossl_tpu.parallel import mesh as pmesh
+from geossl_tpu.train import checkpoints, common, optim
+
+NODE_CLASS = 9
+
+
+def build_parser(objective: str):
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument("--dataset", default="Molecule3D_1000000")
+    if objective == "charge":
+        p.add_argument("--charge_masking_ratio", type=float, default=0.3)
+    if objective == "distance":
+        p.add_argument("--distance_sample_ratio", type=float, default=1.0)
+    if objective == "torsion":
+        p.add_argument("--torsion_angle_sample_ratio", type=float, default=0.001)
+    if objective == "supervised":
+        p.add_argument("--task_id", type=int, default=6)  # pretrain_Supervised.py:159
+        p.add_argument("--loss", default="mae", choices=["mae", "mse"])
+    return p
+
+
+def _run(args, objective: str):
+    common.setup_platform(args)
+    subset = None
+    if args.dataset.startswith("Molecule3D_"):
+        subset = int(args.dataset.split("_")[-1])
+    store = load_molecule3d(
+        args.data_root, subset=subset, synthetic=args.synthetic,
+        synthetic_size=args.synthetic_size,
+    )
+    mesh = pmesh.make_mesh(args.num_devices)
+    cfg = common.model_config_from_args(args)
+    module, backbone_apply = common.make_backbone(cfg)
+    rng = jax.random.PRNGKey(args.seed)
+    params = {"model": common.init_backbone(module, rng, n_max=args.bucket)}
+
+    # objective-specific heads + supervised normalization
+    train_mean = train_std = 0.0
+    if objective == "charge":
+        head = ChargePredictor(node_class=NODE_CLASS)
+        params["head"] = head.init(rng, jnp.zeros((2, 4, args.emb_dim)))["params"]
+    elif objective == "distance":
+        head = DistancePredictor()
+        params["head"] = head.init(rng, jnp.zeros((2, 4, args.emb_dim)))["params"]
+    elif objective == "torsion":
+        head = TorsionAnglePredictor()
+        params["head"] = head.init(
+            rng, jnp.zeros((2, 4, args.emb_dim)), jnp.zeros((2, 3, 3), jnp.int32)
+        )["params"]
+    elif objective == "infograph":
+        head = InfoGraphDiscriminator(hidden_dim=args.emb_dim)
+        x = jnp.zeros((2, 4, args.emb_dim))
+        params["head"] = head.init(rng, x, x)["params"]
+    elif objective == "supervised":
+        from geossl_tpu.train.finetune_qm9 import LinearHead
+
+        head = LinearHead()
+        params["head"] = head.init(rng, jnp.zeros((2, args.emb_dim)))["params"]
+        y = store.y[:, args.task_id]
+        train_mean, train_std = float(y.mean()), float(y.std())
+        print(f"Train mean: {train_mean}\tTrain std: {train_std}")
+    else:
+        raise ValueError(objective)
+
+    loader = BucketedLoader(
+        store, args.batch_size, (args.bucket,), shuffle=True, seed=args.seed
+    )
+    tx = optim.make_optimizer(
+        args.lr, args.epochs, len(loader), args.decay, args.lr_scheduler
+    )
+    state = common.TrainState.create(params, tx)
+    state = jax.device_put(state, pmesh.replicated(mesh))
+
+    # torsion: triples per graph from N^3 * ratio at the bucket size
+    num_triples = 0
+    if objective == "torsion":
+        num_triples = max(8, int(args.bucket**3 * args.torsion_angle_sample_ratio))
+
+    def loss_fn(params, batch, rng):
+        if objective == "charge":
+            # mask atoms to the unknown token BEFORE encoding
+            # (pretrain_ChargePrediction.py:64-81)
+            masked, sel = charge_masking(
+                rng, batch.atom_type, batch.node_mask,
+                args.charge_masking_ratio, NODE_CLASS,
+            )
+            _, node = backbone_apply(
+                params["model"], masked, batch.positions, batch.node_mask
+            )
+            logits = ChargePredictor(NODE_CLASS).apply({"params": params["head"]}, node)
+            loss, acc = charge_loss(logits, batch.atom_type, sel)
+            return loss, acc
+        if objective == "distance":
+            _, node = backbone_apply(
+                params["model"], batch.atom_type, batch.positions, batch.node_mask
+            )
+            pred = DistancePredictor().apply({"params": params["head"]}, node)
+            dist, _ = geometry.pairwise_distances(batch.positions, batch.node_mask)
+            sel = pair_selection(
+                batch.node_mask, "permutation", args.distance_sample_ratio,
+                rng if args.distance_sample_ratio < 1 else None,
+            )
+            return distance_loss(pred, dist, sel), jnp.zeros(())
+        if objective == "torsion":
+            _, node = backbone_apply(
+                params["model"], batch.atom_type, batch.positions, batch.node_mask
+            )
+            idx, angle, valid = torsion_triples(
+                rng, batch.positions, batch.node_mask, num_triples
+            )
+            pred = TorsionAnglePredictor().apply({"params": params["head"]}, node, idx)
+            return torsion_loss(pred, angle, valid), jnp.zeros(())
+        if objective == "infograph":
+            graph, node = backbone_apply(
+                params["model"], batch.atom_type, batch.positions, batch.node_mask
+            )
+            disc = InfoGraphDiscriminator(hidden_dim=args.emb_dim)
+            return infograph_loss(
+                disc, params["head"], node, graph, batch.node_mask, batch.graph_mask
+            )
+        if objective == "supervised":
+            from geossl_tpu.train.finetune_qm9 import LinearHead
+
+            graph, _ = backbone_apply(
+                params["model"], batch.atom_type, batch.positions, batch.node_mask
+            )
+            pred = LinearHead().apply({"params": params["head"]}, graph)
+            y = (batch.y[:, args.task_id] - train_mean) / train_std
+            err = pred - y
+            per = jnp.abs(err) if args.loss == "mae" else err**2
+            return common.graph_masked_mean(per, batch.graph_mask), jnp.zeros(())
+        raise ValueError(objective)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        return common.apply_updates(state, grads, tx), loss, acc
+
+    saver = checkpoints.BestModelSaver(args.output_model_dir)
+    step_rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(1, args.epochs + 1):
+        timer = common.EpochTimer()
+        losses, accs = [], []
+        for batch in loader.epoch(epoch):
+            b = pmesh.shard_batch(mesh, batch)
+            step_rng, k = jax.random.split(step_rng)
+            state, loss, acc = train_step(state, b, k)
+            losses.append(loss)
+            accs.append(acc)
+        mean_loss = float(np.mean([float(l) for l in losses]))
+        mean_acc = float(np.mean([float(a) for a in accs]))
+        saved = saver.maybe_save_best(
+            mean_loss, {"model": jax.device_get(state.params["model"])}
+        )
+        print(
+            f"Epoch: {epoch}\tLoss: {mean_loss:.5f}\tAcc: {mean_acc:.5f}"
+            f"\tTime: {timer.elapsed():.3f}" + ("\t[saved best]" if saved else "")
+        )
+    saver.save_final({"model": jax.device_get(state.params["model"])})
+    return state
+
+
+OBJECTIVES = ("supervised", "charge", "distance", "torsion", "infograph")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in OBJECTIVES:
+        raise SystemExit(
+            f"usage: python -m geossl_tpu.train.pretrain_baselines "
+            f"{{{','.join(OBJECTIVES)}}} [options]"
+        )
+    objective, rest = argv[0], argv[1:]
+    args = build_parser(objective).parse_args(rest)
+    return _run(args, objective)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""GeoSSL pretraining driver — DDM / InfoNCE / EBM-NCE / RR.
+
+Reference: ``examples/pretrain_GeoSSL.py``. Recipe shared by all options
+(``:68-212``): view 1 = clean geometry, view 2 = positions + N(mu, sigma);
+optional BFS atom masking (``--GeoSSL_atom_masking_ratio``); for PaiNN the
+radius graph is cached from the clean geometry and reused for the perturbed
+view (``:88-89``). Per option:
+
+* **DDM**  (``:179-212``): node latents of each view scored against the
+  *other* view's pairwise distances by two NCSN_version_03 heads, averaged.
+* **InfoNCE** (``:141-176``): symmetric CE over B×B graph-repr similarities.
+* **EBM_NCE** (``:103-138``): BCE on positive dot products vs cyclic-shift
+  negatives.
+* **RR** (``:77-100``): two AutoEncoders reconstruct each view's graph repr
+  from the other.
+
+Saves the backbone-only checkpoint on best epoch-mean train loss plus a
+final checkpoint (``:48-65,262-267``) — the transfer contract for the
+fine-tune drivers.
+
+Run: ``python -m geossl_tpu.train.pretrain_geossl --synthetic --GeoSSL_option DDM --epochs 2``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geossl_tpu.data.bucketing import BucketedLoader
+from geossl_tpu.data.masking import make_bfs_transform
+from geossl_tpu.data.molecule3d import load_molecule3d
+from geossl_tpu.objectives import (
+    AutoEncoder,
+    dual_infonce_loss,
+    ebm_nce_loss,
+    l2_normalize,
+    pair_selection,
+    perturb_positions,
+)
+from geossl_tpu.objectives.ncsn import NCSNv3
+from geossl_tpu.ops import geometry
+from geossl_tpu.parallel import mesh as pmesh
+from geossl_tpu.train import checkpoints, common, optim
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument("--dataset", default="Molecule3D_1000000")
+    p.add_argument("--GeoSSL_option", default="DDM",
+                   choices=["DDM", "EBM_NCE", "InfoNCE", "RR"])
+    p.add_argument("--GeoSSL_mu", type=float, default=0.0)
+    p.add_argument("--GeoSSL_sigma", type=float, default=0.3)
+    p.add_argument("--GeoSSL_atom_masking_ratio", type=float, default=0.3)
+    p.add_argument("--SM_sigma_begin", type=float, default=10.0)
+    p.add_argument("--SM_sigma_end", type=float, default=0.01)
+    p.add_argument("--SM_num_noise_level", type=int, default=50)
+    p.add_argument("--SM_noise_type", default="symmetry", choices=["symmetry", "random"])
+    p.add_argument("--SM_anneal_power", type=float, default=2.0)
+    p.add_argument("--distance_sample_ratio", type=float, default=1.0)
+    p.add_argument("--T", type=float, default=0.1)
+    p.add_argument("--normalize", action="store_true")
+    p.add_argument("--AE_loss", default="l2", choices=["l1", "l2", "cosine"])
+    p.add_argument("--detach_target", action="store_true", default=True)
+    p.set_defaults(lr=5e-4, epochs=100)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    common.setup_platform(args)
+    subset = None
+    if args.dataset.startswith("Molecule3D_"):
+        subset = int(args.dataset.split("_")[-1])
+    store = load_molecule3d(
+        args.data_root, subset=subset, synthetic=args.synthetic,
+        synthetic_size=args.synthetic_size,
+    )
+
+    # SM_noise_type -> pair option (pretrain_GeoSSL.py:289-295)
+    pair_option = "permutation" if args.SM_noise_type == "random" else "combination"
+    transform = None
+    if args.GeoSSL_atom_masking_ratio > 0:
+        transform = make_bfs_transform(args.GeoSSL_atom_masking_ratio)
+
+    mesh = pmesh.make_mesh(args.num_devices)
+    cfg = common.model_config_from_args(args)
+    module, backbone_apply = common.make_backbone(cfg)
+    is_painn = args.model_3d == "painn"
+    painn_cutoff = cfg.painn.cutoff
+
+    rng = jax.random.PRNGKey(args.seed)
+    params = {"model": common.init_backbone(module, rng, n_max=args.bucket)}
+    extra_vars = {}
+
+    option = args.GeoSSL_option
+    ncsn = ae = None
+    if option == "DDM":
+        ncsn = NCSNv3(
+            emb_dim=args.emb_dim, sigma_begin=args.SM_sigma_begin,
+            sigma_end=args.SM_sigma_end, num_noise_level=args.SM_num_noise_level,
+            anneal_power=args.SM_anneal_power,
+        )
+        h = jnp.zeros((2, args.bucket, args.emb_dim))
+        d = jnp.zeros((2, args.bucket, args.bucket))
+        sel = jnp.ones((2, args.bucket, args.bucket), bool)
+        k1, k2 = jax.random.split(rng)
+        params["NCSN_01"] = ncsn.init(k1, k1, h, d, sel)["params"]
+        params["NCSN_02"] = ncsn.init(k2, k2, h, d, sel)["params"]
+    elif option == "RR":
+        ae = AutoEncoder(emb_dim=args.emb_dim, loss=args.AE_loss,
+                         detach_target=args.detach_target)
+        x = jnp.zeros((2, args.emb_dim))
+        k1, k2 = jax.random.split(rng)
+        v1, v2 = ae.init(k1, x, x), ae.init(k2, x, x)
+        params["AE_01"], params["AE_02"] = v1["params"], v2["params"]
+        extra_vars = {
+            "AE_01": v1.get("batch_stats", {}),
+            "AE_02": v2.get("batch_stats", {}),
+        }
+
+    if args.input_model_file:
+        params["model"] = checkpoints.load_checkpoint(args.input_model_file)["model"]
+
+    loader = BucketedLoader(
+        store, args.batch_size, (args.bucket,), shuffle=True, seed=args.seed,
+        transform=transform,
+    )
+    tx = optim.make_optimizer(
+        args.lr, args.epochs, len(loader), args.decay, args.lr_scheduler
+    )
+    state = common.TrainState.create((params, extra_vars), tx)
+    state = jax.device_put(state, pmesh.replicated(mesh))
+
+    mu, sigma, T = args.GeoSSL_mu, args.GeoSSL_sigma, args.T
+
+    def encode(model_params, batch, positions, pair_mask):
+        return backbone_apply(
+            model_params, batch.atom_type, positions, batch.node_mask, pair_mask
+        )
+
+    def two_views(model_params, batch, k_view):
+        pos1 = batch.positions
+        pos2 = perturb_positions(k_view, pos1, mu, sigma)
+        pair_mask = None
+        if is_painn:
+            # cached clean-geometry radius graph (pretrain_GeoSSL.py:88-89)
+            dist, pm = geometry.pairwise_distances(pos1, batch.node_mask)
+            pair_mask = geometry.radius_adjacency(dist, pm, painn_cutoff)
+        g1, h1 = encode(model_params, batch, pos1, pair_mask)
+        g2, h2 = encode(model_params, batch, pos2, pair_mask)
+        return (pos1, g1, h1), (pos2, g2, h2)
+
+    def loss_fn(params_and_vars, batch, rng):
+        params, variables = params_and_vars
+        k_view, k_sel, k1, k2 = jax.random.split(rng, 4)
+        (pos1, g1, h1), (pos2, g2, h2) = two_views(params["model"], batch, k_view)
+        new_vars = variables
+        if option == "DDM":
+            if args.normalize:
+                h1, h2 = l2_normalize(h1), l2_normalize(h2)
+            sel = pair_selection(
+                batch.node_mask, pair_option, args.distance_sample_ratio,
+                k_sel if args.distance_sample_ratio < 1 else None,
+            )
+            d1, _ = geometry.pairwise_distances(pos1, batch.node_mask)
+            d2, _ = geometry.pairwise_distances(pos2, batch.node_mask)
+            # cross terms (pretrain_GeoSSL.py:207-208)
+            l1 = ncsn.apply({"params": params["NCSN_01"]}, k1, h1, d2, sel,
+                            batch.graph_mask)
+            l2 = ncsn.apply({"params": params["NCSN_02"]}, k2, h2, d1, sel,
+                            batch.graph_mask)
+            loss, acc = (l1 + l2) / 2, jnp.zeros(())
+        elif option == "InfoNCE":
+            if args.normalize:
+                g1, g2 = l2_normalize(g1), l2_normalize(g2)
+            loss, acc = dual_infonce_loss(g1, g2, T, batch.graph_mask)
+        elif option == "EBM_NCE":
+            if args.normalize:
+                g1, g2 = l2_normalize(g1), l2_normalize(g2)
+            loss, acc = ebm_nce_loss(g1, g2, batch.graph_mask)
+        elif option == "RR":
+            if args.normalize:
+                g1, g2 = l2_normalize(g1), l2_normalize(g2)
+            out1 = ae.apply(
+                {"params": params["AE_01"], "batch_stats": variables["AE_01"]},
+                g1, g2, train=True, mutable=["batch_stats"],
+            )
+            out2 = ae.apply(
+                {"params": params["AE_02"], "batch_stats": variables["AE_02"]},
+                g2, g1, train=True, mutable=["batch_stats"],
+            )
+            loss = (out1[0] + out2[0]) / 2
+            new_vars = {
+                "AE_01": out1[1]["batch_stats"],
+                "AE_02": out2[1]["batch_stats"],
+            }
+            acc = jnp.zeros(())
+        else:
+            raise ValueError(option)
+        return loss, (acc, new_vars)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        (loss, (acc, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch, rng)
+        # AE batch_stats are state, not trainable: zero their "grads"
+        grads = (grads[0], jax.tree_util.tree_map(jnp.zeros_like, grads[1]))
+        new_state = common.apply_updates(state, grads, tx)
+        new_state = new_state.replace(params=(new_state.params[0], new_vars))
+        return new_state, loss, acc
+
+    saver = checkpoints.BestModelSaver(args.output_model_dir)
+    step_rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(1, args.epochs + 1):
+        timer = common.EpochTimer()
+        losses, accs = [], []
+        for batch in loader.epoch(epoch):
+            b = pmesh.shard_batch(mesh, batch)
+            step_rng, k = jax.random.split(step_rng)
+            state, loss, acc = train_step(state, b, k)
+            losses.append(loss)
+            accs.append(acc)
+        mean_loss = float(np.mean([float(l) for l in losses]))
+        mean_acc = float(np.mean([float(a) for a in accs]))
+        saved = saver.maybe_save_best(
+            mean_loss, {"model": jax.device_get(state.params[0]["model"])}
+        )
+        print(
+            f"Epoch: {epoch}\tSSL Loss: {mean_loss:.5f}\tSSL Acc: {mean_acc:.5f}"
+            f"\tTime: {timer.elapsed():.3f}" + ("\t[saved best]" if saved else "")
+        )
+    saver.save_final({"model": jax.device_get(state.params[0]["model"])})
+    return state
+
+
+if __name__ == "__main__":
+    main()

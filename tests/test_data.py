@@ -1,0 +1,141 @@
+import numpy as np
+
+from geossl_tpu.data import (
+    BucketedLoader,
+    MolStore,
+    apply_bfs_mask,
+    bfs_subgraph_indices,
+    make_bfs_transform,
+    splitters,
+)
+from geossl_tpu.data.lba import (
+    select_env_by_dist,
+    select_env_by_num,
+    transform_lba,
+)
+from geossl_tpu.data.synthetic import synthetic_md17, synthetic_qm9
+
+
+def test_store_roundtrip(tmp_path):
+    store = synthetic_qm9(20, seed=0)
+    path = str(tmp_path / "store.npz")
+    store.save(path)
+    loaded = MolStore.load(path)
+    assert len(loaded) == 20
+    for i in (0, 7, 19):
+        a, b = store.get(i), loaded.get(i)
+        np.testing.assert_array_equal(a.atom_type, b.atom_type)
+        np.testing.assert_allclose(a.positions, b.positions)
+        np.testing.assert_allclose(a.y, b.y)
+
+
+def test_bucketed_loader_shapes_and_masks():
+    store = synthetic_qm9(50, seed=1)
+    loader = BucketedLoader(store, batch_size=16, bucket_sizes=(32,), seed=0)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 4  # ceil(50/16)
+    total_real = 0
+    for b in batches:
+        assert b.atom_type.shape == (16, 32)
+        assert b.positions.shape == (16, 32, 3)
+        # node_mask consistent with per-graph atom counts
+        counts = b.node_mask.sum(axis=1)
+        assert (counts[~b.graph_mask] == 0).all()
+        total_real += int(b.graph_mask.sum())
+    assert total_real == 50
+
+
+def test_loader_deterministic_per_epoch():
+    store = synthetic_qm9(30, seed=2)
+    loader = BucketedLoader(store, batch_size=8, bucket_sizes=(32,), seed=3)
+    a = [b.atom_type for b in loader.epoch(5)]
+    b = [b.atom_type for b in loader.epoch(5)]
+    c = [b.atom_type for b in loader.epoch(6)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+
+def test_md17_forces_consistent_with_energy():
+    """Synthetic MD17 forces must equal -dE/dpos of the generator formula."""
+    store = synthetic_md17(4, n_atoms=6, seed=0)
+    rec = store.get(0)
+    eps = 1e-4
+    pos = rec.positions.astype(np.float64)
+
+    def energy(p):
+        d = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
+        np.fill_diagonal(d, 1.0)
+        e = np.exp(-d / 2.0)
+        np.fill_diagonal(e, 0.0)
+        return 0.5 * e.sum()
+
+    for (i, k) in [(0, 0), (3, 2)]:
+        p1, p2 = pos.copy(), pos.copy()
+        p1[i, k] += eps
+        p2[i, k] -= eps
+        fd = (energy(p1) - energy(p2)) / (2 * eps)
+        np.testing.assert_allclose(-fd, rec.forces[i, k], rtol=1e-3, atol=1e-5)
+
+
+def test_bfs_masking_keeps_connected_fraction():
+    store = synthetic_qm9(10, seed=4)
+    for i in range(10):
+        rec = store.get(i)
+        n = rec.num_atoms
+        keep = bfs_subgraph_indices(
+            np.random.default_rng(i), n, rec.bond_index, mask_ratio=0.3
+        )
+        # reference keeps ceil(N*0.7)+1-ish nodes (loop is `<= sub_num`)
+        assert len(keep) == min(n, int(n * 0.7) + 1)
+        assert len(set(keep.tolist())) == len(keep)
+        masked = apply_bfs_mask(rec, np.random.default_rng(i), 0.3)
+        assert masked.num_atoms == len(keep)
+        np.testing.assert_array_equal(masked.atom_type, rec.atom_type[keep])
+        if masked.bond_index is not None and masked.bond_index.size:
+            assert masked.bond_index.max() < masked.num_atoms
+
+
+def test_bfs_transform_in_loader():
+    store = synthetic_qm9(20, seed=5)
+    loader = BucketedLoader(
+        store, batch_size=8, bucket_sizes=(32,), seed=0,
+        transform=make_bfs_transform(0.3),
+    )
+    orig_counts = store.num_atoms()
+    for b in loader.epoch(0):
+        counts = b.node_mask.sum(axis=1)[b.graph_mask]
+        assert counts.max() <= orig_counts.max()
+
+
+def test_splits_disjoint_and_complete():
+    for fn in (
+        lambda: splitters.qm9_random_customized_01(1000),
+        lambda: splitters.qm9_random_customized_02(1000),
+        lambda: splitters.random_split(1000),
+        lambda: splitters.md17_split(1000),
+    ):
+        tr, va, te = fn()
+        all_idx = np.concatenate([tr, va, te])
+        assert len(all_idx) == 1000
+        assert len(np.unique(all_idx)) == 1000
+
+
+def test_lba_env_selection():
+    pocket = np.array([[0, 0, 0], [1, 0, 0], [10, 0, 0], [2, 0, 0]], float)
+    ligand = np.array([[0.5, 0, 0]], float)
+    idx = select_env_by_dist(pocket, ligand, dist=2.0)
+    np.testing.assert_array_equal(idx, [0, 1, 3])
+    idx = select_env_by_num(pocket, ligand, maxnum=3)  # 3 - 1 lig = 2 closest
+    np.testing.assert_array_equal(idx, [0, 1])
+
+
+def test_transform_lba_merge():
+    pocket_el = ["C", "H", "Zn", "N"]
+    pocket_xyz = np.array([[0, 0, 0], [0.5, 0, 0], [1, 0, 0], [30, 0, 0]], float)
+    lig_el = ["C", "O"]
+    lig_xyz = np.array([[0.2, 0, 0], [0.8, 0, 0]], float)
+    rec = transform_lba(pocket_el, pocket_xyz, lig_el, lig_xyz, dist=6.0, maxnum=500)
+    # H dropped, Zn→Cu→unknown(8), far N dropped by dist; merged order pocket+ligand
+    assert rec.num_atoms == 4
+    assert rec.atom_type.tolist() == [1, 8, 1, 3]  # C, Cu->unknown, C, O
