@@ -42,14 +42,6 @@ def pack_batch(
     b = batch_size or len(records)
     m = len(records)
     assert m <= b
-    try:
-        from geossl_tpu.native import packing as native_packing
-
-        if native_packing.available() and not with_forces:
-            return native_packing.pack_batch(records, n_max, b)
-    except ImportError:
-        pass
-
     atom_type = np.zeros((b, n_max), np.int32)
     positions = np.zeros((b, n_max, 3), np.float32)
     node_mask = np.zeros((b, n_max), bool)
@@ -110,6 +102,17 @@ class BucketedLoader:
         sizes = store.num_atoms()
         self._bucket_of = np.array([pick_bucket(int(n), self.bucket_sizes) for n in sizes])
         self._epoch = 0
+        # native fast path: pack straight from the store's flat arrays when no
+        # per-sample transform intervenes
+        self._native = None
+        if transform is None and not with_forces:
+            try:
+                from geossl_tpu.native import packing as native_packing
+
+                if native_packing.available():
+                    self._native = native_packing
+            except ImportError:
+                pass
 
     def __len__(self) -> int:
         total = 0
@@ -131,6 +134,15 @@ class BucketedLoader:
             for s in range(0, len(idx), self.batch_size):
                 chunk = idx[s : s + self.batch_size]
                 if len(chunk) < self.batch_size and self.drop_last:
+                    continue
+                if self._native is not None:
+                    at, pos, nm, gm, y = self._native.pack_batch_from_store(
+                        self.store, chunk, int(bucket), self.batch_size
+                    )
+                    yield DenseMolBatch(
+                        atom_type=at, positions=pos, node_mask=nm,
+                        y=y, graph_mask=gm,
+                    )
                     continue
                 records = [self.store.get(int(i)) for i in chunk]
                 if self.transform is not None:
