@@ -37,7 +37,8 @@ def main():
     from geossl_tpu.train import common, optim
 
     batch, n_max, emb = 128, 32, 128
-    model = SchNet()  # published defaults
+    # published defaults; fused Pallas CFConv on real TPU backends
+    model = SchNet(use_pallas=jax.default_backend() == "tpu")
     head = NCSNv3(emb_dim=emb)
 
     rng = np.random.default_rng(0)

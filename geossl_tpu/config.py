@@ -52,6 +52,9 @@ class ModelConfig:
     painn: PaiNNConfig = field(default_factory=PaiNNConfig)
     # Numerics: parameters are always f32; activations may run in bf16.
     compute_dtype: str = "float32"  # {"float32", "bfloat16"}
+    # Fused Pallas CFConv kernel (first-order AD only; +15-70% step speed on
+    # TPU depending on N). MD17's double-backward force path must keep False.
+    use_pallas: bool = False
 
     @property
     def backbone(self):

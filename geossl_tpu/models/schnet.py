@@ -6,8 +6,11 @@ This version operates on padded batches (``atom_type [B,N]``,
 boolean adjacency mask over the dense pairwise-distance matrix, and the
 CFConv message aggregation becomes a masked contraction
 ``m[b,i,f] = Σ_j adj[b,i,j] · W[b,i,j,f] · x[b,j,f]`` — static shapes, fully
-fusible by XLA, with the filter MLP (the FLOPs-heavy part) running as large
-``[B·N·N, G] @ [G, F]`` matmuls on the MXU.
+fusible, with the filter MLP (the FLOPs-heavy part) running as large
+``[B·N·N, G] @ [G, F]`` matmuls on the MXU. With ``use_pallas=True`` the
+whole RBF → filter-MLP → envelope → message-sum chain runs as one fused
+Pallas kernel that never materializes ``[B,N,N,F]`` in HBM
+(``ops/cfconv_pallas.py``; first-order AD only — MD17 keeps the XLA path).
 
 Behavioral parity notes:
 * The graph is recomputed from the *live* positions every forward, matching
@@ -16,6 +19,10 @@ Behavioral parity notes:
 * The reference inherits ``torch_cluster``'s ``max_num_neighbors=32``
   truncation; we keep full neighborhoods (see ``ops/geometry.py``).
 * ``readout='mean'`` divides by the true atom count.
+* Init: Xavier-uniform weights, zero biases. The reference leaves the second
+  filter-layer bias at torch's default uniform init by accident
+  (``schnet.py:157-158`` zeroes ``mlp[0]`` twice) — we use zeros, the
+  evident intent.
 * The reference's dipole branch is not implemented: it is dead code for every
   runnable workload (it indexes an atomic-mass table by *index-coded* atom
   types, which would be incorrect with ``node_class=9``).
@@ -31,37 +38,50 @@ from flax import linen as nn
 from geossl_tpu.models.common import (
     Dense,
     cosine_envelope,
-    gaussian_smearing,
     normal_embed,
     shifted_softplus,
+    xavier_uniform,
+    zeros_init,
 )
 from geossl_tpu.ops import geometry
-from geossl_tpu.ops.cfconv import cfconv_aggregate
+from geossl_tpu.ops.cfconv_pallas import cfconv_fused, cfconv_fused_reference
 
 
 class InteractionBlock(nn.Module):
     """Residual interaction block (``schnet.py:138-167``):
-    CFConv -> shifted-softplus -> Linear."""
+    CFConv -> shifted-softplus -> Linear. The filter network
+    (Linear(G->F) -> ssp -> Linear(F->F), ``schnet.py:141-145``) lives here as
+    explicit parameters so the fused kernel can consume them directly."""
 
     hidden_channels: int
     num_filters: int
+    num_gaussians: int
     cutoff: float
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, h, edge_rbf, dist, adj):
-        # Filter network: Linear(G->F) -> ssp -> Linear(F->F), then the
-        # cosine envelope and adjacency gate (``schnet.py:186-187``).
-        w = Dense(self.num_filters, activation=shifted_softplus, dtype=self.dtype)(
-            edge_rbf
+    def __call__(self, h, dist, adj):
+        w1 = self.param(
+            "filter_w1", xavier_uniform, (self.num_gaussians, self.num_filters)
         )
-        w = Dense(self.num_filters, dtype=self.dtype)(w)
+        b1 = self.param("filter_b1", zeros_init, (self.num_filters,))
+        w2 = self.param(
+            "filter_w2", xavier_uniform, (self.num_filters, self.num_filters)
+        )
+        b2 = self.param("filter_b2", zeros_init, (self.num_filters,))
+
         env = cosine_envelope(dist, self.cutoff) * adj.astype(dist.dtype)
         # CFConv (``schnet.py:170-195``): lin1 (no bias), message = x_j * W,
         # segment-sum over incoming edges, lin2.
         x = Dense(self.num_filters, use_bias=False, dtype=self.dtype)(h)
-        m = cfconv_aggregate(w, env.astype(w.dtype), x, use_pallas=self.use_pallas)
+        op = cfconv_fused if self.use_pallas else cfconv_fused_reference
+        m = op(
+            dist, env, x.astype(jnp.float32), w1, b1, w2, b2,
+            0.0, self.cutoff, self.num_gaussians,
+        )
+        if self.dtype is not None:
+            m = m.astype(self.dtype)
         x = Dense(self.hidden_channels, dtype=self.dtype)(m)
         x = shifted_softplus(x)
         x = Dense(self.hidden_channels, dtype=self.dtype)(x)
@@ -104,18 +124,16 @@ class SchNet(nn.Module):
             positions.astype(jnp.float32), node_mask
         )
         adj = geometry.radius_adjacency(dist, pair_mask, self.cutoff)
-        edge_rbf = gaussian_smearing(dist, 0.0, self.cutoff, self.num_gaussians)
-        if self.dtype is not None:
-            edge_rbf = edge_rbf.astype(self.dtype)
 
         for _ in range(self.num_interactions):
             h = h + InteractionBlock(
                 self.hidden_channels,
                 self.num_filters,
+                self.num_gaussians,
                 self.cutoff,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
-            )(h, edge_rbf, dist, adj)
+            )(h, dist, adj)
 
         h = Dense(self.hidden_channels, dtype=self.dtype)(h)
         h = shifted_softplus(h)

@@ -1,0 +1,237 @@
+"""Fused Pallas CFConv kernel — SchNet's hot op without HBM blowup.
+
+The XLA path materializes the per-edge filter tensor ``[B, N, N, F]`` in HBM
+three times per interaction block (filter-MLP layer 1 out, layer 2 out, and
+the einsum read). This kernel fuses the whole chain
+
+    m[b,i,f] = Σ_j env[b,i,j] · W2ᵀ(ssp(rbf(d[b,i,j])·W1 + b1)) [f] · x[b,j,f]
+
+reading only ``dist/env [B,N,N]`` and ``x [B,N,F]`` from HBM and writing
+``m [B,N,F]`` — per j-tile, the RBF expansion, both filter matmuls (MXU), the
+envelope gate and the message reduction all stay in VMEM.
+
+Gradients: a custom VJP with
+* ``dx`` — the SAME forward kernel applied to the upstream gradient
+  (dist/env and the filter weights are symmetric in (i, j)),
+* ``dW1/db1/dW2/db2/ddist/denv`` — one backward kernel that recomputes the
+  tile forward and accumulates weight grads across the sequential TPU grid.
+
+Second-order AD is NOT defined for the fused op — MD17's force training uses
+the XLA path (``use_pallas=False``); everything first-order (QM9, GeoSSL
+pretraining, LBA/LEP) can run fused.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG2 = math.log(2.0)
+
+
+def _interpret() -> bool:
+    # Compiled Mosaic kernels need a real TPU; everywhere else (CPU tests,
+    # the 8-virtual-device mesh) runs the interpreter.
+    return jax.default_backend() != "tpu"
+
+
+def _ssp(x):
+    return jax.nn.softplus(x) - LOG2
+
+
+def _tiles(n: int):
+    tj = min(n, 128)
+    ti = min(n, max(8, 4096 // tj))
+    while n % ti:
+        ti //= 2
+    while n % tj:
+        tj //= 2
+    return ti, tj
+
+
+def _offsets(start, delta, num_g):
+    # computed in-kernel (pallas kernels may not capture array constants)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, num_g), 1).astype(jnp.float32)
+    return start + delta * ids
+
+
+def _rbf_3d(d2, offsets, coeff, ti, tj, num_g):
+    # d2 [ti, tj] -> rbf [ti*tj, num_g]. Mosaic supports broadcast into a new
+    # minor dim and collapsing MAJOR dims, but not lane->sublane reshapes —
+    # so expand to [ti, tj, G] then collapse the leading pair dims.
+    diff = d2[:, :, None] - offsets.reshape(1, 1, num_g)
+    rbf3 = jnp.exp(coeff * diff * diff)
+    return rbf3.reshape(ti * tj, num_g)
+
+
+def _fwd_kernel(dist_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, *, start, delta, num_g, coeff, ti, tj):
+    offsets = _offsets(start, delta, num_g)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    rbf = _rbf_3d(dist_ref[0], offsets, coeff, ti, tj, num_g)
+    h = jnp.dot(rbf, w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[0]
+    h = _ssp(h)
+    w = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32) + b2_ref[0]
+    w = w.reshape(ti, tj, -1) * env_ref[0][:, :, None]
+    xj = x_ref[0]  # [tj, F]
+    out_ref[0] += jnp.sum(w * xj[None, :, :], axis=1)
+
+
+def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
+    b, n, _ = dist.shape
+    f = x.shape[-1]
+    ti, tj = _tiles(n)
+    delta = (stop - start) / (num_g - 1)
+    coeff = -0.5 / delta**2
+    grid = (b, n // ti, n // tj)
+    kernel = partial(_fwd_kernel, start=start, delta=delta, num_g=num_g,
+                     coeff=coeff, ti=ti, tj=tj)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, tj, f), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec(w1.shape, lambda b, i, j: (0, 0)),
+            pl.BlockSpec((1,) + b1.shape, lambda b, i, j: (0, 0)),
+            pl.BlockSpec(w2.shape, lambda b, i, j: (0, 0)),
+            pl.BlockSpec((1,) + b2.shape, lambda b, i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ti, f), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+        interpret=_interpret(),
+    )(dist, env, x, w1, b1[None], w2, b2[None])
+
+
+def _bwd_kernel(dist_ref, env_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, ddist_ref, denv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                *, start, delta, num_g, coeff, ti, tj):
+    offsets = _offsets(start, delta, num_g)
+    bi, ii, jj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when((bi == 0) & (ii == 0) & (jj == 0))
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    d2 = dist_ref[0]  # [ti, tj]
+    env3 = env_ref[0][:, :, None]  # [ti, tj, 1]
+    rbf = _rbf_3d(d2, offsets, coeff, ti, tj, num_g)
+    pre1 = jnp.dot(rbf, w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[0]
+    s = _ssp(pre1)
+    w_raw = jnp.dot(s, w2_ref[...], preferred_element_type=jnp.float32) + b2_ref[0]
+
+    # q[b,i,j,f] = g[b,i,f] * x[b,j,f]
+    f = x_ref.shape[-1]
+    q3 = g_ref[0][:, None, :] * x_ref[0][None, :, :]  # [ti, tj, F]
+    denv_ref[0] = jnp.sum(w_raw.reshape(ti, tj, f) * q3, axis=2)
+    qe = (q3 * env3).reshape(ti * tj, f)
+
+    dw2_ref[...] += jnp.dot(s.T, qe, preferred_element_type=jnp.float32)
+    db2_ref[0] += jnp.sum(qe, axis=0)
+    dh = jnp.dot(qe, w2_ref[...].T, preferred_element_type=jnp.float32)
+    dh = dh * jax.nn.sigmoid(pre1)  # ssp' = sigmoid
+    dw1_ref[...] += jnp.dot(rbf.T, dh, preferred_element_type=jnp.float32)
+    db1_ref[0] += jnp.sum(dh, axis=0)
+    # ddist via the RBF chain rule: drbf/dd = rbf * 2*coeff*(d - off)
+    drbf = jnp.dot(dh, w1_ref[...].T, preferred_element_type=jnp.float32)
+    diff3 = d2[:, :, None] - offsets.reshape(1, 1, num_g)
+    chain3 = drbf.reshape(ti, tj, num_g) * jnp.exp(coeff * diff3 * diff3)
+    ddist_ref[0] = jnp.sum(chain3 * (2.0 * coeff) * diff3, axis=2)
+
+
+def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g):
+    b, n, _ = dist.shape
+    f = x.shape[-1]
+    f1 = w1.shape[1]
+    ti, tj = _tiles(n)
+    delta = (stop - start) / (num_g - 1)
+    coeff = -0.5 / delta**2
+    grid = (b, n // ti, n // tj)
+    kernel = partial(_bwd_kernel, start=start, delta=delta, num_g=num_g,
+                     coeff=coeff, ti=ti, tj=tj)
+    acc = lambda shape: pl.BlockSpec(shape, lambda b, i, j: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, tj, f), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, ti, f), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec(w1.shape, lambda b, i, j: (0, 0)),
+            pl.BlockSpec((1,) + b1.shape, lambda b, i, j: (0, 0)),
+            pl.BlockSpec(w2.shape, lambda b, i, j: (0, 0)),
+            pl.BlockSpec((1,) + b2.shape, lambda b, i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
+            acc((num_g, f1)),
+            acc((1, f1)),
+            acc((f1, f)),
+            acc((1, f)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddist
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # denv
+            jax.ShapeDtypeStruct((num_g, f1), jnp.float32),
+            jax.ShapeDtypeStruct((1, f1), jnp.float32),
+            jax.ShapeDtypeStruct((f1, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(dist, env, x, g, w1, b1[None], w2, b2[None])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
+    """Fused CFConv: see module docstring. All inputs f32; returns [B,N,F]."""
+    return _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g)
+
+
+def _vjp_fwd(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
+    out = _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g)
+    return out, (dist, env, x, w1, b1, w2, b2)
+
+
+def _vjp_bwd(start, stop, num_g, res, g):
+    dist, env, x, w1, b1, w2, b2 = res
+    g = g.astype(jnp.float32)
+    # dx: the forward kernel applied to g (dist/env/w symmetric in (i, j))
+    dx = _fwd_pallas(dist, env, g, w1, b1, w2, b2, start, stop, num_g)
+    ddist, denv, dw1, db1, dw2, db2 = _bwd_pallas(
+        dist, env, x, g, w1, b1, w2, b2, start, stop, num_g
+    )
+    return ddist, denv, dx, dw1, db1[0], dw2, db2[0]
+
+
+cfconv_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def cfconv_fused_reference(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
+    """Pure-XLA reference of the fused op (same math, arbitrary-order AD)."""
+    from geossl_tpu.models.common import gaussian_smearing
+
+    rbf = gaussian_smearing(dist, start, stop, num_g)
+    w = _ssp(rbf @ w1 + b1) @ w2 + b2
+    return jnp.einsum(
+        "bijf,bij,bjf->bif", w, env, x, preferred_element_type=jnp.float32
+    )
+
+
+def cfconv_pallas(w, env, x):  # pragma: no cover - legacy entry, unused
+    raise NotImplementedError("use cfconv_fused (takes dist, not w)")

@@ -37,6 +37,7 @@ def make_backbone(cfg: ModelConfig):
             node_class=s.node_class,
             readout=s.readout,
             dtype=dtype,
+            use_pallas=cfg.use_pallas,
         )
 
         def apply(params, atom_type, positions, node_mask, pair_mask=None):
@@ -143,10 +144,24 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--bucket", type=int, default=32, help="max atoms per molecule")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", default="auto", choices=["auto", "on", "off"],
+                   help="fused CFConv kernel (auto: on for TPU backends; "
+                        "always off for MD17's second-order force path)")
     return p
 
 
-def model_config_from_args(args) -> ModelConfig:
+def _resolve_use_pallas(args, allow: bool = True) -> bool:
+    mode = getattr(args, "use_pallas", "off")
+    if not allow or mode == "off":
+        return False
+    if mode == "on":
+        return True
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
+def model_config_from_args(args, allow_pallas: bool = True) -> ModelConfig:
     from geossl_tpu.config import PaiNNConfig, SchNetConfig
 
     return ModelConfig(
@@ -155,4 +170,5 @@ def model_config_from_args(args) -> ModelConfig:
         schnet=SchNetConfig(),
         painn=PaiNNConfig(),
         compute_dtype=args.compute_dtype,
+        use_pallas=_resolve_use_pallas(args, allow_pallas),
     )

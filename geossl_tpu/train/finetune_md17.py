@@ -120,7 +120,9 @@ def main(argv=None):
     )
 
     mesh = pmesh.make_mesh(args.num_devices)
-    cfg = common.model_config_from_args(args)
+    # forces take grad-of-grad through the backbone; the fused kernel only
+    # defines first-order AD, so MD17 always uses the XLA path
+    cfg = common.model_config_from_args(args, allow_pallas=False)
     module, backbone_apply = common.make_backbone(cfg)
     head = LinearHead()
     rng = jax.random.PRNGKey(args.seed)

@@ -64,26 +64,26 @@ def schnet_forward(params, z, pos, cutoff, num_interactions, readout="mean"):
     # PyG convention: radius_graph returns edge_index with messages flowing
     # col -> row; edge_weight = |pos_row - pos_col| (schnet.py:92-93).
     d = np.linalg.norm(pos[row] - pos[col], axis=-1)
-    num_g = params["InteractionBlock_0"]["Dense_0"]["Dense_0"]["kernel"].shape[0]
+    num_g = params["InteractionBlock_0"]["filter_w1"].shape[0]
     rbf = gaussian_smearing(d, 0.0, cutoff, num_g)
 
     n = z.shape[0]
     for k in range(num_interactions):
         blk = params[f"InteractionBlock_{k}"]
         # filter MLP on edge attrs
-        w = dense(blk["Dense_0"]["Dense_0"], rbf)
+        w = rbf @ np.asarray(blk["filter_w1"]) + np.asarray(blk["filter_b1"])
         w = ssp(w)
-        w = dense(blk["Dense_1"]["Dense_0"], w)
+        w = w @ np.asarray(blk["filter_w2"]) + np.asarray(blk["filter_b2"])
         env = 0.5 * (np.cos(d * np.pi / cutoff) + 1.0)
         w = w * env[:, None]
         # CFConv: lin1 (no bias), message x_j * W, sum into row (dst), lin2
-        x = dense(blk["Dense_2"]["Dense_0"], h, bias=False)
+        x = dense(blk["Dense_0"]["Dense_0"], h, bias=False)
         msg = x[col] * w
         agg = np.zeros((n, w.shape[1]))
         np.add.at(agg, row, msg)
-        x = dense(blk["Dense_3"]["Dense_0"], agg)
+        x = dense(blk["Dense_1"]["Dense_0"], agg)
         x = ssp(x)
-        x = dense(blk["Dense_4"]["Dense_0"], x)
+        x = dense(blk["Dense_2"]["Dense_0"], x)
         h = h + x
 
     h = dense(params["Dense_0"]["Dense_0"], h)

@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geossl_tpu.ops.cfconv_pallas import cfconv_fused, cfconv_fused_reference
+
+B, N, G, F1, F = 2, 32, 51, 64, 128
+START, STOP = 0.0, 10.0
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(0)
+    pos = np.cumsum(rng.normal(scale=0.9, size=(B, N, 3)), axis=1).astype(np.float32)
+    diff = pos[:, :, None] - pos[:, None, :]
+    dist = np.linalg.norm(diff, axis=-1).astype(np.float32)
+    adj = (dist < STOP) & ~np.eye(N, dtype=bool)
+    env = (0.5 * (np.cos(dist * np.pi / STOP) + 1.0) * adj).astype(np.float32)
+    x = rng.normal(size=(B, N, F)).astype(np.float32) * 0.5
+    w1 = (rng.normal(size=(G, F1)) * 0.2).astype(np.float32)
+    b1 = (rng.normal(size=(F1,)) * 0.1).astype(np.float32)
+    w2 = (rng.normal(size=(F1, F)) * 0.2).astype(np.float32)
+    b2 = (rng.normal(size=(F,)) * 0.1).astype(np.float32)
+    return tuple(map(jnp.asarray, (dist, env, x, w1, b1, w2, b2)))
+
+
+def test_forward_matches_reference(inputs):
+    out = cfconv_fused(*inputs, START, STOP, G)
+    ref = cfconv_fused_reference(*inputs, START, STOP, G)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_gradients_match_reference(inputs):
+    def loss_fused(args):
+        out = cfconv_fused(*args, START, STOP, G)
+        return jnp.sum(out * jnp.cos(out))  # nontrivial cotangent
+
+    def loss_ref(args):
+        out = cfconv_fused_reference(*args, START, STOP, G)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_fused = jax.grad(loss_fused)(inputs)
+    g_ref = jax.grad(loss_ref)(inputs)
+    names = ["dist", "env", "x", "w1", "b1", "w2", "b2"]
+    for name, a, b in zip(names, g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_larger_n_tiling():
+    n = 256
+    rng = np.random.default_rng(1)
+    dist = np.abs(rng.normal(size=(1, n, n))).astype(np.float32) * 5
+    dist = (dist + dist.transpose(0, 2, 1)) / 2
+    env = (0.5 * (np.cos(dist * np.pi / STOP) + 1.0)).astype(np.float32)
+    x = rng.normal(size=(1, n, F)).astype(np.float32) * 0.5
+    w1 = (rng.normal(size=(G, F1)) * 0.2).astype(np.float32)
+    b1 = np.zeros(F1, np.float32)
+    w2 = (rng.normal(size=(F1, F)) * 0.2).astype(np.float32)
+    b2 = np.zeros(F, np.float32)
+    args = tuple(map(jnp.asarray, (dist, env, x, w1, b1, w2, b2)))
+    out = cfconv_fused(*args, START, STOP, G)
+    ref = cfconv_fused_reference(*args, START, STOP, G)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_schnet_pallas_path_matches_xla():
+    from geossl_tpu.models.schnet import SchNet
+
+    rng = np.random.default_rng(2)
+    z = jnp.asarray(rng.integers(0, 9, size=(2, 16)), jnp.int32)
+    pos = jnp.asarray(
+        np.cumsum(rng.normal(scale=0.9, size=(2, 16, 3)), axis=1).astype(np.float32)
+    )
+    mask = jnp.asarray(np.arange(16)[None, :] < np.array([[16], [11]]))
+    kwargs = dict(hidden_channels=32, num_filters=32, num_interactions=2,
+                  num_gaussians=17, cutoff=6.0)
+    m_xla = SchNet(**kwargs, use_pallas=False)
+    m_pal = SchNet(**kwargs, use_pallas=True)
+    params = m_xla.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+
+    out_x, node_x = m_xla.apply({"params": params}, z, pos, mask)
+    out_p, node_p = m_pal.apply({"params": params}, z, pos, mask)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p), rtol=1e-4, atol=1e-5)
+
+    def loss(m):
+        def f(p):
+            out, _ = m.apply({"params": p}, z, pos, mask)
+            return jnp.sum(out**2)
+        return f
+
+    gx = jax.grad(loss(m_xla))(params)
+    gp = jax.grad(loss(m_pal))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)

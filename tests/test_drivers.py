@@ -1,0 +1,86 @@
+"""End-to-end driver smoke tests on synthetic data (tiny budgets).
+
+These exercise the full stack: loader -> backbone -> objective -> optimizer
+-> checkpointing, on the CPU test mesh.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_finetune_qm9_runs_and_learns(tmp_path):
+    from geossl_tpu.train import finetune_qm9
+
+    best_val, _ = finetune_qm9.main(
+        [
+            "--synthetic", "--synthetic_size", "120", "--epochs", "3",
+            "--batch_size", "16", "--num_devices", "1", "--task", "mu",
+            "--lr", "5e-4",
+            "--output_model_dir", str(tmp_path),
+        ]
+    )
+    assert np.isfinite(best_val)
+    assert os.path.exists(tmp_path / "model.ckpt")
+    assert os.path.exists(tmp_path / "model_final.ckpt")
+    assert os.path.exists(tmp_path / "evaluation_best.npz")
+
+
+def test_pretrain_ddm_then_transfer(tmp_path):
+    from geossl_tpu.train import finetune_qm9, pretrain_geossl
+
+    pretrain_geossl.main(
+        [
+            "--synthetic", "--synthetic_size", "48", "--epochs", "1",
+            "--batch_size", "16", "--num_devices", "2",
+            "--GeoSSL_option", "DDM", "--output_model_dir", str(tmp_path),
+        ]
+    )
+    ckpt = str(tmp_path / "model_final.ckpt")
+    assert os.path.exists(ckpt)
+    best_val, _ = finetune_qm9.main(
+        [
+            "--synthetic", "--synthetic_size", "60", "--epochs", "1",
+            "--batch_size", "12", "--num_devices", "1",
+            "--input_model_file", ckpt,
+        ]
+    )
+    assert np.isfinite(best_val)
+
+
+def test_finetune_md17_force_path():
+    from geossl_tpu.train import finetune_md17
+
+    best_val_force, _ = finetune_md17.main(
+        [
+            "--synthetic", "--synthetic_size", "40", "--epochs", "1",
+            "--num_devices", "1", "--eval_batch_size", "16",
+        ]
+    )
+    assert np.isfinite(best_val_force)
+
+
+@pytest.mark.parametrize("objective", ["charge", "distance", "infograph"])
+def test_pretrain_baselines(objective):
+    from geossl_tpu.train import pretrain_baselines
+
+    pretrain_baselines.main(
+        [
+            objective, "--synthetic", "--synthetic_size", "32", "--epochs", "1",
+            "--batch_size", "16", "--num_devices", "1",
+        ]
+    )
+
+
+def test_painn_driver_path():
+    from geossl_tpu.train import finetune_qm9
+
+    best_val, _ = finetune_qm9.main(
+        [
+            "--synthetic", "--synthetic_size", "48", "--epochs", "1",
+            "--batch_size", "16", "--num_devices", "1",
+            "--model_3d", "painn", "--emb_dim", "32",
+        ]
+    )
+    assert np.isfinite(best_val)

@@ -1,0 +1,55 @@
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from geossl_tpu.train import checkpoints
+from geossl_tpu.train.optim import cosine_annealing_schedule, step_lr_schedule
+
+
+def test_cosine_annealing_matches_torch_semantics():
+    """torch CosineAnnealingLR: lr_e = min + (base-min)(1+cos(pi e/T))/2,
+    stepped per epoch (constant within an epoch)."""
+    base, epochs, spe = 5e-4, 100, 7
+    sched = cosine_annealing_schedule(base, epochs, spe)
+    for epoch in (0, 1, 50, 99):
+        expect = base * 0.5 * (1 + math.cos(math.pi * epoch / epochs))
+        for step_in_epoch in (0, spe - 1):
+            got = float(sched(epoch * spe + step_in_epoch))
+            np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-12)
+    np.testing.assert_allclose(float(sched(0)), base, rtol=1e-6)
+
+
+def test_step_lr():
+    sched = step_lr_schedule(1e-3, steps_per_epoch=2, decay_factor=0.5,
+                             decay_step_size=10)
+    assert float(sched(0)) == 1e-3
+    np.testing.assert_allclose(float(sched(2 * 10)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(2 * 20)), 2.5e-4, rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "model": {"layer": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}},
+        "graph_pred_linear": {"bias": np.zeros(4, np.float32)},
+    }
+    path = str(tmp_path / "ckpt.msgpack")
+    checkpoints.save_checkpoint(path, tree)
+    loaded = checkpoints.load_checkpoint(path)
+    np.testing.assert_array_equal(
+        loaded["model"]["layer"]["kernel"], tree["model"]["layer"]["kernel"]
+    )
+    np.testing.assert_array_equal(
+        loaded["graph_pred_linear"]["bias"], tree["graph_pred_linear"]["bias"]
+    )
+
+
+def test_best_model_saver(tmp_path):
+    saver = checkpoints.BestModelSaver(str(tmp_path))
+    tree = {"model": {"w": np.ones(2, np.float32)}}
+    assert saver.maybe_save_best(1.0, tree)
+    assert not saver.maybe_save_best(2.0, tree)  # worse: no save
+    assert saver.maybe_save_best(0.5, tree)
+    saver.save_final(tree)
+    assert (tmp_path / "model.ckpt").exists()
+    assert (tmp_path / "model_final.ckpt").exists()
