@@ -85,11 +85,22 @@ class NCSNv3(_NCSNBase):
 
         # input_distance_mlp: MLP(1 -> emb -> 1), relu (``NCSN.py:175``)
         demb = MLP([self.emb_dim, 1])(perturbed[..., None])  # [B,N,N,1]
-        # h_i + h_j on the pair grid (``NCSN.py:201-203``)
-        hsum = node_feat[:, :, None, :] + node_feat[:, None, :, :]
-        feat = jnp.concatenate([hsum, demb], axis=-1)  # [B,N,N,F+1]
-        # output_mlp: MLP(F+1 -> emb -> emb/2 -> 1) (``NCSN.py:176``)
-        scores = MLP([self.emb_dim, self.emb_dim // 2, 1])(feat)[..., 0]
+        # output_mlp: MLP(F+1 -> emb -> emb/2 -> 1) (``NCSN.py:176``) on
+        # concat([h_i + h_j, demb]). The first layer distributes over the
+        # concat/sum: (h_i+h_j)·W_h + demb·w_d + b, with W_h applied PER NODE
+        # — this avoids materializing [B,N,N,F] and turns the dominant
+        # [B·N², F]·[F, emb] matmul into an [B·N, F]·[F, emb] one. Math is
+        # identical to the reference's fused first layer.
+        u = nn.Dense(
+            self.emb_dim, use_bias=False,
+            kernel_init=nn.initializers.glorot_uniform(), name="out0_h",
+        )(node_feat)  # [B,N,emb]
+        d_term = nn.Dense(
+            self.emb_dim, kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=nn.initializers.zeros, name="out0_d",
+        )(demb)  # [B,N,N,emb]
+        x = jax.nn.relu(u[:, :, None, :] + u[:, None, :, :] + d_term)
+        scores = MLP([self.emb_dim // 2, 1])(x)[..., 0]
         scores = scores / used  # f_θ,σ = f_θ / σ (``NCSN.py:205``)
         return self._loss(scores, target, sel_mask, used, graph_mask)
 
@@ -125,8 +136,16 @@ class NCSNv2(_NCSNBase):
         target = -(perturbed - dist) / used**2
         rbf = gaussian_smearing(perturbed, 0.0, 10.0, 51)  # NCSN.py:117-119
         demb = MLP([self.emb_dim, self.emb_dim])(rbf)
-        hsum = node_feat[:, :, None, :] + node_feat[:, None, :, :]
-        feat = jnp.concatenate([hsum, demb], axis=-1)
-        scores = MLP([self.emb_dim, self.emb_dim // 2, 1])(feat)[..., 0]
+        # first output layer factored over the concat (see NCSNv3)
+        u = nn.Dense(
+            self.emb_dim, use_bias=False,
+            kernel_init=nn.initializers.glorot_uniform(), name="out0_h",
+        )(node_feat)
+        d_term = nn.Dense(
+            self.emb_dim, kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=nn.initializers.zeros, name="out0_d",
+        )(demb)
+        x = jax.nn.relu(u[:, :, None, :] + u[:, None, :, :] + d_term)
+        scores = MLP([self.emb_dim // 2, 1])(x)[..., 0]
         scores = scores / used
         return self._loss(scores, target, sel_mask, used, graph_mask)

@@ -160,3 +160,58 @@ def test_autoencoder_losses():
         variables = ae.init(jax.random.PRNGKey(0), x, x)
         out, _ = ae.apply(variables, x, x, mutable=["batch_stats"])
         assert np.isfinite(float(out))
+
+
+def test_ncsn_factored_first_layer_equals_concat():
+    """The per-node factorization of the output MLP's first layer must equal
+    the reference's Linear on concat([h_i+h_j, demb])."""
+    import jax
+    from geossl_tpu.objectives.ncsn import NCSNv3
+
+    rng = np.random.default_rng(0)
+    f = 8
+    h = jnp.asarray(rng.normal(size=(1, 5, f)).astype(np.float32))
+    pos = rng.normal(size=(1, 5, 3)).astype(np.float32)
+    dist, _ = geometry.pairwise_distances(jnp.asarray(pos), jnp.ones((1, 5), bool))
+    sel = obj.pair_selection(jnp.ones((1, 5), bool), "combination")
+    model = NCSNv3(emb_dim=f, num_noise_level=4)
+    params = model.init(jax.random.PRNGKey(0), jax.random.PRNGKey(1), h, dist, sel)[
+        "params"
+    ]
+    # manual concat formulation with the SAME params
+    key = jax.random.PRNGKey(3)
+    k_sigma, k_noise = jax.random.split(key)
+    import numpy as _np
+    from geossl_tpu.objectives.ncsn import sigma_ladder
+
+    sigmas = sigma_ladder(10.0, 0.01, 4)
+    level = np.asarray(jax.random.randint(k_sigma, (1,), 0, 4))
+    used = sigmas[level][:, None, None]
+    noise = np.asarray(jax.random.normal(k_noise, dist.shape))
+    perturbed = np.asarray(dist) + noise * used
+
+    def np_dense(p, x, bias=True):
+        y = x @ np.asarray(p["kernel"])
+        if bias and "bias" in p:
+            y += np.asarray(p["bias"])
+        return y
+
+    demb = np_dense(params["MLP_0"]["Dense_0"], perturbed[..., None])
+    demb = np.maximum(demb, 0)
+    demb = np_dense(params["MLP_0"]["Dense_1"], demb)
+    w_h = np.asarray(params["out0_h"]["kernel"])
+    w_d = np.asarray(params["out0_d"]["kernel"])
+    b0 = np.asarray(params["out0_d"]["bias"])
+    hsum = np.asarray(h)[:, :, None, :] + np.asarray(h)[:, None, :, :]
+    cat_kernel = np.concatenate([w_h, w_d], axis=0)
+    feat = np.concatenate([hsum, demb], axis=-1)
+    x = np.maximum(feat @ cat_kernel + b0, 0)
+    x = np.maximum(np_dense(params["MLP_1"]["Dense_0"], x), 0)
+    scores = np_dense(params["MLP_1"]["Dense_1"], x)[..., 0] / used
+    target = -(perturbed - np.asarray(dist)) / used**2
+    per = 0.5 * (scores - target) ** 2 * used**2.0
+    per = per * np.asarray(sel)
+    expect = per.sum(axis=(1, 2)).mean()
+
+    got = model.apply({"params": params}, key, h, dist, sel)
+    np.testing.assert_allclose(float(got), expect, rtol=1e-4)
