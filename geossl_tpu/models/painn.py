@@ -5,6 +5,14 @@ torch index_add). Dense layout: scalar features ``q [B,N,F]`` and vector
 features ``mu [B,N,3,F]``; all edge quantities live on the ``[B,N,N]`` pair
 grid and message aggregation is an einsum over the j axis.
 
+Memory: the reference materializes ALL layers' filters at once
+(``filter_net`` output ``[E, L·3F]``, ``painn.py:241-245``) — the dense
+equivalent ``[B,N,N,L·3F]`` is ~10 GB for LBA-sized graphs. Here each
+interaction block computes its own filter slice ``phi @ W_k`` inside a
+rematerialized (``jax.checkpoint``) block, so only ``[B,N,N,R]`` (R=20) and
+transient per-layer ``[B,N,N,3F]`` tensors exist; backward recomputes them.
+Identical math — the filter_net kernel is just sliced per layer.
+
 Behavioral parity notes:
 * The reference takes a **precomputed** ``radius_edge_index`` built from the
   *clean* geometry and keeps using it for perturbed views
@@ -12,15 +20,13 @@ Behavioral parity notes:
   directions come from the live positions. Dense equivalent: the caller may
   pass ``pair_mask`` (clean-geometry adjacency); live positions always feed
   ``d_ij`` / ``dir_ij``. When ``pair_mask`` is None it is computed from the
-  live positions (the fine-tune drivers' precomputed-radius behavior on
-  unperturbed data is identical either way).
+  live positions.
 * ``nn.Embedding(max_z, F, padding_idx=0)`` (``painn.py:174``) zero-inits row
   0 **and freezes its gradient** — with GeoSSL's index-coded atom types this
   pins the hydrogen embedding at zero. Reproduced faithfully
   (``zero_pad_embedding``), toggleable.
 * The cosine cutoff's hard ``d < cutoff`` gate (``painn_utils.py:154``) is
   combined with the pair mask so padded pairs (d = 0) cannot leak.
-* ``dir_ij = (pos_i - pos_j)/d_ij`` with safe masked division.
 """
 
 from __future__ import annotations
@@ -36,26 +42,29 @@ from geossl_tpu.models.common import (
     cosine_cutoff,
     gaussian_rbf,
     normal_embed,
+    xavier_uniform,
+    zeros_init,
 )
 from geossl_tpu.ops import geometry
 
 
 class PaiNNInteraction(nn.Module):
-    """Inter-atomic message block (``painn.py:14-66``)."""
+    """Inter-atomic message block (``painn.py:14-66``). Computes its own
+    filter slice from the radial features so the full-depth filter tensor is
+    never materialized."""
 
     n_atom_basis: int
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, q, mu, w, direction, adj):
-        """q [B,N,F]; mu [B,N,3,F]; w [B,N,N,3F] (filters, already gated);
-        direction [B,N,N,3]; adj [B,N,N] float mask."""
+    def __call__(self, q, mu, phi, gate, direction, wk, bk):
+        """q [B,N,F]; mu [B,N,3,F]; phi [B,N,N,R]; gate [B,N,N] =
+        cosine-cutoff × adjacency; direction [B,N,N,3]; wk [R,3F]; bk [3F]."""
         f = self.n_atom_basis
+        # filters for THIS layer (painn.py:241-245, sliced) + gating
+        w = (phi @ wk.astype(phi.dtype) + bk.astype(phi.dtype)) * gate[..., None]
         x = Dense(f, activation=jax.nn.silu, dtype=self.dtype)(q)
         x = Dense(3 * f, dtype=self.dtype)(x)  # [B,N,F*3]
-        # Gate filters by adjacency so padded pairs contribute nothing.
-        w = w * adj[..., None]
-        # xe[b,i,j,:] = w[b,i,j,:] * x[b,j,:]
         dq_w, dmur_w, dmumu_w = jnp.split(w, 3, axis=-1)
         dq_x, dmur_x, dmumu_x = jnp.split(x, 3, axis=-1)
         # dq[b,i,f]   = Σ_j dq_w[b,i,j,f]   * dq_x[b,j,f]
@@ -111,6 +120,7 @@ class PaiNN(nn.Module):
     shared_filters: bool = False
     epsilon: float = 1e-8
     zero_pad_embedding: bool = True
+    remat: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -133,42 +143,46 @@ class PaiNN(nn.Module):
             adj = geometry.radius_adjacency(dist, live_mask, self.cutoff)
         else:
             adj = pair_mask & live_mask  # clean-geometry edges, padded excluded
-        adjf = adj.astype(jnp.float32)
 
         # Radial features (painn.py:236-245): Gaussian RBF with per-basis
-        # widths, cosine cutoff with hard gate, one shared filter_net Dense
-        # emitting all layers' filters at once.
+        # widths; gate = cosine cutoff (hard d<cutoff) × adjacency.
         offsets = jnp.linspace(0.0, self.cutoff, self.n_rbf, dtype=jnp.float32)
         widths = jnp.abs(offsets[1] - offsets[0]) * jnp.ones_like(offsets)
         phi = gaussian_rbf(dist, offsets, widths)  # [B,N,N,R]
-        fcut = cosine_cutoff(dist, self.cutoff)  # [B,N,N]
+        gate = cosine_cutoff(dist, self.cutoff) * adj.astype(jnp.float32)
         if self.dtype is not None:
             phi = phi.astype(self.dtype)
+            gate = gate.astype(self.dtype)
+
+        # one shared filter_net Dense for all layers (painn.py:178-187),
+        # kept as a single kernel and SLICED per layer inside the blocks.
         n_filter_out = 3 * f if self.shared_filters else self.n_interactions * 3 * f
-        filters = Dense(n_filter_out, dtype=self.dtype, name="filter_net")(phi)
-        filters = filters * fcut[..., None].astype(filters.dtype)
-        if self.shared_filters:
-            filter_list = [filters] * self.n_interactions
-        else:
-            filter_list = jnp.split(filters, self.n_interactions, axis=-1)
+        fk = self.param("filter_kernel", xavier_uniform, (self.n_rbf, n_filter_out))
+        fb = self.param("filter_bias", zeros_init, (n_filter_out,))
 
         mu = jnp.zeros((*q.shape[:2], 3, f), q.dtype)
 
+        interaction_cls = (
+            nn.remat(PaiNNInteraction, prevent_cse=False)
+            if self.remat
+            else PaiNNInteraction
+        )
         if self.shared_interactions:
-            interaction = PaiNNInteraction(f, dtype=self.dtype, name="PaiNNInteraction_shared")
+            interaction = interaction_cls(f, dtype=self.dtype, name="PaiNNInteraction_shared")
             mixing = PaiNNMixing(f, self.epsilon, dtype=self.dtype, name="PaiNNMixing_shared")
             blocks = [(interaction, mixing)] * self.n_interactions
         else:
             blocks = [
                 (
-                    PaiNNInteraction(f, dtype=self.dtype, name=f"PaiNNInteraction_{k}"),
+                    interaction_cls(f, dtype=self.dtype, name=f"PaiNNInteraction_{k}"),
                     PaiNNMixing(f, self.epsilon, dtype=self.dtype, name=f"PaiNNMixing_{k}"),
                 )
                 for k in range(self.n_interactions)
             ]
 
         for k, (interaction, mixing) in enumerate(blocks):
-            q, mu = interaction(q, mu, filter_list[k], direction, adjf)
+            sl = slice(0, 3 * f) if self.shared_filters else slice(3 * f * k, 3 * f * (k + 1))
+            q, mu = interaction(q, mu, phi, gate, direction, fk[:, sl], fb[sl])
             q, mu = mixing(q, mu)
 
         q = q.astype(jnp.float32)

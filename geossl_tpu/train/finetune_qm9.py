@@ -44,6 +44,8 @@ def build_parser():
     p.add_argument("--task", default="mu", choices=TARGET_FIELDS)
     p.add_argument("--loss", default="mae", choices=["mae", "mse"])
     p.add_argument("--split_seed", type=int, default=0)
+    p.add_argument("--use_rotation_transform", action="store_true",
+                   help="random-rotation augmentation (datasets_QM9.py:139-140)")
     return p
 
 
@@ -127,8 +129,14 @@ def main(argv=None):
             params["graph_pred_linear"] = ckpt["graph_pred_linear"]
         print(f"Loaded pretrained backbone from {args.input_model_file}")
 
+    transform = None
+    if args.use_rotation_transform:
+        from geossl_tpu.data.transforms import random_rotation_transform
+
+        transform = random_rotation_transform
     train_loader = BucketedLoader(
-        train_store, args.batch_size, (args.bucket,), shuffle=True, seed=args.seed
+        train_store, args.batch_size, (args.bucket,), shuffle=True,
+        seed=args.seed, transform=transform,
     )
     valid_loader = BucketedLoader(
         valid_store, args.batch_size, (args.bucket,), shuffle=False, seed=0

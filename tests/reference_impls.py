@@ -125,12 +125,14 @@ def painn_forward(params, z, pos, edges, cutoff, n_interactions, readout="add"):
     dir_ij = r_ij / d_ij  # [E, 3]
 
     # GaussianRBF with per-basis widths (painn_utils.py:99-136)
-    offsets = np.linspace(0.0, cutoff, params["filter_net"]["Dense_0"]["kernel"].shape[0])
+    offsets = np.linspace(0.0, cutoff, params["filter_kernel"].shape[0])
     widths = np.abs(offsets[1] - offsets[0]) * np.ones_like(offsets)
     phi = np.exp(-0.5 / widths**2 * (d_ij[..., None] - offsets) ** 2)  # [E,1,R]
     fcut = 0.5 * (np.cos(d_ij * np.pi / cutoff) + 1.0) * (d_ij < cutoff)  # [E,1]
 
-    filters = dense(params["filter_net"]["Dense_0"], phi) * fcut[..., None]
+    filters = (
+        phi @ np.asarray(params["filter_kernel"]) + np.asarray(params["filter_bias"])
+    ) * fcut[..., None]
     # [E, 1, n_interactions * 3F] -> split per layer
     filter_list = np.split(filters, n_interactions, axis=-1)
 
