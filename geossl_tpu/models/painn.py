@@ -51,20 +51,46 @@ from geossl_tpu.ops import geometry
 class PaiNNInteraction(nn.Module):
     """Inter-atomic message block (``painn.py:14-66``). Computes its own
     filter slice from the radial features so the full-depth filter tensor is
-    never materialized."""
+    never materialized. With ``use_pallas`` the whole RBF → filter → triple
+    message-reduction chain runs as one fused kernel
+    (``ops/painn_pallas.py``; first-order AD only)."""
 
     n_atom_basis: int
+    cutoff: float = 5.0
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, q, mu, phi, gate, direction, wk, bk):
-        """q [B,N,F]; mu [B,N,3,F]; phi [B,N,N,R]; gate [B,N,N] =
-        cosine-cutoff × adjacency; direction [B,N,N,3]; wk [R,3F]; bk [3F]."""
+    def __call__(self, q, mu, dist, gate, direction, wk, bk):
+        """q [B,N,F]; mu [B,N,3,F]; dist/gate [B,N,N] (gate = cosine cutoff ×
+        adjacency); direction [B,N,N,3]; wk [R,3F]; bk [3F]."""
         f = self.n_atom_basis
-        # filters for THIS layer (painn.py:241-245, sliced) + gating
-        w = (phi @ wk.astype(phi.dtype) + bk.astype(phi.dtype)) * gate[..., None]
         x = Dense(f, activation=jax.nn.silu, dtype=self.dtype)(q)
         x = Dense(3 * f, dtype=self.dtype)(x)  # [B,N,F*3]
+
+        if self.use_pallas:
+            from geossl_tpu.ops.painn_pallas import painn_message_fused
+
+            b, n = q.shape[:2]
+            dq, dmu_flat = painn_message_fused(
+                dist, gate.astype(jnp.float32),
+                direction[..., 0], direction[..., 1], direction[..., 2],
+                x.astype(jnp.float32),
+                mu.astype(jnp.float32).reshape(b, n, 3 * f),
+                wk.astype(jnp.float32), bk.astype(jnp.float32), self.cutoff,
+            )
+            dmu = dmu_flat.reshape(b, n, 3, f)
+            return q + dq.astype(q.dtype), mu + dmu.astype(mu.dtype)
+
+        # XLA path: per-layer RBF (painn_utils.py:99-136; CSE/remat-cheap,
+        # phi is only [B,N,N,R]) + gated filters + einsum reductions.
+        num_r = wk.shape[0]
+        offsets = jnp.linspace(0.0, self.cutoff, num_r, dtype=jnp.float32)
+        widths = jnp.abs(offsets[1] - offsets[0]) * jnp.ones_like(offsets)
+        phi = gaussian_rbf(dist, offsets, widths)
+        if self.dtype is not None:
+            phi = phi.astype(self.dtype)
+        w = (phi @ wk.astype(phi.dtype) + bk.astype(phi.dtype)) * gate[..., None].astype(phi.dtype)
         dq_w, dmur_w, dmumu_w = jnp.split(w, 3, axis=-1)
         dq_x, dmur_x, dmumu_x = jnp.split(x, 3, axis=-1)
         # dq[b,i,f]   = Σ_j dq_w[b,i,j,f]   * dq_x[b,j,f]
@@ -121,6 +147,7 @@ class PaiNN(nn.Module):
     epsilon: float = 1e-8
     zero_pad_embedding: bool = True
     remat: bool = True
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -144,15 +171,9 @@ class PaiNN(nn.Module):
         else:
             adj = pair_mask & live_mask  # clean-geometry edges, padded excluded
 
-        # Radial features (painn.py:236-245): Gaussian RBF with per-basis
-        # widths; gate = cosine cutoff (hard d<cutoff) × adjacency.
-        offsets = jnp.linspace(0.0, self.cutoff, self.n_rbf, dtype=jnp.float32)
-        widths = jnp.abs(offsets[1] - offsets[0]) * jnp.ones_like(offsets)
-        phi = gaussian_rbf(dist, offsets, widths)  # [B,N,N,R]
+        # gate = cosine cutoff (hard d<cutoff) × adjacency; the per-layer RBF
+        # lives inside the interaction blocks (painn.py:236-245).
         gate = cosine_cutoff(dist, self.cutoff) * adj.astype(jnp.float32)
-        if self.dtype is not None:
-            phi = phi.astype(self.dtype)
-            gate = gate.astype(self.dtype)
 
         # one shared filter_net Dense for all layers (painn.py:178-187),
         # kept as a single kernel and SLICED per layer inside the blocks.
@@ -162,19 +183,25 @@ class PaiNN(nn.Module):
 
         mu = jnp.zeros((*q.shape[:2], 3, f), q.dtype)
 
+        # the fused kernel IS the memory optimization; remat only helps XLA
+        use_remat = self.remat and not self.use_pallas
         interaction_cls = (
             nn.remat(PaiNNInteraction, prevent_cse=False)
-            if self.remat
+            if use_remat
             else PaiNNInteraction
         )
+        mk_inter = lambda name: interaction_cls(
+            f, cutoff=self.cutoff, dtype=self.dtype,
+            use_pallas=self.use_pallas, name=name,
+        )
         if self.shared_interactions:
-            interaction = interaction_cls(f, dtype=self.dtype, name="PaiNNInteraction_shared")
+            interaction = mk_inter("PaiNNInteraction_shared")
             mixing = PaiNNMixing(f, self.epsilon, dtype=self.dtype, name="PaiNNMixing_shared")
             blocks = [(interaction, mixing)] * self.n_interactions
         else:
             blocks = [
                 (
-                    interaction_cls(f, dtype=self.dtype, name=f"PaiNNInteraction_{k}"),
+                    mk_inter(f"PaiNNInteraction_{k}"),
                     PaiNNMixing(f, self.epsilon, dtype=self.dtype, name=f"PaiNNMixing_{k}"),
                 )
                 for k in range(self.n_interactions)
@@ -182,7 +209,7 @@ class PaiNN(nn.Module):
 
         for k, (interaction, mixing) in enumerate(blocks):
             sl = slice(0, 3 * f) if self.shared_filters else slice(3 * f * k, 3 * f * (k + 1))
-            q, mu = interaction(q, mu, phi, gate, direction, fk[:, sl], fb[sl])
+            q, mu = interaction(q, mu, dist, gate, direction, fk[:, sl], fb[sl])
             q, mu = mixing(q, mu)
 
         q = q.astype(jnp.float32)

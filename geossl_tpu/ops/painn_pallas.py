@@ -1,0 +1,291 @@
+"""Fused Pallas kernel for the PaiNN inter-atomic message block.
+
+Computes, per interaction layer (reference ``painn.py:52-65`` in dense form):
+
+    w        = (phi(d) @ Wk + bk) · gate          (per-pair filters, 3F wide)
+    wq,wr,wm = split(w);  xq,xr,xm = split(x_j)
+    dq[i,f]     = Σ_j wq·xq_j
+    dmu[i,c,f]  = Σ_j wr·xr_j·dir_c[i,j]  +  Σ_j wm·xm_j·mu[j,c,f]
+
+The XLA path materializes the gated filter tensor ``[B,N,N,3F]`` in HBM per
+layer (plus rematerialization in backward). This kernel keeps the RBF
+expansion, the filter matmul (MXU) and all three message reductions in VMEM
+per (i-tile, j-tile); HBM traffic is only the ``[B,N,N]`` geometry grids and
+the per-node tensors.
+
+Layouts: direction passed as three separate ``[B,N,N]`` component arrays
+(a trailing axis of 3 would waste the 128-lane registers); ``mu`` flattened
+to ``[B,N,3F]`` with c-major layout ``mu2d[..., c*F+f]``.
+
+Custom VJP: one backward kernel (grid transposed so j-indexed outputs
+accumulate over the innermost i axis) produces dx, dmu_in, dWk, dbk, ddist,
+dgate and the three ddir components. First-order AD only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _offsets(cutoff, num_r):
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, num_r), 2).astype(jnp.float32)
+    return ids * (cutoff / (num_r - 1))
+
+
+def _tiles(n: int):
+    tj = min(n, 128)
+    ti = min(n, max(8, 2048 // tj))
+    while n % ti:
+        ti //= 2
+    while n % tj:
+        tj //= 2
+    return ti, tj
+
+
+def _gated_filters(d2, gate2, wk_ref, bk_ref, cutoff, num_r, coeff, ti, tj):
+    """[ti,tj] dist/gate -> gated filters [ti*tj, 3F] + phi [ti*tj, R]."""
+    off = _offsets(cutoff, num_r)  # [1,1,R]
+    diff = d2[:, :, None] - off
+    phi3 = jnp.exp(coeff * diff * diff)  # [ti,tj,R]
+    phi = phi3.reshape(ti * tj, num_r)
+    w = jnp.dot(phi, wk_ref[...], preferred_element_type=jnp.float32) + bk_ref[0]
+    w3 = w.reshape(ti, tj, -1) * gate2[:, :, None]
+    return phi, w3
+
+
+def _fwd_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
+                wk_ref, bk_ref, dq_ref, dmu_ref,
+                *, cutoff, num_r, coeff, ti, tj, f):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+        dmu_ref[...] = jnp.zeros_like(dmu_ref)
+
+    _, w3 = _gated_filters(
+        dist_ref[0], gate_ref[0], wk_ref, bk_ref, cutoff, num_r, coeff, ti, tj
+    )
+    wq, wr, wm = jnp.split(w3, 3, axis=-1)
+    xq, xr, xm = jnp.split(x_ref[0], 3, axis=-1)  # [tj, F] each
+    mu_c_list = jnp.split(mu_ref[0], 3, axis=-1)  # [tj, F] each
+
+    dq_ref[0] += jnp.sum(wq * xq[None, :, :], axis=1)
+    m_r = wr * xr[None, :, :]  # [ti,tj,f]
+    m_m = wm * xm[None, :, :]
+    dirs = (dx_ref[0], dy_ref[0], dz_ref[0])
+    parts = []
+    for c in range(3):
+        dmu_c = jnp.sum(m_r * dirs[c][:, :, None], axis=1)
+        dmu_c += jnp.sum(m_m * mu_c_list[c][None, :, :], axis=1)
+        parts.append(dmu_c)
+    dmu_ref[0] += jnp.concatenate(parts, axis=-1)
+
+
+def _pair_spec(ti, tj):
+    return pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j))
+
+
+def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
+    b, n, _ = dist.shape
+    f3 = x.shape[-1]
+    f = f3 // 3
+    num_r = wk.shape[0]
+    ti, tj = _tiles(n)
+    delta = cutoff / (num_r - 1)
+    coeff = -0.5 / delta**2
+    kernel = partial(_fwd_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,
+                     ti=ti, tj=tj, f=f)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // ti, n // tj),
+        in_specs=[
+            _pair_spec(ti, tj), _pair_spec(ti, tj), _pair_spec(ti, tj),
+            _pair_spec(ti, tj), _pair_spec(ti, tj),
+            pl.BlockSpec((1, tj, f3), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, tj, f3), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec(wk.shape, lambda b, i, j: (0, 0)),
+            pl.BlockSpec((1,) + bk.shape, lambda b, i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ti, f), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, ti, f3), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, f3), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(dist, gate, dirx, diry, dirz, x, mu, wk, bk[None])
+
+
+def _bwd_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
+                wk_ref, bk_ref, gq_ref, gmu_ref,
+                dxn_ref, dmu_in_ref, dwk_ref, dbk_ref,
+                ddist_ref, dgate_ref, ddx_ref, ddy_ref, ddz_ref,
+                *, cutoff, num_r, coeff, ti, tj, f):
+    # grid = (b, j_tile, i_tile): i innermost so j-indexed outputs accumulate
+    bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(ii == 0)
+    def _():
+        dxn_ref[...] = jnp.zeros_like(dxn_ref)
+        dmu_in_ref[...] = jnp.zeros_like(dmu_in_ref)
+
+    @pl.when((bi == 0) & (jj == 0) & (ii == 0))
+    def _():
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dbk_ref[...] = jnp.zeros_like(dbk_ref)
+
+    d2, gate2 = dist_ref[0], gate_ref[0]
+    phi, w3 = _gated_filters(d2, gate2, wk_ref, bk_ref, cutoff, num_r, coeff, ti, tj)
+    wq, wr, wm = jnp.split(w3, 3, axis=-1)
+    xq, xr, xm = jnp.split(x_ref[0], 3, axis=-1)
+    mu_c_list = jnp.split(mu_ref[0], 3, axis=-1)  # [tj, F] each
+    gq = gq_ref[0]  # [ti, F]
+    gmu_c_list = jnp.split(gmu_ref[0], 3, axis=-1)  # [ti, F] each
+    dirs = (dx_ref[0], dy_ref[0], dz_ref[0])
+
+    # D[i,j,f] := Σ_c dir_c[i,j] * gmu_c[i,f];  M[i,j,f] := Σ_c mu_c[j,f]*gmu_c[i,f]
+    D = jnp.zeros((ti, tj, f), jnp.float32)
+    M = jnp.zeros((ti, tj, f), jnp.float32)
+    dmu_parts = []
+    for c in range(3):
+        gmu_c = gmu_c_list[c]
+        mu_c = mu_c_list[c]
+        D += dirs[c][:, :, None] * gmu_c[:, None, :]
+        M += mu_c[None, :, :] * gmu_c[:, None, :]
+        s_c = jnp.sum(wm * gmu_c[:, None, :], axis=0)  # [tj, f]
+        dmu_parts.append(s_c * xm)
+        # ddir_c[i,j] = Σ_f wr·xr_j·gmu_c[i,f]
+        ddir_c = jnp.sum(wr * xr[None, :, :] * gmu_c[:, None, :], axis=2)
+        (ddx_ref, ddy_ref, ddz_ref)[c][0] = ddir_c
+    dmu_in_ref[0] += jnp.concatenate(dmu_parts, axis=-1)
+
+    # dx parts (accumulate over i)
+    dxq = jnp.sum(wq * gq[:, None, :], axis=0)  # [tj, f]
+    dxr = jnp.sum(wr * D, axis=0)
+    dxm = jnp.sum(wm * M, axis=0)
+    dxn_ref[0] += jnp.concatenate([dxq, dxr, dxm], axis=-1)
+
+    # cotangent on gated filters
+    dw3 = jnp.concatenate(
+        [gq[:, None, :] * xq[None, :, :], D * xr[None, :, :], M * xm[None, :, :]],
+        axis=2,
+    )  # [ti, tj, 3F]
+    # dgate = Σ_t w_raw·dw3 where w3 = w_raw·gate -> w_raw = w3/gate (gate may
+    # be 0; recompute w_raw instead)
+    off = _offsets(cutoff, num_r)
+    diff3 = d2[:, :, None] - off
+    w_raw = (
+        jnp.dot(phi, wk_ref[...], preferred_element_type=jnp.float32) + bk_ref[0]
+    ).reshape(ti, tj, 3 * f)
+    dgate_ref[0] = jnp.sum(w_raw * dw3, axis=2)
+    dwg = (dw3 * gate2[:, :, None]).reshape(ti * tj, 3 * f)
+    dwk_ref[...] += jnp.dot(phi.T, dwg, preferred_element_type=jnp.float32)
+    dbk_ref[0] += jnp.sum(dwg, axis=0)
+    dphi = jnp.dot(dwg, wk_ref[...].T, preferred_element_type=jnp.float32)
+    chain3 = dphi.reshape(ti, tj, num_r) * jnp.exp(coeff * diff3 * diff3)
+    ddist_ref[0] = jnp.sum(chain3 * (2.0 * coeff) * diff3, axis=2)
+
+
+def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu):
+    b, n, _ = dist.shape
+    f3 = x.shape[-1]
+    f = f3 // 3
+    num_r = wk.shape[0]
+    ti, tj = _tiles(n)
+    delta = cutoff / (num_r - 1)
+    coeff = -0.5 / delta**2
+    kernel = partial(_bwd_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,
+                     ti=ti, tj=tj, f=f)
+    # grid (b, jt, it): pair blocks live at (i, j) => index_map (b, i, j)
+    pair = pl.BlockSpec((1, ti, tj), lambda b, j, i: (b, i, j))
+    acc = lambda shape: pl.BlockSpec(shape, lambda b, j, i: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // tj, n // ti),
+        in_specs=[
+            pair, pair, pair, pair, pair,
+            pl.BlockSpec((1, tj, f3), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, tj, f3), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec(wk.shape, lambda b, j, i: (0, 0)),
+            pl.BlockSpec((1,) + bk.shape, lambda b, j, i: (0, 0)),
+            pl.BlockSpec((1, ti, f), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, ti, f3), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tj, f3), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, tj, f3), lambda b, j, i: (b, j, 0)),
+            acc(wk.shape),
+            acc((1,) + bk.shape),
+            pair, pair, pair, pair, pair,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, f3), jnp.float32),  # dx
+            jax.ShapeDtypeStruct((b, n, f3), jnp.float32),  # dmu_in
+            jax.ShapeDtypeStruct(wk.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1,) + bk.shape, jnp.float32),
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddist
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # dgate
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddirx
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddiry
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddirz
+        ],
+        interpret=_interpret(),
+    )(dist, gate, dirx, diry, dirz, x, mu, wk, bk[None], gq, gmu)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9,))
+def painn_message_fused(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
+    """Fused PaiNN message pass. Returns (dq [B,N,F], dmu [B,N,3F])."""
+    return _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff)
+
+
+def _vjp_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
+    out = _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff)
+    return out, (dist, gate, dirx, diry, dirz, x, mu, wk, bk)
+
+
+def _vjp_bwd(cutoff, res, cots):
+    dist, gate, dirx, diry, dirz, x, mu, wk, bk = res
+    gq, gmu = cots
+    dx_in, dmu_in, dwk, dbk, ddist, dgate, ddx, ddy, ddz = _bwd_pallas(
+        dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
+        gq.astype(jnp.float32), gmu.astype(jnp.float32),
+    )
+    return ddist, dgate, ddx, ddy, ddz, dx_in, dmu_in, dwk, dbk[0]
+
+
+painn_message_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def painn_message_reference(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
+    """Pure-XLA reference of the fused op (same math, any-order AD)."""
+    num_r = wk.shape[0]
+    offsets = jnp.linspace(0.0, cutoff, num_r, dtype=jnp.float32)
+    delta = cutoff / (num_r - 1)
+    coeff = -0.5 / delta**2
+    diff = dist[..., None] - offsets
+    phi = jnp.exp(coeff * diff * diff)
+    w3 = (phi @ wk + bk) * gate[..., None]
+    f = x.shape[-1] // 3
+    wq, wr, wm = w3[..., :f], w3[..., f : 2 * f], w3[..., 2 * f :]
+    xq, xr, xm = x[..., :f], x[..., f : 2 * f], x[..., 2 * f :]
+    dq = jnp.einsum("bijf,bjf->bif", wq, xq)
+    dmu = []
+    dirs = (dirx, diry, dirz)
+    for c in range(3):
+        mu_c = mu[..., c * f : (c + 1) * f]
+        dmu_c = jnp.einsum("bijf,bjf,bij->bif", wr, xr, dirs[c])
+        dmu_c += jnp.einsum("bijf,bjf,bjf->bif", wm, xm, mu_c)
+        dmu.append(dmu_c)
+    return dq, jnp.concatenate(dmu, axis=-1)

@@ -32,6 +32,32 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
+def save_train_state(path: str, state, epoch: int) -> None:
+    """Full-state checkpoint (params + optimizer state + step + epoch) for
+    mid-training resume. The reference restarts killed jobs from scratch
+    (SURVEY.md §5.3); this is the elastic-recovery extension."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "state": serialization.to_state_dict(jax.device_get(state)),
+        "epoch": epoch,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, payload)
+        ))
+    os.replace(tmp, path)  # atomic: a killed job never sees a torn file
+
+
+def load_train_state(path: str, state_template):
+    """Restore (state, epoch) from ``save_train_state`` output; the template
+    provides the pytree structure (freshly created TrainState)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    state = serialization.from_state_dict(state_template, payload["state"])
+    return state, int(payload["epoch"])
+
+
 class BestModelSaver:
     """Best-by-metric + final checkpoints (lower is better), mirroring the
     reference's ``save_model`` (``pretrain_GeoSSL.py:48-65``)."""

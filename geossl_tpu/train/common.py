@@ -56,6 +56,7 @@ def make_backbone(cfg: ModelConfig):
             shared_filters=p.shared_filters,
             epsilon=p.epsilon,
             dtype=dtype,
+            use_pallas=cfg.use_pallas,
         )
 
         def apply(params, atom_type, positions, node_mask, pair_mask=None):

@@ -67,6 +67,8 @@ def build_parser():
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--AE_loss", default="l2", choices=["l1", "l2", "cosine"])
     p.add_argument("--detach_target", action="store_true", default=True)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <output_model_dir>/state.ckpt if present")
     p.set_defaults(lr=5e-4, epochs=100)
     return p
 
@@ -217,8 +219,18 @@ def main(argv=None):
         return new_state, loss, acc
 
     saver = checkpoints.BestModelSaver(args.output_model_dir)
+    start_epoch = 1
+    state_path = (
+        os.path.join(args.output_model_dir, "state.ckpt")
+        if args.output_model_dir else ""
+    )
+    if args.resume and state_path and os.path.exists(state_path):
+        state, last_epoch = checkpoints.load_train_state(state_path, state)
+        state = jax.device_put(state, pmesh.replicated(mesh))
+        start_epoch = last_epoch + 1
+        print(f"Resumed from {state_path} at epoch {last_epoch}")
     step_rng = jax.random.PRNGKey(args.seed + 1)
-    for epoch in range(1, args.epochs + 1):
+    for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
         losses, accs = [], []
         for batch in loader.epoch(epoch):
@@ -236,6 +248,8 @@ def main(argv=None):
             f"Epoch: {epoch}\tSSL Loss: {mean_loss:.5f}\tSSL Acc: {mean_acc:.5f}"
             f"\tTime: {timer.elapsed():.3f}" + ("\t[saved best]" if saved else "")
         )
+        if state_path:
+            checkpoints.save_train_state(state_path, state, epoch)
     saver.save_final({"model": jax.device_get(state.params[0]["model"])})
     return state
 

@@ -84,3 +84,19 @@ def test_painn_driver_path():
         ]
     )
     assert np.isfinite(best_val)
+
+
+def test_pretrain_resume(tmp_path):
+    """Full-state resume continues where the killed run stopped."""
+    from geossl_tpu.train import pretrain_geossl
+
+    base = [
+        "--synthetic", "--synthetic_size", "32", "--batch_size", "16",
+        "--num_devices", "1", "--GeoSSL_option", "InfoNCE",
+        "--output_model_dir", str(tmp_path),
+    ]
+    pretrain_geossl.main(base + ["--epochs", "2"])
+    assert (tmp_path / "state.ckpt").exists()
+    # resume to epoch 3 (only one more epoch of work)
+    state = pretrain_geossl.main(base + ["--epochs", "3", "--resume"])
+    assert int(state.step) > 0
