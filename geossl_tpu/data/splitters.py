@@ -93,6 +93,86 @@ def md17_split(
     )
 
 
+def generate_scaffold(smiles: str, include_chirality: bool = True) -> str:
+    """Bemis-Murcko scaffold of a SMILES (``splitters.py:12-25``; rdkit)."""
+    from rdkit.Chem.Scaffolds import MurckoScaffold
+
+    return MurckoScaffold.MurckoScaffoldSmiles(
+        smiles=smiles, includeChirality=include_chirality
+    )
+
+
+def scaffold_split(
+    smiles_list,
+    frac_train: float = 0.8,
+    frac_valid: float = 0.1,
+    frac_test: float = 0.1,
+) -> Split:
+    """Deterministic Bemis-Murcko scaffold split (``splitters.py:28-115``):
+    scaffold groups sorted largest-first, filled train -> valid -> test.
+    Requires rdkit (deferred import)."""
+    assert abs(frac_train + frac_valid + frac_test - 1.0) < 1e-6
+    all_scaffolds: dict = {}
+    for i, smiles in enumerate(smiles_list):
+        all_scaffolds.setdefault(generate_scaffold(smiles), []).append(i)
+    scaffold_sets = [
+        sorted(v)
+        for _, v in sorted(
+            all_scaffolds.items(), key=lambda x: (len(x[1]), sorted(x[1])[0]),
+            reverse=True,
+        )
+    ]
+    n = len(smiles_list)
+    train_cutoff, valid_cutoff = frac_train * n, (frac_train + frac_valid) * n
+    train_idx, valid_idx, test_idx = [], [], []
+    for group in scaffold_sets:
+        if len(train_idx) + len(group) > train_cutoff:
+            if len(train_idx) + len(valid_idx) + len(group) > valid_cutoff:
+                test_idx.extend(group)
+            else:
+                valid_idx.extend(group)
+        else:
+            train_idx.extend(group)
+    return (
+        np.asarray(train_idx, np.int64),
+        np.asarray(valid_idx, np.int64),
+        np.asarray(test_idx, np.int64),
+    )
+
+
+def random_scaffold_split(
+    smiles_list,
+    frac_train: float = 0.8,
+    frac_valid: float = 0.1,
+    frac_test: float = 0.1,
+    seed: int = 0,
+) -> Split:
+    """Scaffold split with randomly permuted scaffold groups
+    (``splitters.py:118-185``)."""
+    rng = np.random.RandomState(seed)
+    all_scaffolds: dict = {}
+    for i, smiles in enumerate(smiles_list):
+        all_scaffolds.setdefault(generate_scaffold(smiles), []).append(i)
+    groups = list(all_scaffolds.values())
+    perm = rng.permutation(len(groups))
+    n = len(smiles_list)
+    n_train, n_valid = int(frac_train * n), int(frac_valid * n)
+    train_idx, valid_idx, test_idx = [], [], []
+    for gi in perm:
+        group = groups[gi]
+        if len(train_idx) + len(group) <= n_train:
+            train_idx.extend(group)
+        elif len(valid_idx) + len(group) <= n_valid:
+            valid_idx.extend(group)
+        else:
+            test_idx.extend(group)
+    return (
+        np.asarray(train_idx, np.int64),
+        np.asarray(valid_idx, np.int64),
+        np.asarray(test_idx, np.int64),
+    )
+
+
 def atom3d_lba_split(data_root: str, year: int = 2020) -> Split:
     """Sequence-identity-30 split from downloaded index files
     (``splitters.py:361-388``): maps pdb ids in ``targets/{train,val,test}.txt``

@@ -143,3 +143,30 @@ def test_transform_lba_merge():
     # H dropped, Zn→Cu→unknown(8), far N dropped by dist; merged order pocket+ligand
     assert rec.num_atoms == 4
     assert rec.atom_type.tolist() == [1, 8, 1, 3]  # C, Cu->unknown, C, O
+
+
+def test_scaffold_split_group_integrity():
+    """Scaffold splits keep scaffold groups intact (no leakage) — exercised
+    with a stub scaffold function to avoid the rdkit dependency."""
+    from unittest import mock
+
+    from geossl_tpu.data import splitters as sp
+
+    smiles = [f"mol{i}" for i in range(20)]
+    fake_scaffold = lambda s, include_chirality=True: f"scaf{hash(s) % 5}"
+    with mock.patch.object(sp, "generate_scaffold", fake_scaffold):
+        tr, va, te = sp.scaffold_split(smiles)
+        all_idx = np.concatenate([tr, va, te])
+        assert len(np.unique(all_idx)) == 20
+        # every scaffold group lands in exactly one split
+        groups = {}
+        for i, s in enumerate(smiles):
+            groups.setdefault(fake_scaffold(s), []).append(i)
+        for g in groups.values():
+            memberships = [
+                any(i in split for i in g)
+                for split in (set(tr), set(va), set(te))
+            ]
+            assert sum(memberships) == 1
+        tr2, va2, te2 = sp.random_scaffold_split(smiles, seed=1)
+        assert len(tr2) + len(va2) + len(te2) <= 20  # groups may overflow test
