@@ -171,21 +171,21 @@ def _run(args, objective: str):
         raise ValueError(objective)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch, rng):
+    def train_step(state, batch, epoch_key):
+        rng = jax.random.fold_in(epoch_key, state.step)  # on-device step RNG
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
         return common.apply_updates(state, grads, tx), loss, acc
 
     saver = checkpoints.BestModelSaver(args.output_model_dir)
-    step_rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(1, args.epochs + 1):
         timer = common.EpochTimer()
+        epoch_key = jax.random.PRNGKey(hash((args.seed + 1, epoch)) % (2**31))
         losses, accs = [], []
         for batch in loader.epoch(epoch):
             b = pmesh.shard_batch(mesh, batch)
-            step_rng, k = jax.random.split(step_rng)
-            state, loss, acc = train_step(state, b, k)
+            state, loss, acc = train_step(state, b, epoch_key)
             losses.append(loss)
             accs.append(acc)
         mean_loss = float(np.mean([float(l) for l in losses]))

@@ -208,7 +208,10 @@ def main(argv=None):
         return loss, (acc, new_vars)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch, rng):
+    def train_step(state, batch, epoch_key):
+        # derive the step RNG on-device: avoids a host->device roundtrip per
+        # step (jax.random.split on the host costs ~0.3 ms over this tunnel)
+        rng = jax.random.fold_in(epoch_key, state.step)
         (loss, (acc, new_vars)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, batch, rng)
@@ -229,14 +232,13 @@ def main(argv=None):
         state = jax.device_put(state, pmesh.replicated(mesh))
         start_epoch = last_epoch + 1
         print(f"Resumed from {state_path} at epoch {last_epoch}")
-    step_rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
+        epoch_key = jax.random.PRNGKey(hash((args.seed + 1, epoch)) % (2**31))
         losses, accs = [], []
         for batch in loader.epoch(epoch):
             b = pmesh.shard_batch(mesh, batch)
-            step_rng, k = jax.random.split(step_rng)
-            state, loss, acc = train_step(state, b, k)
+            state, loss, acc = train_step(state, b, epoch_key)
             losses.append(loss)
             accs.append(acc)
         mean_loss = float(np.mean([float(l) for l in losses]))
