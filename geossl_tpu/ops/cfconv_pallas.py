@@ -29,7 +29,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
 
 LOG2 = math.log(2.0)
 
@@ -232,6 +232,3 @@ def cfconv_fused_reference(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
         "bijf,bij,bjf->bif", w, env, x, preferred_element_type=jnp.float32
     )
 
-
-def cfconv_pallas(w, env, x):  # pragma: no cover - legacy entry, unused
-    raise NotImplementedError("use cfconv_fused (takes dist, not w)")

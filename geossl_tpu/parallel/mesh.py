@@ -53,3 +53,37 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 def put_replicated(mesh: Mesh, tree: Any) -> Any:
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def prefetch(batch_iterator, mesh: Mesh, size: int = 2):
+    """Overlap host batch packing + device transfer with device compute.
+
+    A background thread drains ``batch_iterator``, shards each batch onto the
+    mesh (async device_put) and keeps up to ``size`` batches in flight — the
+    padded-batch analog of the reference's ``num_workers`` loader processes
+    (``submit_pretrain_GeoSSL_DDM.sh:10``).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in batch_iterator:
+                q.put(shard_batch(mesh, batch))
+        except BaseException as e:  # surface errors on the consumer side
+            q.put(e)
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

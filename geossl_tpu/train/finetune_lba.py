@@ -121,8 +121,8 @@ def main(argv=None):
     for epoch in range(1, args.epochs + 1):
         timer = common.EpochTimer()
         losses = []
-        for batch in train_loader.epoch(epoch):
-            state, loss = train_step(state, pmesh.shard_batch(mesh, batch))
+        for b in pmesh.prefetch(train_loader.epoch(epoch), mesh):
+            state, loss = train_step(state, b)
             losses.append(loss)
         train_loss = float(np.mean([float(l) for l in losses]))
         val = evaluate(state.params, valid_loader)

@@ -165,8 +165,8 @@ def main(argv=None):
     for epoch in range(1, args.epochs + 1):
         timer = common.EpochTimer()
         losses = []
-        for dual in loaders["train"].epoch(epoch):
-            state, loss = train_step(state, pmesh.shard_batch(mesh, dual))
+        for d in pmesh.prefetch(loaders["train"].epoch(epoch), mesh):
+            state, loss = train_step(state, d)
             losses.append(loss)
         train_loss = float(np.mean([float(l) for l in losses]))
         val, test = evaluate(state.params, loaders["val"]), evaluate(

@@ -158,8 +158,7 @@ def main(argv=None):
     for epoch in range(1, args.epochs + 1):
         timer = common.EpochTimer()
         losses = []
-        for batch in train_loader.epoch(epoch):
-            b = pmesh.shard_batch(mesh, batch)
+        for b in pmesh.prefetch(train_loader.epoch(epoch), mesh):
             state, loss = train_step(state, b, mean, std)
             losses.append(loss)
         train_loss = float(np.mean([float(l) for l in losses]))

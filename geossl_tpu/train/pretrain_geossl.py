@@ -236,8 +236,7 @@ def main(argv=None):
         timer = common.EpochTimer()
         epoch_key = jax.random.PRNGKey(hash((args.seed + 1, epoch)) % (2**31))
         losses, accs = [], []
-        for batch in loader.epoch(epoch):
-            b = pmesh.shard_batch(mesh, batch)
+        for b in pmesh.prefetch(loader.epoch(epoch), mesh):
             state, loss, acc = train_step(state, b, epoch_key)
             losses.append(loss)
             accs.append(acc)
