@@ -37,7 +37,9 @@ def main():
     from geossl_tpu.train import common, optim
 
     batch, n_max, emb = 128, 32, 128
-    # published defaults; fused Pallas CFConv on real TPU backends
+    # published defaults; fused Pallas CFConv on real TPU backends. The
+    # fused NCSN head exists (ops/ncsn_pallas.py) but measures neutral at
+    # N=32 — the factored XLA head is already cheap there — so it stays off.
     model = SchNet(use_pallas=jax.default_backend() == "tpu")
     head = NCSNv3(emb_dim=emb)
 

@@ -71,36 +71,68 @@ class NCSNv3(_NCSNBase):
 
     ``__call__(rng, node_feat [B,N,F], dist [B,N,N], sel_mask [B,N,N],
     graph_mask [B] | None) -> scalar loss``.
+
+    The output MLP's first layer distributes over the reference's
+    concat([h_i + h_j, demb]): (h_i+h_j)·W_h + demb·w_d + b with W_h applied
+    PER NODE — identical math, no [B,N,N,F] tensor. With ``use_pallas`` the
+    whole per-pair chain (perturbation, distance MLP, output MLP, annealed
+    loss) runs as one fused kernel (``ops/ncsn_pallas.py``; first-order AD).
     """
+
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, rng, node_feat, dist, sel_mask, graph_mask=None):
         b = node_feat.shape[0]
+        emb = self.emb_dim
         rng_sigma, rng_noise = jax.random.split(rng)
-        used = self._sample_sigmas(rng_sigma, b)[:, None, None]  # [B,1,1]
+        used_g = self._sample_sigmas(rng_sigma, b)  # [B]
+        used = used_g[:, None, None]
+        noise = jax.random.normal(rng_noise, dist.shape, jnp.float32)
 
-        noise = jax.random.normal(rng_noise, dist.shape, dist.dtype)
+        glorot = nn.initializers.glorot_uniform()
+        zeros = nn.initializers.zeros
+        # input_distance_mlp MLP(1 -> emb -> 1) (``NCSN.py:175``)
+        w_d1 = self.param("w_d1", glorot, (1, emb))
+        b_d1 = self.param("b_d1", zeros, (emb,))
+        w_d2 = self.param("w_d2", glorot, (emb, 1))
+        b_d2 = self.param("b_d2", zeros, (1,))
+        # output MLP (``NCSN.py:176``): first layer factored into per-node
+        # W_h (out0_h Dense) + per-pair w_od on demb
+        w_od = self.param("w_od", glorot, (1, emb))
+        b_od = self.param("b_od", zeros, (emb,))
+        w2 = self.param("w2", glorot, (emb, emb // 2))
+        b2 = self.param("b2", zeros, (emb // 2,))
+        w3 = self.param("w3", glorot, (emb // 2, 1))
+        b3 = self.param("b3", zeros, (1,))
+
+        u = nn.Dense(
+            emb, use_bias=False, kernel_init=glorot, name="out0_h"
+        )(node_feat)  # [B,N,emb]
+
+        if self.use_pallas:
+            from geossl_tpu.ops.ncsn_pallas import ncsn_score_loss
+
+            rows = ncsn_score_loss(
+                dist.astype(jnp.float32), noise,
+                sel_mask.astype(jnp.float32), used_g[:, None],
+                u.astype(jnp.float32),
+                w_d1, b_d1, w_d2, b_d2, w_od, b_od, w2, b2, w3, b3,
+                float(self.anneal_power),
+            )
+            per_graph = jnp.sum(rows, axis=1)
+            if graph_mask is None:
+                return jnp.mean(per_graph)
+            gm = graph_mask.astype(per_graph.dtype)
+            return jnp.sum(per_graph * gm) / jnp.maximum(jnp.sum(gm), 1.0)
+
         perturbed = dist + noise * used
         target = -(perturbed - dist) / used**2
-
-        # input_distance_mlp: MLP(1 -> emb -> 1), relu (``NCSN.py:175``)
-        demb = MLP([self.emb_dim, 1])(perturbed[..., None])  # [B,N,N,1]
-        # output_mlp: MLP(F+1 -> emb -> emb/2 -> 1) (``NCSN.py:176``) on
-        # concat([h_i + h_j, demb]). The first layer distributes over the
-        # concat/sum: (h_i+h_j)·W_h + demb·w_d + b, with W_h applied PER NODE
-        # — this avoids materializing [B,N,N,F] and turns the dominant
-        # [B·N², F]·[F, emb] matmul into an [B·N, F]·[F, emb] one. Math is
-        # identical to the reference's fused first layer.
-        u = nn.Dense(
-            self.emb_dim, use_bias=False,
-            kernel_init=nn.initializers.glorot_uniform(), name="out0_h",
-        )(node_feat)  # [B,N,emb]
-        d_term = nn.Dense(
-            self.emb_dim, kernel_init=nn.initializers.glorot_uniform(),
-            bias_init=nn.initializers.zeros, name="out0_d",
-        )(demb)  # [B,N,N,emb]
+        demb = jax.nn.relu(perturbed[..., None] * w_d1[0] + b_d1) @ w_d2 + b_d2
+        d_term = demb @ w_od + b_od  # [B,N,N,emb]
         x = jax.nn.relu(u[:, :, None, :] + u[:, None, :, :] + d_term)
-        scores = MLP([self.emb_dim // 2, 1])(x)[..., 0]
+        x = jax.nn.relu(x @ w2 + b2)
+        scores = (x @ w3 + b3)[..., 0]
         scores = scores / used  # f_θ,σ = f_θ / σ (``NCSN.py:205``)
         return self._loss(scores, target, sel_mask, used, graph_mask)
 

@@ -190,24 +190,20 @@ def test_ncsn_factored_first_layer_equals_concat():
     noise = np.asarray(jax.random.normal(k_noise, dist.shape))
     perturbed = np.asarray(dist) + noise * used
 
-    def np_dense(p, x, bias=True):
-        y = x @ np.asarray(p["kernel"])
-        if bias and "bias" in p:
-            y += np.asarray(p["bias"])
-        return y
-
-    demb = np_dense(params["MLP_0"]["Dense_0"], perturbed[..., None])
-    demb = np.maximum(demb, 0)
-    demb = np_dense(params["MLP_0"]["Dense_1"], demb)
+    demb = np.maximum(
+        perturbed[..., None] @ np.asarray(params["w_d1"]) + np.asarray(params["b_d1"]),
+        0,
+    )
+    demb = demb @ np.asarray(params["w_d2"]) + np.asarray(params["b_d2"])
     w_h = np.asarray(params["out0_h"]["kernel"])
-    w_d = np.asarray(params["out0_d"]["kernel"])
-    b0 = np.asarray(params["out0_d"]["bias"])
+    w_d = np.asarray(params["w_od"])
+    b0 = np.asarray(params["b_od"])
     hsum = np.asarray(h)[:, :, None, :] + np.asarray(h)[:, None, :, :]
     cat_kernel = np.concatenate([w_h, w_d], axis=0)
     feat = np.concatenate([hsum, demb], axis=-1)
     x = np.maximum(feat @ cat_kernel + b0, 0)
-    x = np.maximum(np_dense(params["MLP_1"]["Dense_0"], x), 0)
-    scores = np_dense(params["MLP_1"]["Dense_1"], x)[..., 0] / used
+    x = np.maximum(x @ np.asarray(params["w2"]) + np.asarray(params["b2"]), 0)
+    scores = (x @ np.asarray(params["w3"]) + np.asarray(params["b3"]))[..., 0] / used
     target = -(perturbed - np.asarray(dist)) / used**2
     per = 0.5 * (scores - target) ** 2 * used**2.0
     per = per * np.asarray(sel)
@@ -215,3 +211,36 @@ def test_ncsn_factored_first_layer_equals_concat():
 
     got = model.apply({"params": params}, key, h, dist, sel)
     np.testing.assert_allclose(float(got), expect, rtol=1e-4)
+
+
+def test_ncsn_fused_matches_xla():
+    """The fused Pallas NCSN head == the XLA path: loss and all grads."""
+    rng = np.random.default_rng(4)
+    f = 16
+    b, n = 2, 16
+    h = jnp.asarray(rng.normal(size=(b, n, f)).astype(np.float32))
+    pos = rng.normal(size=(b, n, 3)).astype(np.float32) * 1.5
+    mask = jnp.asarray(np.arange(n)[None, :] < np.array([[n], [11]]))
+    dist, _ = geometry.pairwise_distances(jnp.asarray(pos), mask)
+    sel = obj.pair_selection(mask, "combination")
+    gm = jnp.array([True, True])
+
+    m_xla = NCSNv3(emb_dim=f, num_noise_level=6, use_pallas=False)
+    m_pal = NCSNv3(emb_dim=f, num_noise_level=6, use_pallas=True)
+    key = jax.random.PRNGKey(0)
+    params = m_xla.init(key, key, h, dist, sel, gm)["params"]
+
+    run_key = jax.random.PRNGKey(5)
+    l_x = m_xla.apply({"params": params}, run_key, h, dist, sel, gm)
+    l_p = m_pal.apply({"params": params}, run_key, h, dist, sel, gm)
+    np.testing.assert_allclose(float(l_x), float(l_p), rtol=2e-4)
+
+    def loss(m):
+        def fn(p, hh):
+            return m.apply({"params": p}, run_key, hh, dist, sel, gm)
+        return fn
+
+    gx = jax.grad(loss(m_xla), argnums=(0, 1))(params, h)
+    gp = jax.grad(loss(m_pal), argnums=(0, 1))(params, h)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=1e-4)
