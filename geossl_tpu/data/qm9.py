@@ -17,8 +17,6 @@ the synthetic stand-in when raw files are absent.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from geossl_tpu.data.featurize import mol_to_arrays

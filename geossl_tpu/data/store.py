@@ -10,8 +10,8 @@ loader stays allocation-light and the file is mmap-friendly.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from dataclasses import dataclass
+from typing import List, Optional
 
 import numpy as np
 

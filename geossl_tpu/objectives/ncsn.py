@@ -21,8 +21,6 @@ selection mask from ``objectives.pairs`` (the reference's O(N²)
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,7 @@ for testing (``XLA_FLAGS=--xla_force_host_platform_device_count=8``).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import numpy as np

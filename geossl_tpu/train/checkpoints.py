@@ -13,7 +13,7 @@ contract is a dict of flax param pytrees serialized with
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

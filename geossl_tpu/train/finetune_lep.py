@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from geossl_tpu.data.batch import DenseMolBatch, DualMolBatch
+from geossl_tpu.data.batch import DualMolBatch
 from geossl_tpu.data.bucketing import pack_batch
 from geossl_tpu.data.lep import load_lep
 from geossl_tpu.data.splitters import random_split

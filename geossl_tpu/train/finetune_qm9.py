@@ -18,12 +18,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from geossl_tpu.data.bucketing import BucketedLoader
 from geossl_tpu.data.qm9 import TARGET_FIELDS, load_qm9
 from geossl_tpu.data.splitters import qm9_random_customized_01
-from geossl_tpu.models.common import Dense, xavier_uniform, zeros_init
+from geossl_tpu.models.common import Dense
 from geossl_tpu.parallel import mesh as pmesh
 from geossl_tpu.train import checkpoints, common, optim
 from geossl_tpu.utils import metrics

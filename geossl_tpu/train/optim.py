@@ -9,8 +9,6 @@ stepped once per epoch.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import optax
 
