@@ -100,3 +100,29 @@ def test_pretrain_resume(tmp_path):
     # resume to epoch 3 (only one more epoch of work)
     state = pretrain_geossl.main(base + ["--epochs", "3", "--resume"])
     assert int(state.step) > 0
+
+
+def test_finetune_lba_runs():
+    from geossl_tpu.train import finetune_lba
+
+    best_mse, best_test = finetune_lba.main(
+        [
+            "--synthetic", "--synthetic_size", "20", "--epochs", "1",
+            "--batch_size", "4", "--bucket", "64", "--num_devices", "1",
+        ]
+    )
+    assert np.isfinite(best_mse)
+    assert {"rmse", "pearson", "spearman"} <= set(best_test)
+
+
+def test_finetune_lep_runs():
+    from geossl_tpu.train import finetune_lep
+
+    best_roc, best_test = finetune_lep.main(
+        [
+            "--synthetic", "--synthetic_size", "48", "--epochs", "1",
+            "--batch_size", "4", "--bucket", "64", "--num_devices", "1",
+        ]
+    )
+    assert 0.0 <= best_roc <= 1.0
+    assert {"roc", "pr"} <= set(best_test)
