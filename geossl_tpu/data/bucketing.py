@@ -102,14 +102,17 @@ class BucketedLoader:
         sizes = store.num_atoms()
         self._bucket_of = np.array([pick_bucket(int(n), self.bucket_sizes) for n in sizes])
         self._epoch = 0
-        # native fast path: pack straight from the store's flat arrays when no
-        # per-sample transform intervenes
+        # native fast path: pack straight from the store's flat arrays when
+        # the transform is absent or is the BFS mask (fused in C++)
         self._native = None
-        if transform is None and not with_forces:
+        self._bfs_ratio = getattr(transform, "bfs_mask_ratio", None)
+        if (transform is None or self._bfs_ratio is not None) and not with_forces:
             try:
                 from geossl_tpu.native import packing as native_packing
 
-                if native_packing.available():
+                if native_packing.available() and (
+                    self._bfs_ratio is None or store.bond_index is not None
+                ):
                     self._native = native_packing
             except ImportError:
                 pass
@@ -136,9 +139,15 @@ class BucketedLoader:
                 if len(chunk) < self.batch_size and self.drop_last:
                     continue
                 if self._native is not None:
-                    at, pos, nm, gm, y = self._native.pack_batch_from_store(
-                        self.store, chunk, int(bucket), self.batch_size
-                    )
+                    if self._bfs_ratio is not None:
+                        at, pos, nm, gm, y = self._native.pack_batch_bfs_from_store(
+                            self.store, chunk, int(bucket), self.batch_size,
+                            self._bfs_ratio, rng,
+                        )
+                    else:
+                        at, pos, nm, gm, y = self._native.pack_batch_from_store(
+                            self.store, chunk, int(bucket), self.batch_size
+                        )
                     yield DenseMolBatch(
                         atom_type=at, positions=pos, node_mask=nm,
                         y=y, graph_mask=gm,

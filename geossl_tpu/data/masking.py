@@ -91,9 +91,14 @@ def apply_bfs_mask(
 
 
 def make_bfs_transform(mask_ratio: float):
-    """Loader transform applying BFS masking (pretrain_GeoSSL.py:296)."""
+    """Loader transform applying BFS masking (pretrain_GeoSSL.py:296).
+
+    The returned callable carries ``bfs_mask_ratio`` so BucketedLoader can
+    dispatch to the fused native BFS+pack fast path (geossl_native.cpp) —
+    the per-record Python path is ~5x slower than the TPU step it feeds."""
 
     def transform(record: MolRecord, rng: np.random.Generator) -> MolRecord:
         return apply_bfs_mask(record, rng, mask_ratio)
 
+    transform.bfs_mask_ratio = mask_ratio
     return transform

@@ -116,6 +116,57 @@ int64_t bfs_subgraph(int64_t num_nodes, const int32_t* bond_src,
     return (int64_t)kept.size();
 }
 
+// Fused BFS-mask + pack: for each selected molecule, run the random-BFS
+// kept-node selection over its bond graph and gather the kept atoms straight
+// into the padded batch buffers. This is the GeoSSL pretraining hot path
+// (mask_ratio 0.3): doing it per-record in Python is ~5x slower than the
+// TPU training step it feeds.
+void pack_batch_bfs(const int32_t* atom_flat, const float* pos_flat,
+                    const int64_t* offsets,
+                    const int32_t* bond_src_flat, const int32_t* bond_dst_flat,
+                    const int64_t* bond_offsets,
+                    const float* y_flat, int64_t y_dim,
+                    const int64_t* indices, int64_t n_select,
+                    int64_t batch_size, int64_t n_max,
+                    double mask_ratio, uint64_t seed,
+                    int32_t* out_atom, float* out_pos, uint8_t* out_node_mask,
+                    uint8_t* out_graph_mask, float* out_y) {
+    std::memset(out_atom, 0, sizeof(int32_t) * batch_size * n_max);
+    std::memset(out_pos, 0, sizeof(float) * batch_size * n_max * 3);
+    std::memset(out_node_mask, 0, batch_size * n_max);
+    std::memset(out_graph_mask, 0, batch_size);
+    if (out_y && y_flat) std::memset(out_y, 0, sizeof(float) * batch_size * y_dim);
+    std::vector<int64_t> keep;
+    uint64_t rng = seed ^ 0x9e3779b97f4a7c15ULL;
+    for (int64_t i = 0; i < n_select; ++i) {
+        const int64_t mol = indices[i];
+        const int64_t s = offsets[mol], e = offsets[mol + 1];
+        const int64_t n = e - s;
+        out_graph_mask[i] = 1;
+        int64_t kept_n;
+        keep.resize(n);
+        if (mask_ratio <= 0.0 || n <= 1) {
+            kept_n = n;
+            for (int64_t k = 0; k < n; ++k) keep[k] = k;
+        } else {
+            const int64_t bs = bond_offsets[mol], be = bond_offsets[mol + 1];
+            kept_n = bfs_subgraph(n, bond_src_flat + bs, bond_dst_flat + bs,
+                                  be - bs, mask_ratio, splitmix64(rng),
+                                  keep.data());
+        }
+        for (int64_t k = 0; k < kept_n; ++k) {
+            const int64_t src = s + keep[k];
+            out_atom[i * n_max + k] = atom_flat[src];
+            std::memcpy(out_pos + (i * n_max + k) * 3, pos_flat + src * 3,
+                        sizeof(float) * 3);
+            out_node_mask[i * n_max + k] = 1;
+        }
+        if (out_y && y_flat)
+            std::memcpy(out_y + i * y_dim, y_flat + mol * y_dim,
+                        sizeof(float) * y_dim);
+    }
+}
+
 // All ordered pairs (i, j), i != j, with |pos_i - pos_j| < r.
 // Returns count; writes up to cap pairs.
 int64_t radius_edges(const float* pos, int64_t n, double r,

@@ -59,6 +59,12 @@ def _load() -> Optional[ctypes.CDLL]:
             P(i32), P(f32), P(u8), P(u8), P(f32),
         ]
         lib.pack_batch.restype = None
+        lib.pack_batch_bfs.argtypes = [
+            P(i32), P(f32), P(i64), P(i32), P(i32), P(i64), P(f32), i64,
+            P(i64), i64, i64, i64, dbl, u64,
+            P(i32), P(f32), P(u8), P(u8), P(f32),
+        ]
+        lib.pack_batch_bfs.restype = None
         lib.bfs_subgraph.argtypes = [i64, P(i32), P(i32), i64, dbl, u64, P(i64)]
         lib.bfs_subgraph.restype = i64
         lib.radius_edges.argtypes = [P(f32), i64, dbl, P(i32), P(i32), i64]
@@ -97,6 +103,42 @@ def pack_batch_from_store(store, indices: np.ndarray, n_max: int, batch_size: in
         y_dim,
         _ptr(indices, ctypes.c_int64),
         len(indices), batch_size, n_max,
+        _ptr(atom, ctypes.c_int32), _ptr(pos, ctypes.c_float),
+        _ptr(node_mask, ctypes.c_uint8), _ptr(graph_mask, ctypes.c_uint8),
+        _ptr(out_y, ctypes.c_float) if y_dim else null_f32,
+    )
+    return atom, pos, node_mask.astype(bool), graph_mask.astype(bool), out_y
+
+
+def pack_batch_bfs_from_store(store, indices: np.ndarray, n_max: int,
+                              batch_size: int, mask_ratio: float,
+                              rng: np.random.Generator):
+    """Fused BFS-mask + pack straight from MolStore flat arrays — the GeoSSL
+    pretraining hot path (see geossl_native.cpp)."""
+    lib = _load()
+    assert lib is not None
+    assert store.bond_index is not None and store.bond_offsets is not None
+    indices = np.ascontiguousarray(indices, np.int64)
+    atom = np.empty((batch_size, n_max), np.int32)
+    pos = np.empty((batch_size, n_max, 3), np.float32)
+    node_mask = np.empty((batch_size, n_max), np.uint8)
+    graph_mask = np.empty((batch_size,), np.uint8)
+    y_flat = store.y
+    y_dim = 0 if y_flat is None else int(np.atleast_2d(y_flat).shape[1])
+    out_y = np.empty((batch_size, y_dim), np.float32) if y_dim else None
+    null_f32 = ctypes.POINTER(ctypes.c_float)()
+    seed = int(rng.integers(0, 2**63 - 1))
+    bond = np.ascontiguousarray(store.bond_index, np.int32)
+    lib.pack_batch_bfs(
+        _ptr(np.ascontiguousarray(store.atom_type), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(store.positions), ctypes.c_float),
+        _ptr(np.ascontiguousarray(store.offsets), ctypes.c_int64),
+        _ptr(bond[0], ctypes.c_int32), _ptr(bond[1], ctypes.c_int32),
+        _ptr(np.ascontiguousarray(store.bond_offsets), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(y_flat, np.float32), ctypes.c_float) if y_dim else null_f32,
+        y_dim,
+        _ptr(indices, ctypes.c_int64), len(indices), batch_size, n_max,
+        float(mask_ratio), seed,
         _ptr(atom, ctypes.c_int32), _ptr(pos, ctypes.c_float),
         _ptr(node_mask, ctypes.c_uint8), _ptr(graph_mask, ctypes.c_uint8),
         _ptr(out_y, ctypes.c_float) if y_dim else null_f32,

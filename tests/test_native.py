@@ -66,3 +66,34 @@ def test_native_radius_edges_match_numpy():
     got_set = set(map(tuple, got.tolist()))
     ref_set = set(map(tuple, ref.tolist()))
     assert got_set == ref_set
+
+
+def test_native_bfs_pack_matches_reference_semantics():
+    """Fused C++ BFS+pack: kept counts follow the reference formula, kept
+    atoms are a subset of the molecule, padding/graph masks correct."""
+    from geossl_tpu.data.bucketing import BucketedLoader
+    from geossl_tpu.data.masking import make_bfs_transform
+
+    store = synthetic_qm9(30, seed=7)
+    loader = BucketedLoader(
+        store, batch_size=8, bucket_sizes=(32,), shuffle=False, seed=0,
+        transform=make_bfs_transform(0.3),
+    )
+    assert loader._native is not None and loader._bfs_ratio == 0.3
+    counts = store.num_atoms()
+    seen = 0
+    for b in loader.epoch(0):
+        for row in range(8):
+            if not b.graph_mask[row]:
+                continue
+            n = int(counts[seen])
+            kept = int(b.node_mask[row].sum())
+            assert kept == min(n, int(n * 0.7) + 1)
+            orig = store.get(seen)
+            orig_rows = {tuple(r) for r in orig.positions.tolist()}
+            for k in range(kept):
+                assert tuple(b.positions[row, k].tolist()) in orig_rows
+            # padding stays zeroed
+            assert not b.node_mask[row, kept:].any()
+            seen += 1
+    assert seen == 30
