@@ -124,7 +124,9 @@ def main(argv=None):
         for b in pmesh.prefetch(train_loader.epoch(epoch), mesh):
             state, loss = train_step(state, b)
             losses.append(loss)
-        train_loss = float(np.mean([float(l) for l in losses]))
+        # one device->host transfer per epoch (per-scalar float() costs
+        # ~ms over the remote-TPU tunnel x steps/epoch)
+        train_loss = float(jnp.mean(jnp.stack(losses)))
         val = evaluate(state.params, valid_loader)
         test = evaluate(state.params, test_loader)
         print(

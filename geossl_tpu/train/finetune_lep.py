@@ -168,7 +168,9 @@ def main(argv=None):
         for d in pmesh.prefetch(loaders["train"].epoch(epoch), mesh):
             state, loss = train_step(state, d)
             losses.append(loss)
-        train_loss = float(np.mean([float(l) for l in losses]))
+        # one device->host transfer per epoch (per-scalar float() costs
+        # ~ms over the remote-TPU tunnel x steps/epoch)
+        train_loss = float(jnp.mean(jnp.stack(losses)))
         val, test = evaluate(state.params, loaders["val"]), evaluate(
             state.params, loaders["test"]
         )

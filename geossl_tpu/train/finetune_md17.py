@@ -168,7 +168,9 @@ def main(argv=None):
         for b in pmesh.prefetch(train_loader.epoch(epoch), mesh):
             state, loss = train_step(state, b)
             losses.append(loss)
-        train_loss = float(np.mean([float(l) for l in losses]))
+        # one device->host transfer per epoch (per-scalar float() costs
+        # ~ms over the remote-TPU tunnel x steps/epoch)
+        train_loss = float(jnp.mean(jnp.stack(losses)))
         val_e, val_f = evaluate(ef_jit, state.params, valid_loader, mesh)
         test_e, test_f = evaluate(ef_jit, state.params, test_loader, mesh)
         print(

@@ -160,7 +160,9 @@ def main(argv=None):
         for b in pmesh.prefetch(train_loader.epoch(epoch), mesh):
             state, loss = train_step(state, b, mean, std)
             losses.append(loss)
-        train_loss = float(np.mean([float(l) for l in losses]))
+        # one device->host transfer per epoch (per-scalar float() costs
+        # ~ms over the remote-TPU tunnel x steps/epoch)
+        train_loss = float(jnp.mean(jnp.stack(losses)))
         vp, vt = evaluate(eval_step, state.params, valid_loader, mean, std, mesh)
         tp, tt = evaluate(eval_step, state.params, test_loader, mean, std, mesh)
         val_mae, test_mae = metrics.mae(vt, vp), metrics.mae(tt, tp)

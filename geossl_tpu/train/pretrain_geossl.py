@@ -240,8 +240,10 @@ def main(argv=None):
             state, loss, acc = train_step(state, b, epoch_key)
             losses.append(loss)
             accs.append(acc)
-        mean_loss = float(np.mean([float(l) for l in losses]))
-        mean_acc = float(np.mean([float(a) for a in accs]))
+        # one device->host transfer per epoch (per-scalar float() costs
+        # ~ms over the remote-TPU tunnel x steps/epoch)
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        mean_acc = float(jnp.mean(jnp.stack(accs)))
         saved = saver.maybe_save_best(
             mean_loss, {"model": jax.device_get(state.params[0]["model"])}
         )
