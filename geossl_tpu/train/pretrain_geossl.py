@@ -69,6 +69,11 @@ def build_parser():
     p.add_argument("--detach_target", action="store_true", default=True)
     p.add_argument("--resume", action="store_true",
                    help="resume from <output_model_dir>/state.ckpt if present")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="train steps fused into one dispatch via lax.scan; "
+                        "useful when per-dispatch latency dominates (default "
+                        "1: on this setup the residual epoch cost is batch "
+                        "transfer bandwidth, not dispatch count)")
     p.set_defaults(lr=5e-4, epochs=100)
     return p
 
@@ -160,7 +165,10 @@ def main(argv=None):
 
     def loss_fn(params_and_vars, batch, rng):
         params, variables = params_and_vars
-        k_view, k_sel, k1, k2 = jax.random.split(rng, 4)
+        if isinstance(rng, tuple):
+            k_view, k_sel, k1, k2 = rng
+        else:
+            k_view, k_sel, k1, k2 = jax.random.split(rng, 4)
         (pos1, g1, h1), (pos2, g2, h2) = two_views(params["model"], batch, k_view)
         new_vars = variables
         if option == "DDM":
@@ -221,6 +229,30 @@ def main(argv=None):
         new_state = new_state.replace(params=(new_state.params[0], new_vars))
         return new_state, loss, acc
 
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def multi_step(state, stacked, epoch_key, k):
+        """Run k train steps in ONE dispatch: lax.scan over stacked batches
+        (leading axis k). Amortizes the per-dispatch latency of the training
+        loop — ~10 ms/step through a remote-TPU tunnel."""
+
+        def body(st, batch):
+            k_view, k_sel, k1, k2 = jax.random.split(
+                jax.random.fold_in(epoch_key, st.step), 4
+            )
+            (loss, (acc, new_vars)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(st.params, batch, (k_view, k_sel, k1, k2))
+            grads = (grads[0], jax.tree_util.tree_map(jnp.zeros_like, grads[1]))
+            st = common.apply_updates(st, grads, tx)
+            st = st.replace(params=(st.params[0], new_vars))
+            return st, (loss, acc)
+
+        state, (losses, accs) = jax.lax.scan(body, state, stacked, length=k)
+        return state, losses, accs
+
+    def stack_batches(batches):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
     saver = checkpoints.BestModelSaver(args.output_model_dir)
     start_epoch = 1
     state_path = (
@@ -236,14 +268,39 @@ def main(argv=None):
         timer = common.EpochTimer()
         epoch_key = jax.random.PRNGKey(hash((args.seed + 1, epoch)) % (2**31))
         losses, accs = [], []
-        for b in pmesh.prefetch(loader.epoch(epoch), mesh):
-            state, loss, acc = train_step(state, b, epoch_key)
-            losses.append(loss)
-            accs.append(acc)
+        k = max(1, args.steps_per_call)
+        pending = []
+        def flush():
+            nonlocal state, pending
+            if not pending:
+                return
+            if len(pending) == 1 and k > 1:
+                st, loss, acc = train_step(state, pending[0], epoch_key)
+                state, ls, ac = st, loss[None] if loss.ndim == 0 else loss, acc
+                losses.append(jnp.atleast_1d(ls))
+                accs.append(jnp.atleast_1d(ac))
+            else:
+                state, ls, ac = multi_step(
+                    state, stack_batches(pending), epoch_key, len(pending)
+                )
+                losses.append(ls)
+                accs.append(ac)
+            pending = []
+        if k == 1:
+            for b in pmesh.prefetch(loader.epoch(epoch), mesh):
+                state, loss, acc = train_step(state, b, epoch_key)
+                losses.append(jnp.atleast_1d(loss))
+                accs.append(jnp.atleast_1d(acc))
+        else:
+            for b in pmesh.prefetch(loader.epoch(epoch), mesh):
+                pending.append(b)
+                if len(pending) == k:
+                    flush()
+            flush()
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
-        mean_loss = float(jnp.mean(jnp.stack(losses)))
-        mean_acc = float(jnp.mean(jnp.stack(accs)))
+        mean_loss = float(jnp.mean(jnp.concatenate(losses)))
+        mean_acc = float(jnp.mean(jnp.concatenate(accs)))
         saved = saver.maybe_save_best(
             mean_loss, {"model": jax.device_get(state.params[0]["model"])}
         )
