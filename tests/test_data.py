@@ -170,3 +170,30 @@ def test_scaffold_split_group_integrity():
             assert sum(memberships) == 1
         tr2, va2, te2 = sp.random_scaffold_split(smiles, seed=1)
         assert len(tr2) + len(va2) + len(te2) <= 20  # groups may overflow test
+
+
+def test_exact_bucket_size_molecule():
+    """A molecule with exactly bucket-size atoms must fit (no off-by-one)."""
+    from geossl_tpu.data.store import MolRecord, MolStore
+    from geossl_tpu.data.bucketing import BucketedLoader
+
+    rec = MolRecord(
+        atom_type=np.arange(32, dtype=np.int32) % 9,
+        positions=np.random.default_rng(0).normal(size=(32, 3)).astype(np.float32),
+    )
+    store = MolStore.from_records([rec])
+    loader = BucketedLoader(store, batch_size=4, bucket_sizes=(32,), shuffle=False)
+    b = next(iter(loader.epoch(0)))
+    assert b.node_mask[0].all()
+    assert b.graph_mask.sum() == 1
+
+
+def test_single_molecule_dataset():
+    from geossl_tpu.data.bucketing import BucketedLoader
+    from geossl_tpu.data.synthetic import synthetic_qm9
+
+    store = synthetic_qm9(1, seed=9)
+    loader = BucketedLoader(store, batch_size=8, bucket_sizes=(32,))
+    batches = list(loader.epoch(0))
+    assert len(batches) == 1
+    assert batches[0].graph_mask.sum() == 1

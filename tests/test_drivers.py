@@ -61,7 +61,7 @@ def test_finetune_md17_force_path():
     assert np.isfinite(best_val_force)
 
 
-@pytest.mark.parametrize("objective", ["charge", "distance", "infograph"])
+@pytest.mark.parametrize("objective", ["charge", "distance", "infograph", "torsion", "supervised"])
 def test_pretrain_baselines(objective):
     from geossl_tpu.train import pretrain_baselines
 
