@@ -1,6 +1,8 @@
 from geossl_tpu.objectives.autoencoder import AutoEncoder
 from geossl_tpu.objectives.contrastive import (
     cycle_shift,
+    do_cl,
+    dual_cl,
     dual_infonce_loss,
     ebm_nce_loss,
     infonce_loss,

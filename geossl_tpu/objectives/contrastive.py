@@ -96,3 +96,46 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     """F.normalize equivalent (``pretrain_GeoSSL.py:92-93``)."""
     n = jnp.linalg.norm(x, axis=axis, keepdims=True)
     return x / jnp.maximum(n, eps)
+
+
+def do_cl(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    similarity_metric: str = "InfoNCE_dot_prod",
+    temperature: float = 0.1,
+    num_neg: int = 1,
+    graph_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Generic contrastive loss dispatch (``util.py:25-58``):
+    'InfoNCE_dot_prod' = CE over B×B logits/T; 'EBM_dot_prod' = BCE on
+    temperature-scaled dot products vs cyclic-shift negatives (note the EBM
+    variant divides predictions by T and weights the negative term by
+    num_neg, matching the reference exactly)."""
+    if similarity_metric == "InfoNCE_dot_prod":
+        return infonce_loss(x, y, temperature, graph_mask)
+    if similarity_metric == "EBM_dot_prod":
+        pred_pos = jnp.sum(x * y, axis=1) / temperature
+        negs = [
+            jnp.sum(x * cycle_shift(y, k + 1), axis=1) / temperature
+            for k in range(num_neg)
+        ]
+        pred_neg = jnp.concatenate(negs, axis=0)
+        neg_mask = None
+        if graph_mask is not None:
+            neg_mask = jnp.concatenate([graph_mask] * num_neg, axis=0)
+        loss_pos = _bce_logits(pred_pos, jnp.ones_like(pred_pos), graph_mask)
+        loss_neg = _bce_logits(pred_neg, jnp.zeros_like(pred_neg), neg_mask)
+        loss = loss_pos + num_neg * loss_neg  # util.py:48 (no averaging)
+        acc = (jnp.sum(pred_pos > 0) + jnp.sum(pred_neg < 0)) / (
+            pred_pos.shape[0] + pred_neg.shape[0]
+        )
+        return loss, acc
+    raise ValueError(f"unknown similarity metric {similarity_metric!r}")
+
+
+def dual_cl(x, y, similarity_metric="InfoNCE_dot_prod", temperature=0.1,
+            num_neg=1, graph_mask=None):
+    """Symmetric contrastive loss (``util.py:61-64``)."""
+    l1, a1 = do_cl(x, y, similarity_metric, temperature, num_neg, graph_mask)
+    l2, a2 = do_cl(y, x, similarity_metric, temperature, num_neg, graph_mask)
+    return (l1 + l2) / 2, (a1 + a2) / 2

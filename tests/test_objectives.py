@@ -244,3 +244,17 @@ def test_ncsn_fused_matches_xla():
     gp = jax.grad(loss(m_pal), argnums=(0, 1))(params, h)
     for a, b_ in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=1e-4)
+
+
+def test_do_cl_dispatch():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+    y = x + 0.01 * jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+    for metric in ("InfoNCE_dot_prod", "EBM_dot_prod"):
+        loss, acc = obj.dual_cl(x, y, similarity_metric=metric)
+        assert np.isfinite(float(loss))
+        assert 0.0 <= float(acc) <= 1.0
+    # InfoNCE path must equal the dedicated implementation
+    l1, _ = obj.do_cl(x, y, "InfoNCE_dot_prod", temperature=0.2)
+    l2, _ = obj.infonce_loss(x, y, temperature=0.2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
