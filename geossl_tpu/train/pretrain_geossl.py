@@ -275,10 +275,9 @@ def main(argv=None):
             if not pending:
                 return
             if len(pending) == 1 and k > 1:
-                st, loss, acc = train_step(state, pending[0], epoch_key)
-                state, ls, ac = st, loss[None] if loss.ndim == 0 else loss, acc
-                losses.append(jnp.atleast_1d(ls))
-                accs.append(jnp.atleast_1d(ac))
+                state, loss, acc = train_step(state, pending[0], epoch_key)
+                losses.append(jnp.atleast_1d(loss))
+                accs.append(jnp.atleast_1d(acc))
             else:
                 state, ls, ac = multi_step(
                     state, stack_batches(pending), epoch_key, len(pending)

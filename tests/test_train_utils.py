@@ -53,3 +53,38 @@ def test_best_model_saver(tmp_path):
     saver.save_final(tree)
     assert (tmp_path / "model.ckpt").exists()
     assert (tmp_path / "model_final.ckpt").exists()
+
+
+def test_config_presets_match_published_protocols():
+    """The Config presets mirror the reference's sweep hyperparameters
+    (SURVEY.md §2.7)."""
+    from geossl_tpu import config as C
+
+    ddm = C.preset_pretrain_ddm()
+    assert ddm.train.batch_size == 128 and ddm.train.epochs == 100
+    assert ddm.train.lr == 5e-4 and ddm.geossl.option == "DDM"
+    assert ddm.data.dataset == "Molecule3D_1000000"
+    assert ddm.geossl.sm_num_noise_level == 50
+    assert ddm.geossl.sm_sigma_begin == 10.0 and ddm.geossl.sm_sigma_end == 0.01
+
+    qm9 = C.preset_finetune_qm9(task="mu")
+    assert qm9.train.epochs == 1000 and qm9.train.lr == 5e-4
+    assert qm9.data.split == "customized_01" and qm9.train.loss == "mae"
+
+    md17 = C.preset_finetune_md17()
+    assert md17.train.md17_train_batch_size == 5
+    assert md17.train.md17_energy_coeff == 0.05
+    assert md17.train.md17_force_coeff == 0.95
+
+    lba = C.preset_finetune_lba()
+    assert lba.train.batch_size == 64 and lba.train.lr == 1e-4
+    assert lba.train.epochs == 300
+
+    lep = C.preset_finetune_lep()
+    assert lep.train.batch_size == 16
+
+    # model defaults match the published SchNet/PaiNN configs
+    m = C.ModelConfig()
+    assert m.schnet.num_gaussians == 51 and m.schnet.cutoff == 10.0
+    assert m.painn.cutoff == 5.0 and m.painn.n_rbf == 20
+    assert m.painn.n_interactions == 3
