@@ -162,3 +162,25 @@ def test_forces_finite_and_match_fd(schnet_setup):
 
     g2 = jax.grad(force_loss)(jnp.asarray(pp)[None])
     assert np.all(np.isfinite(np.asarray(g2)))
+
+
+def test_bf16_compute_close_to_f32(schnet_setup):
+    """--compute_dtype bfloat16 path: outputs within bf16 tolerance of f32."""
+    _, params = schnet_setup
+    rng = np.random.default_rng(9)
+    z, pos = _random_mol(rng, 6)
+    zp, pp, m = _pad(z, pos, 8)
+    kwargs = dict(hidden_channels=32, num_filters=32, num_interactions=3,
+                  num_gaussians=17, cutoff=4.0, node_class=9, readout="mean")
+    out32, _ = SchNet(**kwargs).apply(
+        {"params": params}, jnp.asarray(zp)[None], jnp.asarray(pp)[None],
+        jnp.asarray(m)[None],
+    )
+    out16, _ = SchNet(**kwargs, dtype=jnp.bfloat16).apply(
+        {"params": params}, jnp.asarray(zp)[None], jnp.asarray(pp)[None],
+        jnp.asarray(m)[None],
+    )
+    assert out16.dtype == jnp.float32  # pooled output upcast
+    np.testing.assert_allclose(
+        np.asarray(out32), np.asarray(out16), rtol=0.1, atol=0.05
+    )
