@@ -25,8 +25,9 @@ def bfs_subgraph_indices(
     """Return the sorted kept-node indices (reference ``subgraph`` :24-44)."""
     sub_num = int(num_nodes * (1 - mask_ratio))
     neighbors = [[] for _ in range(num_nodes)]
-    for k in range(bond_index.shape[1]):
-        neighbors[int(bond_index[0, k])].append(int(bond_index[1, k]))
+    if bond_index is not None and bond_index.size:
+        for k in range(bond_index.shape[1]):
+            neighbors[int(bond_index[0, k])].append(int(bond_index[1, k]))
 
     idx_sub = [int(rng.integers(num_nodes))]
     in_sub = np.zeros(num_nodes, bool)

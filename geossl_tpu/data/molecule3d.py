@@ -38,7 +38,12 @@ def build_molecule3d(root: str, limit: Optional[int] = None) -> MolStore:
     for shard in SDF_SHARDS:
         path = os.path.join(raw, shard)
         if not os.path.exists(path):
-            continue
+            # properties.csv rows are indexed by global molecule order; a
+            # missing shard would silently misalign every later label
+            raise FileNotFoundError(
+                f"Molecule3D shard {shard} missing under {raw}; all shards "
+                "are required to keep property rows aligned"
+            )
         suppl = Chem.SDMolSupplier(path, removeHs=False, sanitize=True)
         for mol in suppl:
             if mol is None:

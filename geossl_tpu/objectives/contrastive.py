@@ -4,6 +4,11 @@ Reference: ``examples/pretrain_GeoSSL.py:68-176`` and ``examples/util.py:19-64``
 View 2 is always the same atoms at positions + N(mu, sigma) noise
 (``perturb``, ``pretrain_GeoSSL.py:68-74``); negatives come from cyclic batch
 shifts (``util.py:19-22``).
+
+Padding semantics: the reference's final batch is genuinely smaller; padded
+graph slots here would otherwise act as fake zero-vector negatives. Whenever
+``graph_mask`` is given, padded slots are excluded from InfoNCE's logit
+columns, from EBM negative pairs, and from every accuracy denominator.
 """
 
 from __future__ import annotations
@@ -38,6 +43,45 @@ def _bce_logits(logits, labels, weights=None):
     return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _masked_frac(pred_ok, weights):
+    if weights is None:
+        return jnp.mean(pred_ok.astype(jnp.float32)), jnp.asarray(
+            pred_ok.shape[0], jnp.float32
+        )
+    w = weights.astype(jnp.float32)
+    return jnp.sum(pred_ok * w), jnp.sum(w)
+
+
+def _ebm_terms(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    num_neg: int,
+    temperature: float,
+    graph_mask: Optional[jnp.ndarray],
+):
+    """Shared EBM machinery: positive/negative BCE terms + accuracy.
+
+    Negative pairs where either side is a padded slot are excluded (the
+    reference never forms them — its batches are unpadded)."""
+    pred_pos = jnp.sum(x * y, axis=1) / temperature
+    negs, masks = [], []
+    for k in range(num_neg):
+        negs.append(jnp.sum(x * cycle_shift(y, k + 1), axis=1) / temperature)
+        if graph_mask is not None:
+            masks.append(graph_mask & cycle_shift(graph_mask, k + 1))
+    pred_neg = jnp.concatenate(negs, axis=0)
+    neg_mask = jnp.concatenate(masks, axis=0) if masks else None
+    loss_pos = _bce_logits(pred_pos, jnp.ones_like(pred_pos), graph_mask)
+    loss_neg = _bce_logits(pred_neg, jnp.zeros_like(pred_neg), neg_mask)
+    ok_pos, n_pos = _masked_frac(pred_pos > 0, graph_mask)
+    ok_neg, n_neg = _masked_frac(pred_neg < 0, neg_mask)
+    if graph_mask is None:
+        acc = (ok_pos * n_pos + ok_neg * n_neg) / (n_pos + n_neg)
+    else:
+        acc = (ok_pos + ok_neg) / jnp.maximum(n_pos + n_neg, 1.0)
+    return loss_pos, loss_neg, acc
+
+
 def ebm_nce_loss(
     x: jnp.ndarray,
     y: jnp.ndarray,
@@ -47,19 +91,8 @@ def ebm_nce_loss(
     """EBM-NCE (``pretrain_GeoSSL.py:103-138``): positive = dot(x_i, y_i),
     negatives = dot(x_i, y_{i+k}) for cyclic shifts k=1..num_neg; BCE both,
     combined (pos + num_neg·neg)/(1+num_neg). Returns (loss, accuracy)."""
-    pred_pos = jnp.sum(x * y, axis=1)
-    negs = [jnp.sum(x * cycle_shift(y, k + 1), axis=1) for k in range(num_neg)]
-    pred_neg = jnp.concatenate(negs, axis=0)
-    neg_mask = None
-    if graph_mask is not None:
-        neg_mask = jnp.concatenate([graph_mask] * num_neg, axis=0)
-    loss_pos = _bce_logits(pred_pos, jnp.ones_like(pred_pos), graph_mask)
-    loss_neg = _bce_logits(pred_neg, jnp.zeros_like(pred_neg), neg_mask)
-    loss = (loss_pos + num_neg * loss_neg) / (1 + num_neg)
-    acc = (jnp.sum(pred_pos > 0) + jnp.sum(pred_neg < 0)) / (
-        pred_pos.shape[0] + pred_neg.shape[0]
-    )
-    return loss, acc
+    loss_pos, loss_neg, acc = _ebm_terms(x, y, num_neg, 1.0, graph_mask)
+    return (loss_pos + num_neg * loss_neg) / (1 + num_neg), acc
 
 
 def infonce_loss(
@@ -69,10 +102,14 @@ def infonce_loss(
     graph_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One direction of InfoNCE (``pretrain_GeoSSL.py:159-168``):
-    CE over B×B dot-product logits / T with diagonal labels."""
+    CE over B×B dot-product logits / T with diagonal labels. Padded columns
+    are removed from the softmax (they would be zero-logit fake negatives)."""
     b = x.shape[0]
     logits = (x @ y.T) / temperature
     labels = jnp.arange(b)
+    if graph_mask is not None:
+        col_ok = graph_mask[None, :] | jnp.eye(b, dtype=bool)  # keep diagonal
+        logits = jnp.where(col_ok, logits, -1e9)
     loss_per = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     pred = jnp.argmax(logits, axis=1)
     if graph_mask is None:
@@ -108,28 +145,14 @@ def do_cl(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generic contrastive loss dispatch (``util.py:25-58``):
     'InfoNCE_dot_prod' = CE over B×B logits/T; 'EBM_dot_prod' = BCE on
-    temperature-scaled dot products vs cyclic-shift negatives (note the EBM
-    variant divides predictions by T and weights the negative term by
-    num_neg, matching the reference exactly)."""
+    temperature-scaled dot products vs cyclic-shift negatives (the EBM
+    variant divides predictions by T and combines pos + num_neg·neg WITHOUT
+    averaging, matching the reference exactly)."""
     if similarity_metric == "InfoNCE_dot_prod":
         return infonce_loss(x, y, temperature, graph_mask)
     if similarity_metric == "EBM_dot_prod":
-        pred_pos = jnp.sum(x * y, axis=1) / temperature
-        negs = [
-            jnp.sum(x * cycle_shift(y, k + 1), axis=1) / temperature
-            for k in range(num_neg)
-        ]
-        pred_neg = jnp.concatenate(negs, axis=0)
-        neg_mask = None
-        if graph_mask is not None:
-            neg_mask = jnp.concatenate([graph_mask] * num_neg, axis=0)
-        loss_pos = _bce_logits(pred_pos, jnp.ones_like(pred_pos), graph_mask)
-        loss_neg = _bce_logits(pred_neg, jnp.zeros_like(pred_neg), neg_mask)
-        loss = loss_pos + num_neg * loss_neg  # util.py:48 (no averaging)
-        acc = (jnp.sum(pred_pos > 0) + jnp.sum(pred_neg < 0)) / (
-            pred_pos.shape[0] + pred_neg.shape[0]
-        )
-        return loss, acc
+        loss_pos, loss_neg, acc = _ebm_terms(x, y, num_neg, temperature, graph_mask)
+        return loss_pos + num_neg * loss_neg, acc  # util.py:48 (no averaging)
     raise ValueError(f"unknown similarity metric {similarity_metric!r}")
 
 

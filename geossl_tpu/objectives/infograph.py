@@ -70,11 +70,17 @@ def infograph_loss(
     neg = score(neg_summary)
 
     w = node_mask.astype(jnp.float32)
+    w_neg = w
     if graph_mask is not None:
-        w = w * graph_mask.astype(jnp.float32)[:, None]
+        gm = graph_mask.astype(jnp.float32)
+        w = w * gm[:, None]
+        # a padded graph's (sigmoid-of-zero) summary must not act as a fake
+        # negative for real nodes — the reference's batches are unpadded
+        w_neg = w * cycle_shift(gm, 1)[:, None]
     denom = jnp.maximum(jnp.sum(w), 1.0)
+    denom_neg = jnp.maximum(jnp.sum(w_neg), 1.0)
     loss_pos = jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * w) / denom
-    loss_neg = jnp.sum(optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg)) * w) / denom
+    loss_neg = jnp.sum(optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg)) * w_neg) / denom_neg
     loss = loss_pos + loss_neg
-    acc = (jnp.sum((pos > 0) * w) + jnp.sum((neg < 0) * w)) / (2 * denom)
+    acc = (jnp.sum((pos > 0) * w) + jnp.sum((neg < 0) * w_neg)) / (denom + denom_neg)
     return loss, acc

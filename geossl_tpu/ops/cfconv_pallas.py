@@ -30,28 +30,15 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from geossl_tpu.ops.pallas_utils import interpret as _interpret
+from geossl_tpu.ops.pallas_utils import pair_tiles
+
 
 LOG2 = math.log(2.0)
 
 
-def _interpret() -> bool:
-    # Compiled Mosaic kernels need a real TPU; everywhere else (CPU tests,
-    # the 8-virtual-device mesh) runs the interpreter.
-    return jax.default_backend() != "tpu"
-
-
 def _ssp(x):
     return jax.nn.softplus(x) - LOG2
-
-
-def _tiles(n: int):
-    tj = min(n, 128)
-    ti = min(n, max(8, 4096 // tj))
-    while n % ti:
-        ti //= 2
-    while n % tj:
-        tj //= 2
-    return ti, tj
 
 
 def _offsets(start, delta, num_g):
@@ -90,7 +77,7 @@ def _fwd_kernel(dist_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
     b, n, _ = dist.shape
     f = x.shape[-1]
-    ti, tj = _tiles(n)
+    ti, tj = pair_tiles(n, 4096)
     delta = (stop - start) / (num_g - 1)
     coeff = -0.5 / delta**2
     grid = (b, n // ti, n // tj)
@@ -157,7 +144,7 @@ def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g):
     b, n, _ = dist.shape
     f = x.shape[-1]
     f1 = w1.shape[1]
-    ti, tj = _tiles(n)
+    ti, tj = pair_tiles(n, 4096)
     delta = (stop - start) / (num_g - 1)
     coeff = -0.5 / delta**2
     grid = (b, n // ti, n // tj)

@@ -30,21 +30,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from geossl_tpu.ops.pallas_utils import interpret as _interpret
+from geossl_tpu.ops.pallas_utils import pair_tiles
 from jax.experimental.pallas import tpu as pltpu
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _tiles(n: int):
-    tj = min(n, 128)
-    ti = min(n, max(8, 2048 // tj))
-    while n % ti:
-        ti //= 2
-    while n % tj:
-        tj //= 2
-    return ti, tj
 
 
 def _tile_forward(dist_ref, noise_ref, ui_ref, uj_ref, sig, params, ti, tj):
@@ -105,7 +94,7 @@ def _fwd_pallas(dist, noise, sel, sigma, u,
                 w_d1, b_d1, w_d2, b_d2, w_od, b_od, w2, b2, w3, b3, anneal):
     b, n, _ = dist.shape
     emb = u.shape[-1]
-    ti, tj = _tiles(n)
+    ti, tj = pair_tiles(n, 2048)
     weights = _prep_weights(w_d1, b_d1, w_d2, b_d2, w_od, b_od, w2, b2, w3, b3)
     pair = pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j))
     kernel = partial(_fwd_kernel, anneal=anneal, ti=ti, tj=tj)
@@ -190,7 +179,7 @@ def _bwd_pallas(dist, noise, sel, sigma, u, g_rows,
                 w_d1, b_d1, w_d2, b_d2, w_od, b_od, w2, b2, w3, b3, anneal):
     b, n, _ = dist.shape
     emb = u.shape[-1]
-    ti, tj = _tiles(n)
+    ti, tj = pair_tiles(n, 2048)
     n_it = n // ti
     weights = _prep_weights(w_d1, b_d1, w_d2, b_d2, w_od, b_od, w2, b2, w3, b3)
     pair = pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j))

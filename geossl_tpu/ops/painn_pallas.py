@@ -30,24 +30,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from geossl_tpu.ops.pallas_utils import interpret as _interpret
+from geossl_tpu.ops.pallas_utils import pair_tiles
 
 
 def _offsets(cutoff, num_r):
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, num_r), 2).astype(jnp.float32)
     return ids * (cutoff / (num_r - 1))
-
-
-def _tiles(n: int):
-    tj = min(n, 128)
-    ti = min(n, max(8, 2048 // tj))
-    while n % ti:
-        ti //= 2
-    while n % tj:
-        tj //= 2
-    return ti, tj
 
 
 def _gated_filters(d2, gate2, wk_ref, bk_ref, cutoff, num_r, coeff, ti, tj):
@@ -99,7 +88,7 @@ def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
     f3 = x.shape[-1]
     f = f3 // 3
     num_r = wk.shape[0]
-    ti, tj = _tiles(n)
+    ti, tj = pair_tiles(n, 2048)
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
     kernel = partial(_fwd_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,
@@ -202,7 +191,7 @@ def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu):
     f3 = x.shape[-1]
     f = f3 // 3
     num_r = wk.shape[0]
-    ti, tj = _tiles(n)
+    ti, tj = pair_tiles(n, 2048)
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
     kernel = partial(_bwd_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,

@@ -32,14 +32,17 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
-def save_train_state(path: str, state, epoch: int) -> None:
-    """Full-state checkpoint (params + optimizer state + step + epoch) for
-    mid-training resume. The reference restarts killed jobs from scratch
-    (SURVEY.md §5.3); this is the elastic-recovery extension."""
+def save_train_state(path: str, state, epoch: int,
+                     best_metric: float = float("inf")) -> None:
+    """Full-state checkpoint (params + optimizer state + step + epoch +
+    best-so-far metric) for mid-training resume. The reference restarts
+    killed jobs from scratch (SURVEY.md §5.3); this is the elastic-recovery
+    extension."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {
         "state": serialization.to_state_dict(jax.device_get(state)),
         "epoch": epoch,
+        "best_metric": float(best_metric),
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -50,12 +53,13 @@ def save_train_state(path: str, state, epoch: int) -> None:
 
 
 def load_train_state(path: str, state_template):
-    """Restore (state, epoch) from ``save_train_state`` output; the template
-    provides the pytree structure (freshly created TrainState)."""
+    """Restore (state, epoch, best_metric) from ``save_train_state`` output;
+    the template provides the pytree structure (freshly created TrainState)."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     state = serialization.from_state_dict(state_template, payload["state"])
-    return state, int(payload["epoch"])
+    best = float(payload.get("best_metric", float("inf")))
+    return state, int(payload["epoch"]), best
 
 
 class BestModelSaver:

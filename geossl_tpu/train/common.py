@@ -142,13 +142,30 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--input_model_file", default="")
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel devices (default: all)")
-    p.add_argument("--bucket", type=int, default=32, help="max atoms per molecule")
+    p.add_argument("--bucket", type=int, nargs="+", default=[32],
+                   help="padded bucket size(s); molecules fall into the "
+                        "smallest bucket that fits (e.g. --bucket 32 64 128)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", default="auto", choices=["auto", "on", "off"],
                    help="fused CFConv kernel (auto: on for TPU backends; "
                         "always off for MD17's second-order force path)")
     return p
+
+
+def buckets(args) -> tuple:
+    """Sorted bucket ladder from --bucket (int or list)."""
+    b = args.bucket
+    if isinstance(b, int):
+        b = [b]
+    return tuple(sorted(b))
+
+
+def round_batch_to_mesh(batch_size: int, mesh) -> int:
+    """Pad the batch size up to a multiple of the data-parallel mesh so the
+    leading-axis sharding always divides evenly (loaders pad partial batches
+    with graph_mask=False slots)."""
+    return batch_size + (-batch_size) % mesh.size
 
 
 def _resolve_use_pallas(args, allow: bool = True) -> bool:

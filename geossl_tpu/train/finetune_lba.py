@@ -33,7 +33,7 @@ def build_parser():
     common.add_common_args(p)
     p.add_argument("--LBA_year", type=int, default=2020)
     p.add_argument("--split", default="random", choices=["random", "atom3d_lba_split30"])
-    p.set_defaults(lr=1e-4, epochs=300, batch_size=64, bucket=512)
+    p.set_defaults(lr=1e-4, epochs=300, batch_size=64, bucket=[512])
     return p
 
 
@@ -44,7 +44,7 @@ def main(argv=None):
         from geossl_tpu.data.synthetic import synthetic_lba
 
         store = synthetic_lba(
-            args.synthetic_size, max_atoms=min(400, args.bucket - 16)
+            args.synthetic_size, max_atoms=min(400, common.buckets(args)[-1] - 16)
         )
     else:
         store = load_lba(args.data_root, year=args.LBA_year)
@@ -62,16 +62,16 @@ def main(argv=None):
     head = LinearHead()
     rng = jax.random.PRNGKey(args.seed)
     params = {
-        "model": common.init_backbone(module, rng, n_max=args.bucket),
+        "model": common.init_backbone(module, rng, n_max=common.buckets(args)[-1]),
         "graph_pred_linear": head.init(rng, jnp.zeros((2, args.emb_dim)))["params"],
     }
     if args.input_model_file:
         params["model"] = checkpoints.load_checkpoint(args.input_model_file)["model"]
         print(f"Loaded pretrained backbone from {args.input_model_file}")
 
-    bs = args.batch_size + (-args.batch_size) % mesh.size
+    bs = common.round_batch_to_mesh(args.batch_size, mesh)
     loaders = [
-        BucketedLoader(s, bs, (args.bucket,), shuffle=(i == 0), seed=args.seed)
+        BucketedLoader(s, bs, common.buckets(args), shuffle=(i == 0), seed=args.seed)
         for i, s in enumerate((train_store, valid_store, test_store))
     ]
     train_loader, valid_loader, test_loader = loaders

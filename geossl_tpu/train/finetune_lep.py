@@ -77,7 +77,7 @@ class DualLoader:
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     common.add_common_args(p)
-    p.set_defaults(lr=1e-4, epochs=300, batch_size=16, bucket=512)
+    p.set_defaults(lr=1e-4, epochs=300, batch_size=16, bucket=[512])
     return p
 
 
@@ -88,7 +88,7 @@ def main(argv=None):
         from geossl_tpu.data.synthetic import synthetic_lep
 
         act, inact, labels = synthetic_lep(
-            args.synthetic_size, max_atoms=min(300, args.bucket - 16)
+            args.synthetic_size, max_atoms=min(300, common.buckets(args)[-1] - 16)
         )
         tr, va, te = random_split(len(labels), seed=args.seed)
         splits = {
@@ -107,7 +107,7 @@ def main(argv=None):
     head = DualHead()
     rng = jax.random.PRNGKey(args.seed)
     params = {
-        "model": common.init_backbone(module, rng, n_max=args.bucket),
+        "model": common.init_backbone(module, rng, n_max=common.buckets(args)[-1]),
         "graph_pred_linear": head.init(
             rng, jnp.zeros((2, args.emb_dim)), jnp.zeros((2, args.emb_dim))
         )["params"],
@@ -116,9 +116,10 @@ def main(argv=None):
         params["model"] = checkpoints.load_checkpoint(args.input_model_file)["model"]
         print(f"Loaded pretrained backbone from {args.input_model_file}")
 
-    bs = args.batch_size + (-args.batch_size) % mesh.size
+    bs = common.round_batch_to_mesh(args.batch_size, mesh)
+    n_max = common.buckets(args)[-1]
     loaders = {
-        k: DualLoader(a, i, y, bs, args.bucket, shuffle=(k == "train"), seed=args.seed)
+        k: DualLoader(a, i, y, bs, n_max, shuffle=(k == "train"), seed=args.seed)
         for k, (a, i, y) in splits.items()
     }
 

@@ -127,7 +127,7 @@ def main(argv=None):
     head = LinearHead()
     rng = jax.random.PRNGKey(args.seed)
     params = {
-        "model": common.init_backbone(module, rng, n_max=args.bucket),
+        "model": common.init_backbone(module, rng, n_max=common.buckets(args)[-1]),
         "graph_pred_linear": head.init(rng, jnp.zeros((2, args.emb_dim)))["params"],
     }
     if args.input_model_file:
@@ -139,15 +139,16 @@ def main(argv=None):
     train_bs = max(args.MD17_train_batch_size, mesh.size)
     train_bs += (-train_bs) % mesh.size
     eval_bs = args.eval_batch_size + (-args.eval_batch_size) % mesh.size
+    bucket_sizes = common.buckets(args)
     train_loader = BucketedLoader(
-        train_store, train_bs, (args.bucket,), shuffle=True, seed=args.seed,
+        train_store, train_bs, bucket_sizes, shuffle=True, seed=args.seed,
         with_forces=True,
     )
     valid_loader = BucketedLoader(
-        valid_store, eval_bs, (args.bucket,), shuffle=False, with_forces=True
+        valid_store, eval_bs, bucket_sizes, shuffle=False, with_forces=True
     )
     test_loader = BucketedLoader(
-        test_store, eval_bs, (args.bucket,), shuffle=False, with_forces=True
+        test_store, eval_bs, bucket_sizes, shuffle=False, with_forces=True
     )
 
     tx = optim.make_optimizer(

@@ -118,7 +118,8 @@ def main(argv=None):
     module, backbone_apply = common.make_backbone(cfg)
     head = LinearHead()
     rng = jax.random.PRNGKey(args.seed)
-    backbone_params = common.init_backbone(module, rng, n_max=args.bucket)
+    bucket_sizes = common.buckets(args)
+    backbone_params = common.init_backbone(module, rng, n_max=bucket_sizes[-1])
     head_params = head.init(rng, jnp.zeros((2, args.emb_dim)))["params"]
     params = {"model": backbone_params, "graph_pred_linear": head_params}
     if args.input_model_file:
@@ -133,16 +134,13 @@ def main(argv=None):
         from geossl_tpu.data.transforms import random_rotation_transform
 
         transform = random_rotation_transform
+    bs = common.round_batch_to_mesh(args.batch_size, mesh)
     train_loader = BucketedLoader(
-        train_store, args.batch_size, (args.bucket,), shuffle=True,
+        train_store, bs, bucket_sizes, shuffle=True,
         seed=args.seed, transform=transform,
     )
-    valid_loader = BucketedLoader(
-        valid_store, args.batch_size, (args.bucket,), shuffle=False, seed=0
-    )
-    test_loader = BucketedLoader(
-        test_store, args.batch_size, (args.bucket,), shuffle=False, seed=0
-    )
+    valid_loader = BucketedLoader(valid_store, bs, bucket_sizes, shuffle=False, seed=0)
+    test_loader = BucketedLoader(test_store, bs, bucket_sizes, shuffle=False, seed=0)
 
     tx = optim.make_optimizer(
         args.lr, args.epochs, len(train_loader), args.decay, args.lr_scheduler

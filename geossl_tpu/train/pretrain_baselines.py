@@ -71,7 +71,9 @@ def _run(args, objective: str):
     cfg = common.model_config_from_args(args)
     module, backbone_apply = common.make_backbone(cfg)
     rng = jax.random.PRNGKey(args.seed)
-    params = {"model": common.init_backbone(module, rng, n_max=args.bucket)}
+    bucket_sizes = common.buckets(args)
+    n_max = bucket_sizes[-1]
+    params = {"model": common.init_backbone(module, rng, n_max=n_max)}
 
     # objective-specific heads + supervised normalization
     train_mean = train_std = 0.0
@@ -102,7 +104,8 @@ def _run(args, objective: str):
         raise ValueError(objective)
 
     loader = BucketedLoader(
-        store, args.batch_size, (args.bucket,), shuffle=True, seed=args.seed
+        store, common.round_batch_to_mesh(args.batch_size, mesh), bucket_sizes,
+        shuffle=True, seed=args.seed,
     )
     tx = optim.make_optimizer(
         args.lr, args.epochs, len(loader), args.decay, args.lr_scheduler
@@ -113,7 +116,7 @@ def _run(args, objective: str):
     # torsion: triples per graph from N^3 * ratio at the bucket size
     num_triples = 0
     if objective == "torsion":
-        num_triples = max(8, int(args.bucket**3 * args.torsion_angle_sample_ratio))
+        num_triples = max(8, int(n_max**3 * args.torsion_angle_sample_ratio))
 
     def loss_fn(params, batch, rng):
         if objective == "charge":

@@ -102,7 +102,9 @@ def main(argv=None):
     painn_cutoff = cfg.painn.cutoff
 
     rng = jax.random.PRNGKey(args.seed)
-    params = {"model": common.init_backbone(module, rng, n_max=args.bucket)}
+    bucket_sizes = common.buckets(args)
+    n_max = bucket_sizes[-1]
+    params = {"model": common.init_backbone(module, rng, n_max=n_max)}
     extra_vars = {}
 
     option = args.GeoSSL_option
@@ -113,9 +115,9 @@ def main(argv=None):
             sigma_end=args.SM_sigma_end, num_noise_level=args.SM_num_noise_level,
             anneal_power=args.SM_anneal_power,
         )
-        h = jnp.zeros((2, args.bucket, args.emb_dim))
-        d = jnp.zeros((2, args.bucket, args.bucket))
-        sel = jnp.ones((2, args.bucket, args.bucket), bool)
+        h = jnp.zeros((2, n_max, args.emb_dim))
+        d = jnp.zeros((2, n_max, n_max))
+        sel = jnp.ones((2, n_max, n_max), bool)
         k1, k2 = jax.random.split(rng)
         params["NCSN_01"] = ncsn.init(k1, k1, h, d, sel)["params"]
         params["NCSN_02"] = ncsn.init(k2, k2, h, d, sel)["params"]
@@ -135,8 +137,8 @@ def main(argv=None):
         params["model"] = checkpoints.load_checkpoint(args.input_model_file)["model"]
 
     loader = BucketedLoader(
-        store, args.batch_size, (args.bucket,), shuffle=True, seed=args.seed,
-        transform=transform,
+        store, common.round_batch_to_mesh(args.batch_size, mesh), bucket_sizes,
+        shuffle=True, seed=args.seed, transform=transform,
     )
     tx = optim.make_optimizer(
         args.lr, args.epochs, len(loader), args.decay, args.lr_scheduler
@@ -260,10 +262,11 @@ def main(argv=None):
         if args.output_model_dir else ""
     )
     if args.resume and state_path and os.path.exists(state_path):
-        state, last_epoch = checkpoints.load_train_state(state_path, state)
+        state, last_epoch, best = checkpoints.load_train_state(state_path, state)
         state = jax.device_put(state, pmesh.replicated(mesh))
         start_epoch = last_epoch + 1
-        print(f"Resumed from {state_path} at epoch {last_epoch}")
+        saver.best_metric = best  # don't let a worse epoch overwrite model.ckpt
+        print(f"Resumed from {state_path} at epoch {last_epoch} (best {best:.5f})")
     for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
         epoch_key = jax.random.PRNGKey(hash((args.seed + 1, epoch)) % (2**31))
@@ -308,7 +311,7 @@ def main(argv=None):
             f"\tTime: {timer.elapsed():.3f}" + ("\t[saved best]" if saved else "")
         )
         if state_path:
-            checkpoints.save_train_state(state_path, state, epoch)
+            checkpoints.save_train_state(state_path, state, epoch, saver.best_metric)
     saver.save_final({"model": jax.device_get(state.params[0]["model"])})
     return state
 

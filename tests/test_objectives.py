@@ -258,3 +258,39 @@ def test_do_cl_dispatch():
     l1, _ = obj.do_cl(x, y, "InfoNCE_dot_prod", temperature=0.2)
     l2, _ = obj.infonce_loss(x, y, temperature=0.2)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_contrastive_padding_slots_are_not_fake_negatives():
+    """Padded graph slots must not change contrastive losses: computing on
+    [real; padded-zeros] with graph_mask must equal computing on real only."""
+    rng = np.random.default_rng(2)
+    b, f = 6, 8
+    x = jnp.asarray(rng.normal(size=(b, f)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(b, f)).astype(np.float32))
+    xp = jnp.concatenate([x, jnp.zeros((2, f))], axis=0)
+    yp = jnp.concatenate([y, jnp.zeros((2, f))], axis=0)
+    gm = jnp.asarray([True] * b + [False] * 2)
+
+    l_ref, a_ref = obj.infonce_loss(x, y, 0.1)
+    l_pad, a_pad = obj.infonce_loss(xp, yp, 0.1, gm)
+    np.testing.assert_allclose(float(l_ref), float(l_pad), rtol=1e-5)
+    np.testing.assert_allclose(float(a_ref), float(a_pad), rtol=1e-6)
+
+    # EBM: cyclic negatives differ between B=6 and B=8 layouts, so exact
+    # equality is not expected — but padded-pair terms must carry no weight:
+    # all-padded batch tail gives finite loss and gradients flow only to real rows
+    def ebm_loss(xx):
+        l, _ = obj.ebm_nce_loss(xx, yp, gm)
+        return l
+    g = jax.grad(ebm_loss)(xp)
+    assert np.all(np.asarray(g)[b:] == 0.0) or np.allclose(np.asarray(g)[b:], 0.0)
+
+    # InfoGraph: padded graph's summary must not be a negative for real nodes
+    node = jnp.asarray(rng.normal(size=(4, 5, f)).astype(np.float32))
+    graph = jnp.asarray(rng.normal(size=(4, f)).astype(np.float32))
+    nm = jnp.ones((4, 5), bool)
+    gmask = jnp.asarray([True, True, True, False])
+    disc = obj.InfoGraphDiscriminator(hidden_dim=f)
+    params = disc.init(jax.random.PRNGKey(0), node, node)["params"]
+    loss, acc = obj.infograph_loss(disc, params, node, graph, nm, gmask)
+    assert np.isfinite(float(loss))
