@@ -126,3 +126,28 @@ def test_finetune_lep_runs():
     )
     assert 0.0 <= best_roc <= 1.0
     assert {"roc", "pr"} <= set(best_test)
+
+
+def test_multi_bucket_driver():
+    """Mixed-size corpus (some molecules > 32 atoms) trains with a bucket
+    ladder: batches compile per bucket, losses stay finite."""
+    from geossl_tpu.train import finetune_qm9
+
+    best_val, _ = finetune_qm9.main(
+        [
+            "--synthetic", "--synthetic_size", "80", "--epochs", "1",
+            "--batch_size", "8", "--num_devices", "1",
+            "--bucket", "32", "64",
+        ]
+    )
+    assert np.isfinite(best_val)
+
+
+def test_synthetic_supports_larger_molecules():
+    from geossl_tpu.data.bucketing import BucketedLoader
+    from geossl_tpu.data.synthetic import synthetic_qm9
+
+    store = synthetic_qm9(40, seed=3, min_atoms=20, max_atoms=50)
+    loader = BucketedLoader(store, 8, (32, 64), shuffle=False)
+    shapes = {b.atom_type.shape[1] for b in loader.epoch(0)}
+    assert shapes == {32, 64}
