@@ -104,11 +104,10 @@ def main(argv=None):
 
     def evaluate(params, loader):
         preds, trues = [], []
-        for batch in loader.epoch(0):
-            b = pmesh.shard_batch(mesh, batch)
-            gm = np.asarray(batch.graph_mask)
+        for b in pmesh.prefetch(loader.epoch(0), mesh):
+            gm = np.asarray(b.graph_mask)
             preds.append(np.asarray(predict(params, b))[gm])
-            trues.append(np.asarray(batch.y)[gm, 0])
+            trues.append(np.asarray(b.y)[gm, 0])
         p, t = np.concatenate(preds), np.concatenate(trues)
         return {
             "mse": metrics.mse(t, p),

@@ -154,11 +154,10 @@ def main(argv=None):
 
     def evaluate(params, loader):
         scores, trues = [], []
-        for dual in loader.epoch(0):
-            d = pmesh.shard_batch(mesh, dual)
-            gm = np.asarray(dual.active.graph_mask)
+        for d in pmesh.prefetch(loader.epoch(0), mesh):
+            gm = np.asarray(d.active.graph_mask)
             scores.append(np.asarray(predict(params, d))[gm])
-            trues.append(np.asarray(dual.y)[gm])
+            trues.append(np.asarray(d.y)[gm])
         s, t = np.concatenate(scores), np.concatenate(trues)
         return {"roc": metrics.roc_auc(t, s), "pr": metrics.pr_auc(t, s)}
 

@@ -86,17 +86,16 @@ def make_train_step(energy_and_force, tx, e_coeff, f_coeff):
 
 def evaluate(energy_and_force_jit, params, loader, mesh):
     e_pred, e_true, f_pred, f_true = [], [], [], []
-    for batch in loader.epoch(0):
-        b = pmesh.shard_batch(mesh, batch)
+    for b in pmesh.prefetch(loader.epoch(0), mesh):
         e, f = energy_and_force_jit(params, b)
         e, f = np.asarray(e), np.asarray(f)
-        gm = np.asarray(batch.graph_mask)
-        nm = np.asarray(batch.node_mask) & gm[:, None]
-        f, ft = f[nm], np.asarray(batch.forces)[nm]
+        gm = np.asarray(b.graph_mask)
+        nm = np.asarray(b.node_mask) & gm[:, None]
+        f, ft = f[nm], np.asarray(b.forces)[nm]
         # NaN-force guard (finetune_md17.py:101-107)
         ok = ~np.isnan(f).any(axis=-1)
         e_pred.append(e[gm])
-        e_true.append(np.asarray(batch.y)[gm, 0])
+        e_true.append(np.asarray(b.y)[gm, 0])
         f_pred.append(f[ok])
         f_true.append(ft[ok])
     e_pred, e_true = np.concatenate(e_pred), np.concatenate(e_true)

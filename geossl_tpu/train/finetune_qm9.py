@@ -81,12 +81,11 @@ def make_eval_step(backbone_apply, head):
 
 def evaluate(eval_step, params, loader, mean, std, mesh):
     preds, trues = [], []
-    for batch in loader.epoch(0):
-        b = pmesh.shard_batch(mesh, batch)
+    for b in pmesh.prefetch(loader.epoch(0), mesh):
         p = np.asarray(eval_step(params, b, mean, std))
-        gm = np.asarray(batch.graph_mask)
+        gm = np.asarray(b.graph_mask)
         preds.append(p[gm])
-        trues.append(np.asarray(batch.y)[gm, 0])
+        trues.append(np.asarray(b.y)[gm, 0])
     return np.concatenate(preds), np.concatenate(trues)
 
 
