@@ -116,11 +116,24 @@ class EpochTimer:
 
 
 def setup_platform(args) -> None:
-    """Pin the JAX platform before any backend initialization. The TPU PJRT
+    """Pin the JAX platform before any backend initialization (the TPU PJRT
     plugin in some images overrides JAX_PLATFORMS at interpreter startup, so
-    the config API is the only reliable switch."""
+    the config API is the only reliable switch) and enable the persistent
+    compilation cache — first TPU compiles can cost minutes per program."""
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    import os
+
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax"),
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass  # cache is best-effort
 
 
 def add_common_args(p: argparse.ArgumentParser):
