@@ -87,14 +87,19 @@ def main():
     state, loss = train_step(state, z, pos, mask, jax.random.PRNGKey(1))
     loss.block_until_ready()
 
-    steps = 50
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, loss = train_step(state, z, pos, mask, jax.random.PRNGKey(2 + i))
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
+    # median of several windows — the remote-TPU tunnel adds ±10% run noise
+    steps, windows = 50, 5
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, loss = train_step(
+                state, z, pos, mask, jax.random.PRNGKey(2 + w * steps + i)
+            )
+        loss.block_until_ready()
+        rates.append(batch * steps / (time.perf_counter() - t0))
 
-    mols_per_sec = batch * steps / dt
+    mols_per_sec = float(np.median(rates))
     print(
         json.dumps(
             {
