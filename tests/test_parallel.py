@@ -59,3 +59,26 @@ def test_data_parallel_matches_single_device():
     for a, b_ in zip(jax.tree_util.tree_leaves(grads[0]),
                      jax.tree_util.tree_leaves(grads[1])):
         np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-6)
+
+
+def test_prefetch_propagates_producer_errors():
+    mesh = pmesh.make_mesh(1)
+
+    def gen():
+        yield {"x": np.ones((4, 2), np.float32)}
+        raise RuntimeError("boom in producer")
+
+    it = pmesh.prefetch(gen(), mesh)
+    first = next(it)
+    assert np.asarray(first["x"]).shape == (4, 2)
+    with pytest.raises(RuntimeError, match="boom in producer"):
+        next(it)
+
+
+def test_prefetch_yields_all_batches_in_order():
+    mesh = pmesh.make_mesh(2)
+    batches = [{"x": np.full((4, 2), i, np.float32)} for i in range(7)]
+    out = list(pmesh.prefetch(iter(batches), mesh, size=3))
+    assert len(out) == 7
+    for i, b in enumerate(out):
+        assert float(np.asarray(b["x"])[0, 0]) == i

@@ -88,3 +88,33 @@ def test_config_presets_match_published_protocols():
     assert m.schnet.num_gaussians == 51 and m.schnet.cutoff == 10.0
     assert m.painn.cutoff == 5.0 and m.painn.n_rbf == 20
     assert m.painn.n_interactions == 3
+
+
+def test_train_state_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from geossl_tpu.train import common
+
+    tx = optax.adam(1e-3)
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    state = common.TrainState.create(params, tx)
+    state = common.apply_updates(state, {"w": jnp.ones((2, 3))}, tx)
+    path = str(tmp_path / "state.ckpt")
+    checkpoints.save_train_state(path, state, epoch=7, best_metric=0.25)
+
+    template = common.TrainState.create(
+        {"w": jnp.zeros((2, 3), jnp.float32)}, tx
+    )
+    restored, epoch, best = checkpoints.load_train_state(path, template)
+    assert epoch == 7 and best == 0.25
+    np.testing.assert_allclose(
+        np.asarray(restored.params["w"]), np.asarray(state.params["w"])
+    )
+    assert int(restored.step) == 1
+    # optimizer moments restored too
+    a, b = jax.tree_util.tree_leaves(state.opt_state), jax.tree_util.tree_leaves(
+        restored.opt_state
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
