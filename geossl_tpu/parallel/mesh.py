@@ -9,6 +9,12 @@ FLOPs scale.
 
 The same code path runs single-device (mesh of 1) and on a virtual CPU mesh
 for testing (``XLA_FLAGS=--xla_force_host_platform_device_count=8``).
+
+Extension point (SURVEY.md §5.7): should graphs ever outgrow one chip
+(beyond the ≤512-atom Atom3D caps), the dense ``[B, N, N]`` pair grid can be
+sharded blockwise over a second mesh axis the way ring attention splits
+(i, j) blocks — each chip holds an i-stripe of the pair matrix and j-tiles
+rotate via ``ppermute``. Not needed for any reference workload.
 """
 
 from __future__ import annotations

@@ -160,6 +160,9 @@ def add_common_args(p: argparse.ArgumentParser):
                         "smallest bucket that fits (e.g. --bucket 32 64 128)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--profile_dir", default="",
+                   help="capture a jax.profiler trace of the first training "
+                        "epoch into this directory (TensorBoard/xprof)")
     p.add_argument("--use_pallas", default="auto", choices=["auto", "on", "off"],
                    help="fused CFConv kernel (auto: on for TPU backends; "
                         "always off for MD17's second-order force path)")

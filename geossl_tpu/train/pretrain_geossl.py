@@ -267,7 +267,13 @@ def main(argv=None):
         start_epoch = last_epoch + 1
         saver.best_metric = best  # don't let a worse epoch overwrite model.ckpt
         print(f"Resumed from {state_path} at epoch {last_epoch} (best {best:.5f})")
+    profiler_active = False
     for epoch in range(start_epoch, args.epochs + 1):
+        if args.profile_dir and epoch == start_epoch:
+            from jax import profiler as _profiler
+
+            _profiler.start_trace(args.profile_dir)
+            profiler_active = True
         timer = common.EpochTimer()
         epoch_key = jax.random.PRNGKey(hash((args.seed + 1, epoch)) % (2**31))
         losses, accs = [], []
@@ -310,6 +316,12 @@ def main(argv=None):
             f"Epoch: {epoch}\tSSL Loss: {mean_loss:.5f}\tSSL Acc: {mean_acc:.5f}"
             f"\tTime: {timer.elapsed():.3f}" + ("\t[saved best]" if saved else "")
         )
+        if profiler_active:
+            from jax import profiler as _profiler
+
+            _profiler.stop_trace()
+            profiler_active = False
+            print(f"profiler trace written to {args.profile_dir}")
         if state_path:
             checkpoints.save_train_state(state_path, state, epoch, saver.best_metric)
     saver.save_final({"model": jax.device_get(state.params[0]["model"])})
