@@ -22,4 +22,12 @@ def pair_tiles(n: int, row_budget: int = 4096) -> tuple[int, int]:
         ti //= 2
     while n % tj:
         tj //= 2
+    if (ti < 8 and ti != n) or (tj < 128 and tj != n):
+        # Mosaic requires the last two block dims be (8, 128)-divisible or
+        # equal to the full array dims; the padded-bucket loader only emits
+        # power-of-two N so this never triggers in the training paths.
+        raise ValueError(
+            f"pair grids of size N={n} do not tile cleanly; pad N to a "
+            "power-of-two bucket (data/bucketing.py) or a multiple of 128"
+        )
     return ti, tj
