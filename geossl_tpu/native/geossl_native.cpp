@@ -68,6 +68,7 @@ void pack_batch(const int32_t* atom_flat, const float* pos_flat,
 int64_t bfs_subgraph(int64_t num_nodes, const int32_t* bond_src,
                      const int32_t* bond_dst, int64_t n_edges,
                      double mask_ratio, uint64_t seed, int64_t* out_keep) {
+    if (num_nodes <= 0) return 0;
     const int64_t sub_num = (int64_t)(num_nodes * (1.0 - mask_ratio));
     // adjacency (CSR)
     std::vector<int32_t> deg(num_nodes, 0);
