@@ -81,6 +81,8 @@ class GeoSSLConfig:
     # RR autoencoder:
     ae_loss: str = "l2"  # {"l1", "l2", "cosine"}
     detach_target: bool = True
+    # beta (config.py:182) weights the KL term of GraphMVP's VAE variant;
+    # the plain AutoEncoder the RR objective uses ignores it, as upstream.
     beta: float = 1.0
 
 

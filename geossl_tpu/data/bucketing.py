@@ -100,7 +100,14 @@ class BucketedLoader:
         self.with_forces = with_forces
         self.transform = transform
         sizes = store.num_atoms()
-        self._bucket_of = np.array([pick_bucket(int(n), self.bucket_sizes) for n in sizes])
+        ladder = np.asarray(self.bucket_sizes)
+        slot = np.searchsorted(ladder, sizes)  # vectorized pick_bucket
+        if (slot >= len(ladder)).any():
+            biggest = int(sizes.max())
+            raise ValueError(
+                f"molecule with {biggest} atoms exceeds largest bucket {ladder[-1]}"
+            )
+        self._bucket_of = ladder[slot]
         self._epoch = 0
         # native fast path: pack straight from the store's flat arrays when
         # the transform is absent or is the BFS mask (fused in C++)

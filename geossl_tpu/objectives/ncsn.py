@@ -96,8 +96,18 @@ class NCSNv3(_NCSNBase):
         w_d2 = self.param("w_d2", glorot, (emb, 1))
         b_d2 = self.param("b_d2", zeros, (1,))
         # output MLP (``NCSN.py:176``): first layer factored into per-node
-        # W_h (out0_h Dense) + per-pair w_od on demb
-        w_od = self.param("w_od", glorot, (1, emb))
+        # W_h (out0_h Dense) + per-pair w_od on demb. The reference draws the
+        # whole (1+emb, emb) matrix from ONE Xavier-uniform fan, i.e. bound
+        # sqrt(6/(fan_in + fan_out)) = sqrt(6/(1+2*emb)) — initialize both
+        # factored pieces with exactly that bound so freshly-initialized
+        # training matches the reference statistically, not just given
+        # shared parameters.
+        bound = float(np.sqrt(6.0 / (1 + 2 * emb)))
+
+        def concat_xavier(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        w_od = self.param("w_od", concat_xavier, (1, emb))
         b_od = self.param("b_od", zeros, (emb,))
         w2 = self.param("w2", glorot, (emb, emb // 2))
         b2 = self.param("b2", zeros, (emb // 2,))
@@ -105,7 +115,7 @@ class NCSNv3(_NCSNBase):
         b3 = self.param("b3", zeros, (1,))
 
         u = nn.Dense(
-            emb, use_bias=False, kernel_init=glorot, name="out0_h"
+            emb, use_bias=False, kernel_init=concat_xavier, name="out0_h"
         )(node_feat)  # [B,N,emb]
 
         if self.use_pallas:

@@ -11,23 +11,24 @@ def interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _largest_legal_divisor(n: int, cap: int, unit: int) -> int:
+    """Largest divisor of n that is <= cap and a multiple of ``unit``;
+    falls back to n itself (a full-size block dim is always legal)."""
+    for d in range(min(n, cap), unit - 1, -1):
+        if n % d == 0 and d % unit == 0:
+            return d
+    return n
+
+
 def pair_tiles(n: int, row_budget: int = 4096) -> tuple[int, int]:
-    """(ti, tj) tile shape for an [N, N] pair grid: full-width lanes up to
-    128, then as many sublane rows as fit ``row_budget`` pair rows (VMEM
-    working-set control; kernels with more live per-pair tensors pass a
-    smaller budget)."""
-    tj = min(n, 128)
-    ti = min(n, max(8, row_budget // tj))
-    while n % ti:
-        ti //= 2
-    while n % tj:
-        tj //= 2
-    if (ti < 8 and ti != n) or (tj < 128 and tj != n):
-        # Mosaic requires the last two block dims be (8, 128)-divisible or
-        # equal to the full array dims; the padded-bucket loader only emits
-        # power-of-two N so this never triggers in the training paths.
-        raise ValueError(
-            f"pair grids of size N={n} do not tile cleanly; pad N to a "
-            "power-of-two bucket (data/bucketing.py) or a multiple of 128"
-        )
+    """(ti, tj) tile shape for an [N, N] pair grid.
+
+    Mosaic requires the last two block dims be multiples of (8, 128) or
+    equal to the full array dims; choosing divisors (falling back to n)
+    keeps every N legal — power-of-two buckets get the usual
+    (row_budget/128, 128) tiles, odd sizes degrade to full-dim blocks.
+    ``row_budget`` bounds ti*tj (VMEM working set; kernels with more live
+    per-pair tensors pass a smaller budget)."""
+    tj = _largest_legal_divisor(n, 128, 128)
+    ti = _largest_legal_divisor(n, max(8, row_budget // tj), 8)
     return ti, tj

@@ -74,22 +74,38 @@ def prefetch(batch_iterator, mesh: Mesh, size: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up if the consumer abandoned the generator
+        # (otherwise the thread would block forever holding device buffers)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in batch_iterator:
-                q.put(shard_batch(mesh, batch))
+                if not _put(shard_batch(mesh, batch)):
+                    return
         except BaseException as e:  # surface errors on the consumer side
-            q.put(e)
+            _put(e)
             return
-        q.put(_END)
+        _put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

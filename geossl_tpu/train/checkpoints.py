@@ -73,8 +73,10 @@ class BestModelSaver:
         self.best_metric = float("inf")
 
     def maybe_save_best(self, metric: float, tree: Dict[str, Any]) -> bool:
-        if not self.output_dir or metric >= self.best_metric:
-            self.best_metric = min(self.best_metric, metric)
+        # NaN-safe: only a STRICTLY smaller finite metric counts as a new
+        # best (``metric >= best`` is False for NaN, which must not win)
+        is_better = metric < self.best_metric
+        if not self.output_dir or not is_better:
             return False
         self.best_metric = metric
         save_checkpoint(os.path.join(self.output_dir, self.best_name), tree)

@@ -66,7 +66,10 @@ def build_parser():
     p.add_argument("--T", type=float, default=0.1)
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--AE_loss", default="l2", choices=["l1", "l2", "cosine"])
-    p.add_argument("--detach_target", action="store_true", default=True)
+    p.add_argument("--detach_target", dest="detach_target",
+                   action="store_true", default=True)
+    p.add_argument("--no_detach_target", dest="detach_target",
+                   action="store_false")
     p.add_argument("--resume", action="store_true",
                    help="resume from <output_model_dir>/state.ckpt if present")
     p.add_argument("--steps_per_call", type=int, default=1,
@@ -301,6 +304,10 @@ def main(argv=None):
                 accs.append(jnp.atleast_1d(acc))
         else:
             for b in pmesh.prefetch(loader.epoch(epoch), mesh):
+                # a multi-bucket ladder switches padded widths mid-epoch:
+                # never stack across a shape change
+                if pending and b.atom_type.shape != pending[0].atom_type.shape:
+                    flush()
                 pending.append(b)
                 if len(pending) == k:
                     flush()

@@ -82,3 +82,24 @@ def test_prefetch_yields_all_batches_in_order():
     assert len(out) == 7
     for i, b in enumerate(out):
         assert float(np.asarray(b["x"])[0, 0]) == i
+
+
+def test_prefetch_producer_stops_when_consumer_abandons():
+    import threading
+    import time as _time
+
+    mesh = pmesh.make_mesh(1)
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield {"x": np.full((2, 2), i, np.float32)}
+
+    it = pmesh.prefetch(gen(), mesh, size=2)
+    next(it)
+    before = threading.active_count()
+    it.close()  # abandon the generator -> finally sets the stop flag
+    _time.sleep(0.5)
+    assert threading.active_count() <= before  # producer thread exited
+    assert len(produced) < 100  # it did not drain the whole iterator
