@@ -135,5 +135,33 @@ class MolStore:
         )
 
     def select(self, indices) -> "MolStore":
-        """Subset store (used by the split functions)."""
-        return MolStore.from_records([self.get(int(i)) for i in indices])
+        """Subset store (used by the split functions). Vectorized gather —
+        the QM9 splits select ~110k molecules at driver startup."""
+        idx = np.asarray(indices, np.int64)
+
+        def flat_gather(flat, offsets):
+            lens = offsets[idx + 1] - offsets[idx]
+            new_offsets = np.zeros(len(idx) + 1, np.int64)
+            np.cumsum(lens, out=new_offsets[1:])
+            # absolute element positions: start_i + (0..len_i-1) per record
+            starts = np.repeat(offsets[idx], lens)
+            within = np.arange(new_offsets[-1]) - np.repeat(new_offsets[:-1], lens)
+            return flat[starts + within], new_offsets
+
+        atom_type, offsets = flat_gather(self.atom_type, self.offsets)
+        positions, _ = flat_gather(self.positions, self.offsets)
+        chirality = None
+        if self.chirality is not None:
+            chirality, _ = flat_gather(self.chirality, self.offsets)
+        forces = None
+        if self.forces is not None:
+            forces, _ = flat_gather(self.forces, self.offsets)
+        bond_index = bond_offsets = None
+        if self.bond_index is not None:
+            bond_t, bond_offsets = flat_gather(self.bond_index.T, self.bond_offsets)
+            bond_index = np.ascontiguousarray(bond_t.T)
+        y = None if self.y is None else self.y[idx]
+        return MolStore(
+            atom_type, positions, offsets, chirality, bond_index, bond_offsets,
+            y, forces,
+        )

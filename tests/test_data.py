@@ -197,3 +197,28 @@ def test_single_molecule_dataset():
     batches = list(loader.epoch(0))
     assert len(batches) == 1
     assert batches[0].graph_mask.sum() == 1
+
+
+def test_select_vectorized_matches_per_record():
+    from geossl_tpu.data.store import MolStore
+    from geossl_tpu.data.synthetic import synthetic_md17, synthetic_qm9
+
+    for store in (synthetic_qm9(25, seed=11), synthetic_md17(10, n_atoms=7, seed=2)):
+        idx = [3, 0, 7, 3, 9]  # unordered, with a duplicate
+        fast = store.select(idx)
+        slow = MolStore.from_records([store.get(int(i)) for i in idx])
+        assert len(fast) == len(slow) == 5
+        np.testing.assert_array_equal(fast.offsets, slow.offsets)
+        np.testing.assert_array_equal(fast.atom_type, slow.atom_type)
+        np.testing.assert_allclose(fast.positions, slow.positions)
+        if slow.y is not None:
+            np.testing.assert_allclose(fast.y, slow.y)
+        if slow.forces is not None:
+            np.testing.assert_allclose(fast.forces, slow.forces)
+        if slow.bond_index is not None:
+            np.testing.assert_array_equal(fast.bond_offsets, slow.bond_offsets)
+            np.testing.assert_array_equal(fast.bond_index, slow.bond_index)
+        for k in range(5):
+            np.testing.assert_array_equal(
+                fast.get(k).atom_type, store.get(idx[k]).atom_type
+            )
