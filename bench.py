@@ -27,8 +27,22 @@ BASELINE_MOLS_PER_SEC = 1208.0  # 1e6 mols * 100 epochs / 23h — see docstring
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # first TPU compiles can cost minutes on remote-compile setups
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax"),
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
     from geossl_tpu import objectives as obj
     from geossl_tpu.models import SchNet
