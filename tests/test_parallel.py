@@ -17,6 +17,26 @@ def test_dryrun_multichip_entrypoint():
     graft.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_provisions():
+    """From a bare process (no conftest device forcing), the dryrun must
+    provision its own 8-device virtual CPU mesh — this is exactly how the
+    driver invokes it (VERDICT.md round 1, missing #1)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")}
+    env["JAX_COMPILATION_CACHE_DIR"] = "/root/.jax_cache"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    assert "DDM train step OK" in proc.stdout
+
+
 def test_entry_compiles():
     import __graft_entry__ as graft
 
