@@ -77,8 +77,8 @@ class InteractionBlock(nn.Module):
         x = Dense(self.num_filters, use_bias=False, dtype=self.dtype)(h)
         op = cfconv_fused if self.use_pallas else cfconv_fused_reference
         m = op(
-            dist, env, x.astype(jnp.float32), w1, b1, w2, b2,
-            0.0, self.cutoff, self.num_gaussians,
+            dist, env, x.astype(jnp.promote_types(jnp.float32, x.dtype)),
+            w1, b1, w2, b2, 0.0, self.cutoff, self.num_gaussians,
         )
         if self.dtype is not None:
             m = m.astype(self.dtype)
@@ -119,9 +119,11 @@ class SchNet(nn.Module):
             dtype=self.dtype,
         )(atom_type)
 
-        # Geometry in f32 regardless of compute dtype.
+        # Geometry in at-least-f32 regardless of compute dtype (f64 passes
+        # through untouched — the float64 torch-parity tests rely on it).
+        geom_dtype = jnp.promote_types(jnp.float32, positions.dtype)
         dist, pair_mask = geometry.pairwise_distances(
-            positions.astype(jnp.float32), node_mask
+            positions.astype(geom_dtype), node_mask
         )
         adj = geometry.radius_adjacency(dist, pair_mask, self.cutoff)
 
@@ -148,6 +150,6 @@ class SchNet(nn.Module):
             )
             h = h + ref[atom_type].astype(h.dtype)
 
-        h = h.astype(jnp.float32)
+        h = h.astype(jnp.promote_types(jnp.float32, h.dtype))
         out = geometry.readout(h, node_mask, self.readout)
         return out, h

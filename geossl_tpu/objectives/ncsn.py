@@ -45,9 +45,10 @@ class _NCSNBase(nn.Module):
     num_noise_level: int = 50
     anneal_power: float = 2.0
 
-    def _sample_sigmas(self, rng, batch_size):
+    def _sample_sigmas(self, rng, batch_size, dtype=jnp.float32):
         sigmas = jnp.asarray(
-            sigma_ladder(self.sigma_begin, self.sigma_end, self.num_noise_level)
+            sigma_ladder(self.sigma_begin, self.sigma_end, self.num_noise_level),
+            dtype,
         )
         level = jax.random.randint(rng, (batch_size,), 0, self.num_noise_level)
         return sigmas[level]  # [B]
@@ -84,9 +85,11 @@ class NCSNv3(_NCSNBase):
         b = node_feat.shape[0]
         emb = self.emb_dim
         rng_sigma, rng_noise = jax.random.split(rng)
-        used_g = self._sample_sigmas(rng_sigma, b)  # [B]
+        # σ/ε follow dist's dtype (≥f32) so the float64 parity path is exact
+        ddtype = jnp.promote_types(jnp.float32, dist.dtype)
+        used_g = self._sample_sigmas(rng_sigma, b, ddtype)  # [B]
         used = used_g[:, None, None]
-        noise = jax.random.normal(rng_noise, dist.shape, jnp.float32)
+        noise = jax.random.normal(rng_noise, dist.shape, ddtype)
 
         glorot = nn.initializers.glorot_uniform()
         zeros = nn.initializers.zeros
