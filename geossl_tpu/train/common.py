@@ -155,9 +155,22 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--input_model_file", default="")
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel devices (default: all)")
-    p.add_argument("--bucket", type=int, nargs="+", default=[32],
+    p.add_argument("--bucket", type=int, nargs="+", default=[32, 64, 128],
                    help="padded bucket size(s); molecules fall into the "
-                        "smallest bucket that fits (e.g. --bucket 32 64 128)")
+                        "smallest bucket that fits. The default ladder covers "
+                        "Molecule3D's size range; QM9/MD17 use only the 32 "
+                        "bucket of it (unused buckets cost nothing)")
+    # model hyperparameters (reference examples/config.py:111-121) — every
+    # knob the published sweep scripts vary must be expressible as a flag
+    p.add_argument("--num_filters", type=int, default=128)
+    p.add_argument("--num_interactions", type=int, default=6)
+    p.add_argument("--num_gaussians", type=int, default=51)
+    p.add_argument("--cutoff", type=float, default=10.0)
+    p.add_argument("--readout", default="mean", choices=["mean", "add"])
+    p.add_argument("--painn_radius_cutoff", type=float, default=5.0)
+    p.add_argument("--painn_n_interactions", type=int, default=3)
+    p.add_argument("--painn_n_rbf", type=int, default=20)
+    p.add_argument("--painn_readout", default="add", choices=["mean", "add"])
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--profile_dir", default="",
@@ -198,11 +211,28 @@ def _resolve_use_pallas(args, allow: bool = True) -> bool:
 def model_config_from_args(args, allow_pallas: bool = True) -> ModelConfig:
     from geossl_tpu.config import PaiNNConfig, SchNetConfig
 
+    d = SchNetConfig()
+    schnet = SchNetConfig(
+        hidden_channels=args.emb_dim,
+        num_filters=getattr(args, "num_filters", d.num_filters),
+        num_interactions=getattr(args, "num_interactions", d.num_interactions),
+        num_gaussians=getattr(args, "num_gaussians", d.num_gaussians),
+        cutoff=getattr(args, "cutoff", d.cutoff),
+        readout=getattr(args, "readout", d.readout),
+    )
+    pd = PaiNNConfig()
+    painn = PaiNNConfig(
+        n_atom_basis=args.emb_dim,
+        n_interactions=getattr(args, "painn_n_interactions", pd.n_interactions),
+        n_rbf=getattr(args, "painn_n_rbf", pd.n_rbf),
+        cutoff=getattr(args, "painn_radius_cutoff", pd.cutoff),
+        readout=getattr(args, "painn_readout", pd.readout),
+    )
     return ModelConfig(
         model_3d=args.model_3d,
         emb_dim=args.emb_dim,
-        schnet=SchNetConfig(),
-        painn=PaiNNConfig(),
+        schnet=schnet,
+        painn=painn,
         compute_dtype=args.compute_dtype,
         use_pallas=_resolve_use_pallas(args, allow_pallas),
     )
