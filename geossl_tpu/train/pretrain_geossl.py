@@ -204,11 +204,11 @@ def main(argv=None):
                 g1, g2 = l2_normalize(g1), l2_normalize(g2)
             out1 = ae.apply(
                 {"params": params["AE_01"], "batch_stats": variables["AE_01"]},
-                g1, g2, train=True, mutable=["batch_stats"],
+                g1, g2, batch.graph_mask, train=True, mutable=["batch_stats"],
             )
             out2 = ae.apply(
                 {"params": params["AE_02"], "batch_stats": variables["AE_02"]},
-                g2, g1, train=True, mutable=["batch_stats"],
+                g2, g1, batch.graph_mask, train=True, mutable=["batch_stats"],
             )
             loss = (out1[0] + out2[0]) / 2
             new_vars = {

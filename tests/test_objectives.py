@@ -294,3 +294,39 @@ def test_contrastive_padding_slots_are_not_fake_negatives():
     params = disc.init(jax.random.PRNGKey(0), node, node)["params"]
     loss, acc = obj.infograph_loss(disc, params, node, graph, nm, gmask)
     assert np.isfinite(float(loss))
+
+
+def test_autoencoder_padding_equality():
+    """RR's AutoEncoder must ignore padded graph slots in BOTH the loss and
+    the BatchNorm statistics: padded batch == unpadded batch, bit for bit
+    (VERDICT r1 weak #2)."""
+    from geossl_tpu.objectives.autoencoder import AutoEncoder
+
+    rng = np.random.default_rng(5)
+    b, f = 6, 16
+    x = jnp.asarray(rng.normal(size=(b, f)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(b, f)).astype(np.float32))
+    xp = jnp.concatenate([x, jnp.full((3, f), 7.0)], axis=0)  # junk padding
+    yp = jnp.concatenate([y, jnp.zeros((3, f))], axis=0)
+    gm = jnp.asarray([True] * b + [False] * 3)
+
+    ae = AutoEncoder(emb_dim=f)
+    v = ae.init(jax.random.PRNGKey(0), x, x)
+    loss_ref, vars_ref = ae.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"]},
+        x, y, None, train=True, mutable=["batch_stats"],
+    )
+    loss_pad, vars_pad = ae.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"]},
+        xp, yp, gm, train=True, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(float(loss_ref), float(loss_pad), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(vars_ref),
+                     jax.tree_util.tree_leaves(vars_pad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6)
+    # eval mode uses running stats and masked mean
+    loss_eval = ae.apply(
+        {"params": v["params"], "batch_stats": vars_pad["batch_stats"]},
+        xp, yp, gm, train=False,
+    )
+    assert np.isfinite(float(loss_eval))
