@@ -11,14 +11,18 @@ reading only ``dist/env [B,N,N]`` and ``x [B,N,F]`` from HBM and writing
 envelope gate and the message reduction all stay in VMEM.
 
 Gradients: a custom VJP with
-* ``dx`` — the SAME forward kernel applied to the upstream gradient
-  (dist/env and the filter weights are symmetric in (i, j)),
+* ``dx`` — the fused op itself applied to the upstream gradient (dist/env and
+  the filter weights are symmetric in (i, j)), so this piece is
+  arbitrary-order differentiable by recursion,
 * ``dW1/db1/dW2/db2/ddist/denv`` — one backward kernel that recomputes the
   tile forward and accumulates weight grads across the sequential TPU grid.
 
-Second-order AD is NOT defined for the fused op — MD17's force training uses
-the XLA path (``use_pallas=False``); everything first-order (QM9, GeoSSL
-pretraining, LBA/LEP) can run fused.
+Second-order AD (MD17 force training: the loss contains ``-∂E/∂pos`` and is
+differentiated again w.r.t. parameters) IS supported: the backward kernel is
+itself wrapped in a custom VJP whose derivative is taken through the pure-XLA
+reference math (``cfconv_fused_reference``). First-order traffic — the hot
+path everywhere — stays fully fused; only the double-backward terms
+materialize ``[B,N,N,F]``, and MD17 runs at B=5, N≤32 where that is a few MB.
 """
 
 from __future__ import annotations
@@ -191,19 +195,59 @@ def cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
 
 
 def _vjp_fwd(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
-    out = _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g)
+    # call the custom-vjp op (not the raw kernel) so that differentiating the
+    # saved forward — which second-order AD does — hits this VJP again
+    # instead of pallas_call's missing JVP rule
+    out = cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g)
     return out, (dist, env, x, w1, b1, w2, b2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _cfconv_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g):
+    """Differentiable wrapper of the backward kernel: returns
+    (ddist, denv, dw1, db1, dw2, db2). Its own VJP (the second-order terms)
+    runs through the XLA reference math."""
+    ddist, denv, dw1, db1, dw2, db2 = _bwd_pallas(
+        dist, env, x, g, w1, b1, w2, b2, start, stop, num_g
+    )
+    return ddist, denv, dw1, db1[0], dw2, db2[0]
+
+
+def _cfconv_bwd_fwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g):
+    out = _cfconv_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g)
+    return out, (dist, env, x, w1, b1, w2, b2, g)
+
+
+def _cfconv_bwd_bwd(start, stop, num_g, res, cts):
+    dist, env, x, w1, b1, w2, b2, g = res
+
+    def ref_grads(dist, env, x, w1, b1, w2, b2, g):
+        _, vjp = jax.vjp(
+            lambda d, e, xx, a, ab, c, cb: cfconv_fused_reference(
+                d, e, xx, a, ab, c, cb, start, stop, num_g
+            ),
+            dist, env, x, w1, b1, w2, b2,
+        )
+        r = vjp(g)  # (ddist, denv, dx, dw1, db1, dw2, db2)
+        return (r[0], r[1], r[3], r[4], r[5], r[6])  # drop dx (handled apart)
+
+    _, vjp2 = jax.vjp(ref_grads, dist, env, x, w1, b1, w2, b2, g)
+    return vjp2(tuple(cts))
+
+
+_cfconv_bwd.defvjp(_cfconv_bwd_fwd, _cfconv_bwd_bwd)
 
 
 def _vjp_bwd(start, stop, num_g, res, g):
     dist, env, x, w1, b1, w2, b2 = res
     g = g.astype(jnp.float32)
-    # dx: the forward kernel applied to g (dist/env/w symmetric in (i, j))
-    dx = _fwd_pallas(dist, env, g, w1, b1, w2, b2, start, stop, num_g)
-    ddist, denv, dw1, db1, dw2, db2 = _bwd_pallas(
-        dist, env, x, g, w1, b1, w2, b2, start, stop, num_g
+    # dx: the fused op applied to g (dist/env/w symmetric in (i, j));
+    # expressed via cfconv_fused itself so it differentiates to any order
+    dx = cfconv_fused(dist, env, g, w1, b1, w2, b2, start, stop, num_g)
+    ddist, denv, dw1, db1, dw2, db2 = _cfconv_bwd(
+        dist, env, x, w1, b1, w2, b2, g, start, stop, num_g
     )
-    return ddist, denv, dx, dw1, db1[0], dw2, db2[0]
+    return ddist, denv, dx, dw1, db1, dw2, db2
 
 
 cfconv_fused.defvjp(_vjp_fwd, _vjp_bwd)
@@ -215,7 +259,6 @@ def cfconv_fused_reference(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
 
     rbf = gaussian_smearing(dist, start, stop, num_g)
     w = _ssp(rbf @ w1 + b1) @ w2 + b2
-    return jnp.einsum(
-        "bijf,bij,bjf->bif", w, env, x, preferred_element_type=jnp.float32
-    )
+    acc = jnp.promote_types(jnp.float32, jnp.result_type(w, env, x))
+    return jnp.einsum("bijf,bij,bjf->bif", w, env, x, preferred_element_type=acc)
 

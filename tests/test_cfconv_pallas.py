@@ -96,3 +96,53 @@ def test_schnet_pallas_path_matches_xla():
     gp = jax.grad(loss(m_pal))(params)
     for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
+
+
+def test_second_order_matches_reference(inputs):
+    """MD17's force path: grad-of-grad through the fused op must equal the
+    XLA reference (the fused backward is itself custom-VJP'd, with its
+    derivative routed through the reference math — VERDICT r1 #9)."""
+    dist, env, x, w1, b1, w2, b2 = inputs
+
+    def make_loss(op):
+        def loss(params, dist, env, x):
+            w1, b1, w2, b2 = params
+            out = op(dist, env, x, w1, b1, w2, b2, START, STOP, G)
+            # "force": gradient of a scalar energy w.r.t. dist, then a loss
+            # of that gradient — second derivative w.r.t. params
+            f = jax.grad(
+                lambda d: jnp.sum(jnp.tanh(
+                    op(d, env, x, w1, b1, w2, b2, START, STOP, G)))
+            )(dist)
+            return jnp.sum(out) * 1e-3 + jnp.sum(jnp.abs(f))
+        return loss
+
+    params = (w1, b1, w2, b2)
+    g_fused = jax.grad(make_loss(cfconv_fused))(params, dist, env, x)
+    g_ref = jax.grad(make_loss(cfconv_fused_reference))(params, dist, env, x)
+    for name, a, b in zip(["w1", "b1", "w2", "b2"], g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3,
+            err_msg=f"second-order grad mismatch for {name}",
+        )
+
+
+def test_second_order_wrt_positions_chain(inputs):
+    """Full MD17 shape: loss(grad_pos E) differentiated w.r.t. everything —
+    checks the dx recursion path too (x depends on upstream params)."""
+    dist, env, x, w1, b1, w2, b2 = inputs
+
+    def energy(op, xw, dist):
+        xx = x * xw  # x carries parameter dependence like stacked blocks do
+        out = op(dist, env, xx, w1, b1, w2, b2, START, STOP, G)
+        return jnp.sum(jnp.sin(out))
+
+    def loss(op, xw):
+        f = jax.grad(partial_energy := lambda d: energy(op, xw, d))(dist)
+        del partial_energy
+        return jnp.sum(f * f)
+
+    g_fused = jax.grad(lambda w: loss(cfconv_fused, w))(jnp.float32(1.3))
+    g_ref = jax.grad(lambda w: loss(cfconv_fused_reference, w))(jnp.float32(1.3))
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-2)
