@@ -1,18 +1,23 @@
-"""Benchmark: GeoSSL-DDM pretraining step throughput (the flagship workload).
+"""Benchmarks for every BASELINE.md north-star config (one JSON line each).
 
-Measures molecules/second for the full DDM training step — SchNet backbone
-forward on both views, two NCSN_version_03 heads over all atom pairs,
-backward, Adam update — at the published configuration (emb 128, 6 interaction
-blocks, 51 gaussians, cutoff 10, batch 128, σ-ladder 50 levels; SURVEY.md §6)
-on synthetic Molecule3D-like data (N ≤ 32 atoms).
+Configs (BASELINE.md "Reference configs to drive" #1-#5):
+  1. schnet_qm9_throughput      — SchNet + linear head, L1 loss, batch 128, N=32
+  2. painn_qm9_throughput       — PaiNN 12-target regression, batch 128, N=32
+  3. md17_force_step_time       — SchNet energy+force (grad-of-grad), batch 5,
+                                  N=32 (aspirin is 21 atoms), XLA CFConv path
+  4. lba_schnet_throughput      — SchNet regression at N=512 complexes, batch 64
+  5. geossl_ddm_pretrain_throughput — the FLAGSHIP: full DDM step (two SchNet
+     views + two NCSNv3 heads over all pairs), batch 128. Printed LAST so a
+     tail-line parse still sees the headline metric.
 
-Baseline: the reference pretrains the 1M-molecule corpus for 100 epochs
-inside a 23 h SLURM limit on one V100 (``submit_pretrain_GeoSSL_DDM.sh``),
-i.e. ≳1208 mol/s if it exactly fills the budget — used as the PyG
-GPU-baseline estimate because the repo publishes no throughput numbers
-(BASELINE.md).
+Each line: {"metric", "value", "unit", "vs_baseline"}. vs_baseline is the
+ratio to the reference's implied V100 budget where one exists (the repo
+publishes no timing numbers — BASELINE.md): DDM must finish 1M molecules x
+100 epochs inside 23 h => 1208 mol/s. Other configs have no published rate;
+their vs_baseline is null.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Batch data is passed as jit ARGUMENTS (closing over device arrays measures
+~7x slower through the remote-compile tunnel — see CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -23,16 +28,14 @@ from functools import partial
 
 import numpy as np
 
-BASELINE_MOLS_PER_SEC = 1208.0  # 1e6 mols * 100 epochs / 23h — see docstring
+BASELINE_MOLS_PER_SEC = 1208.0  # 1e6 mols * 100 epochs / 23 h (docstring)
 
 
-def main():
+def _setup_cache():
     import os
 
     import jax
-    import jax.numpy as jnp
 
-    # first TPU compiles can cost minutes on remote-compile setups
     cache = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "jax"),
@@ -44,6 +47,201 @@ def main():
     except Exception:
         pass
 
+
+def _example(batch, n_max, seed=0, n_min=8, spread=0.9, targets=1):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    sizes = rng.integers(n_min, n_max, size=batch)
+    atom_type = np.zeros((batch, n_max), np.int32)
+    positions = np.zeros((batch, n_max, 3), np.float32)
+    node_mask = np.zeros((batch, n_max), bool)
+    for i, n in enumerate(sizes):
+        atom_type[i, :n] = rng.integers(0, 9, size=n)
+        positions[i, :n] = np.cumsum(rng.normal(scale=spread, size=(n, 3)), axis=0)
+        node_mask[i, :n] = True
+    y = rng.normal(size=(batch, targets)).astype(np.float32)
+    forces = rng.normal(scale=0.1, size=(batch, n_max, 3)).astype(np.float32)
+    forces *= node_mask[..., None]
+    return tuple(map(jnp.asarray, (atom_type, positions, node_mask, y, forces)))
+
+
+def _time_steps(step, state, args, steps=50, windows=5, key_fn=None):
+    """Median steps/sec over several windows (tunnel noise is ±10%).
+
+    The fence is a VALUE FETCH of the final chained loss, not
+    ``block_until_ready`` — on the remote-TPU tunnel platform the latter
+    sometimes returns before queued computations finish (measured: 10 chained
+    512-atom steps "blocked" in 20 ms vs a 4.6 s fetch), which silently turns
+    the benchmark into a dispatch-rate measurement.
+    """
+    # warmup/compile
+    if key_fn is not None:
+        state, loss = step(state, *args, key_fn(0))
+    else:
+        state, loss = step(state, *args)
+    fence = float(loss)
+    assert np.isfinite(fence), f"non-finite warmup loss {fence}"
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            if key_fn is not None:
+                state, loss = step(state, *args, key_fn(1 + w * steps + i))
+            else:
+                state, loss = step(state, *args)
+        fence = float(loss)  # loss chains through state: fences all steps
+        rates.append(steps / (time.perf_counter() - t0))
+    assert np.isfinite(fence), f"non-finite final loss {fence}"
+    return float(np.median(rates))
+
+
+def bench_schnet_qm9(use_pallas):
+    import jax
+    import jax.numpy as jnp
+
+    from geossl_tpu.models import SchNet
+    from geossl_tpu.train import common, optim
+
+    batch, n_max = 128, 32
+    model = SchNet(use_pallas=use_pallas)
+    z, pos, mask, y, _ = _example(batch, n_max, seed=1)
+    key = jax.random.PRNGKey(0)
+    bp = model.init(key, z, pos, mask)["params"]
+    wh = jax.random.normal(key, (128, 1)) * 0.01
+    params = {"model": bp, "head": {"w": wh, "b": jnp.zeros((1,))}}
+    tx = optim.make_optimizer(5e-4, epochs=1000, steps_per_epoch=100)
+    state = common.TrainState.create(params, tx)
+
+    def loss_fn(p, z, pos, mask, y):
+        g, _ = model.apply({"params": p["model"]}, z, pos, mask)
+        pred = (g @ p["head"]["w"] + p["head"]["b"])[:, 0]
+        return jnp.mean(jnp.abs(pred - y[:, 0]))  # mae (finetune_qm9 default)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, z, pos, mask, y):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, z, pos, mask, y)
+        return common.apply_updates(state, grads, tx), loss
+
+    sps = _time_steps(step, state, (z, pos, mask, y))
+    return {"metric": "schnet_qm9_throughput", "value": round(batch * sps, 1),
+            "unit": "mol/s/chip", "vs_baseline": None}
+
+
+def bench_painn_qm9(use_pallas):
+    import jax
+    import jax.numpy as jnp
+
+    from geossl_tpu.models import PaiNN
+    from geossl_tpu.ops import geometry
+    from geossl_tpu.train import common, optim
+
+    batch, n_max, targets = 128, 32, 12
+    model = PaiNN(use_pallas=use_pallas)
+    z, pos, mask, y, _ = _example(batch, n_max, seed=2, targets=targets)
+    key = jax.random.PRNGKey(0)
+    dist, pm = geometry.pairwise_distances(pos, mask)
+    pair_mask = geometry.radius_adjacency(dist, pm, 5.0)
+    bp = model.init(key, z, pos, mask, pair_mask)["params"]
+    wh = jax.random.normal(key, (128, targets)) * 0.01
+    params = {"model": bp, "head": {"w": wh, "b": jnp.zeros((targets,))}}
+    tx = optim.make_optimizer(5e-4, epochs=1000, steps_per_epoch=100)
+    state = common.TrainState.create(params, tx)
+
+    def loss_fn(p, z, pos, mask, pair_mask, y):
+        g, _ = model.apply({"params": p["model"]}, z, pos, mask, pair_mask)
+        pred = g @ p["head"]["w"] + p["head"]["b"]
+        return jnp.mean(jnp.abs(pred - y))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, z, pos, mask, pair_mask, y):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, z, pos, mask, pair_mask, y)
+        return common.apply_updates(state, grads, tx), loss
+
+    sps = _time_steps(step, state, (z, pos, mask, pair_mask, y))
+    return {"metric": "painn_qm9_throughput", "value": round(batch * sps, 1),
+            "unit": "mol/s/chip", "vs_baseline": None}
+
+
+def bench_md17_force():
+    import jax
+    import jax.numpy as jnp
+
+    from geossl_tpu.models import SchNet
+    from geossl_tpu.train import common, optim
+
+    batch, n_max = 5, 32  # protocol train batch 5 (submit_finetune_md17:9-17)
+    model = SchNet(use_pallas=False)  # double-backward path stays XLA
+    z, pos, mask, y, forces = _example(batch, n_max, seed=3, n_min=21)
+    key = jax.random.PRNGKey(0)
+    bp = model.init(key, z, pos, mask)["params"]
+    params = {"model": bp,
+              "head": {"w": jax.random.normal(key, (128, 1)) * 0.01,
+                       "b": jnp.zeros((1,))}}
+    tx = optim.make_optimizer(5e-4, epochs=1000, steps_per_epoch=200)
+    state = common.TrainState.create(params, tx)
+
+    def energy(p, z, pos, mask):
+        g, _ = model.apply({"params": p["model"]}, z, pos, mask)
+        return (g @ p["head"]["w"] + p["head"]["b"])[:, 0]
+
+    def loss_fn(p, z, pos, mask, y, forces):
+        e = energy(p, z, pos, mask)
+        f = -jax.grad(lambda q: jnp.sum(energy(p, z, q, mask)))(pos)
+        nm = mask.astype(jnp.float32)[..., None]
+        e_loss = jnp.mean(jnp.abs(e - y[:, 0]))
+        f_loss = jnp.sum(jnp.abs(f - forces) * nm) / jnp.maximum(3 * nm.sum(), 1.0)
+        return 0.05 * e_loss + 0.95 * f_loss  # config.py:59-60
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, z, pos, mask, y, forces):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, z, pos, mask, y, forces)
+        return common.apply_updates(state, grads, tx), loss
+
+    sps = _time_steps(step, state, (z, pos, mask, y, forces))
+    return {"metric": "md17_force_step_time", "value": round(1e3 / sps, 3),
+            "unit": "ms/step", "vs_baseline": None}
+
+
+def bench_lba(use_pallas):
+    import jax
+    import jax.numpy as jnp
+
+    from geossl_tpu.models import SchNet
+    from geossl_tpu.train import common, optim
+
+    batch, n_max = 64, 512  # protocol batch 64; complexes capped at 500 atoms
+    model = SchNet(use_pallas=use_pallas)
+    z, pos, mask, y, _ = _example(batch, n_max, seed=4, n_min=300, spread=2.0)
+    key = jax.random.PRNGKey(0)
+    bp = model.init(key, z, pos, mask)["params"]
+    params = {"model": bp,
+              "head": {"w": jax.random.normal(key, (128, 1)) * 0.01,
+                       "b": jnp.zeros((1,))}}
+    tx = optim.make_optimizer(1e-4, epochs=300, steps_per_epoch=50)
+    state = common.TrainState.create(params, tx)
+
+    def loss_fn(p, z, pos, mask, y):
+        g, _ = model.apply({"params": p["model"]}, z, pos, mask)
+        pred = (g @ p["head"]["w"] + p["head"]["b"])[:, 0]
+        return jnp.mean((pred - y[:, 0]) ** 2)  # mse (finetune_lba.py:244)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, z, pos, mask, y):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, z, pos, mask, y)
+        return common.apply_updates(state, grads, tx), loss
+
+    sps = _time_steps(step, state, (z, pos, mask, y), steps=10, windows=3)
+    return {"metric": "lba_schnet_throughput", "value": round(batch * sps, 1),
+            "unit": "complex/s/chip", "vs_baseline": None}
+
+
+def bench_ddm(use_pallas):
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
     from geossl_tpu import objectives as obj
     from geossl_tpu.models import SchNet
     from geossl_tpu.objectives.ncsn import NCSNv3
@@ -51,23 +249,12 @@ def main():
     from geossl_tpu.train import common, optim
 
     batch, n_max, emb = 128, 32, 128
-    # published defaults; fused Pallas CFConv on real TPU backends. The
-    # fused NCSN head exists (ops/ncsn_pallas.py) but measures neutral at
-    # N=32 — the factored XLA head is already cheap there — so it stays off.
-    model = SchNet(use_pallas=jax.default_backend() == "tpu")
+    # published defaults; fused Pallas CFConv on real TPU backends. The fused
+    # NCSN head exists (ops/ncsn_pallas.py) but measures neutral at N=32, so
+    # it stays off.
+    model = SchNet(use_pallas=use_pallas)
     head = NCSNv3(emb_dim=emb)
-
-    rng = np.random.default_rng(0)
-    sizes = rng.integers(8, n_max, size=batch)
-    atom_type = np.zeros((batch, n_max), np.int32)
-    positions = np.zeros((batch, n_max, 3), np.float32)
-    node_mask = np.zeros((batch, n_max), bool)
-    for i, n in enumerate(sizes):
-        atom_type[i, :n] = rng.integers(0, 9, size=n)
-        positions[i, :n] = np.cumsum(rng.normal(scale=0.9, size=(n, 3)), axis=0)
-        node_mask[i, :n] = True
-    z, pos, mask = map(jnp.asarray, (atom_type, positions, node_mask))
-
+    z, pos, mask, _, _ = _example(batch, n_max, seed=0)
     key = jax.random.PRNGKey(0)
     bp = model.init(key, z, pos, mask)["params"]
     _, node = model.apply({"params": bp}, z, pos, mask)
@@ -76,7 +263,6 @@ def main():
     hp1 = head.init(key, key, node, dist, sel)["params"]
     hp2 = head.init(jax.random.fold_in(key, 1), key, node, dist, sel)["params"]
     params = {"model": bp, "NCSN_01": hp1, "NCSN_02": hp2}
-
     tx = optim.make_optimizer(5e-4, epochs=100, steps_per_epoch=100)
     state = common.TrainState.create(params, tx)
 
@@ -93,38 +279,36 @@ def main():
         return (l1 + l2) / 2
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, z, pos, mask, key):
+    def step(state, z, pos, mask, key):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, z, pos, mask, key)
         return common.apply_updates(state, grads, tx), loss
 
-    # warmup / compile
-    state, loss = train_step(state, z, pos, mask, jax.random.PRNGKey(1))
-    loss.block_until_ready()
+    sps = _time_steps(step, state, (z, pos, mask), key_fn=jax.random.PRNGKey)
+    mols = batch * sps
+    return {"metric": "geossl_ddm_pretrain_throughput", "value": round(mols, 1),
+            "unit": "mol/s/chip",
+            "vs_baseline": round(mols / BASELINE_MOLS_PER_SEC, 2)}
 
-    # median of several windows — the remote-TPU tunnel adds ±10% run noise
-    steps, windows = 50, 5
-    rates = []
-    for w in range(windows):
-        t0 = time.perf_counter()
-        for i in range(steps):
-            state, loss = train_step(
-                state, z, pos, mask, jax.random.PRNGKey(2 + w * steps + i)
-            )
-        loss.block_until_ready()
-        rates.append(batch * steps / (time.perf_counter() - t0))
 
-    mols_per_sec = float(np.median(rates))
-    print(
-        json.dumps(
-            {
-                "metric": "geossl_ddm_pretrain_throughput",
-                "value": round(mols_per_sec, 1),
-                "unit": "mol/s/chip",
-                "vs_baseline": round(mols_per_sec / BASELINE_MOLS_PER_SEC, 2),
-            }
-        )
-    )
+def main(only=None):
+    _setup_cache()
+    import jax
+
+    use_pallas = jax.default_backend() == "tpu"
+    benches = [
+        ("schnet_qm9", lambda: bench_schnet_qm9(use_pallas)),
+        ("painn_qm9", lambda: bench_painn_qm9(use_pallas)),
+        ("md17", bench_md17_force),
+        ("lba", lambda: bench_lba(use_pallas)),
+        ("ddm", lambda: bench_ddm(use_pallas)),  # flagship last (tail-parse)
+    ]
+    for name, fn in benches:
+        if only and name not in only:
+            continue
+        print(json.dumps(fn()), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(only=set(sys.argv[1:]) or None)

@@ -46,29 +46,73 @@ class DualHead(nn.Module):
 
 class DualLoader:
     """Zip two MolStores + labels into DualMolBatch batches
-    (reference collate: ``dataloaders_LEP.py:6-68``)."""
+    (reference collate: ``dataloaders_LEP.py:6-68``).
 
-    def __init__(self, active, inactive, labels, batch_size, n_max, shuffle, seed=0):
+    Pairs are bucketed by max(active, inactive) atom count so both towers of
+    a batch share one padded width — the protocol caps structures at
+    maxnum=400 atoms (``datasets_LEP.py:100-115``), so the default 448
+    bucket wastes ~0 pair-grid compute vs padding everything to 512. Uses
+    the native C++ packer when available; training batch order interleaves
+    buckets like BucketedLoader."""
+
+    def __init__(self, active, inactive, labels, batch_size, bucket_sizes,
+                 shuffle, seed=0):
         assert len(active) == len(inactive) == len(labels)
-        self.active, self.inactive, self.labels = active, inactive, labels
-        self.batch_size, self.n_max = batch_size, n_max
+        self.active, self.inactive = active, inactive
+        self.labels = np.asarray(labels, np.float32)
+        self.batch_size = batch_size
         self.shuffle, self.seed = shuffle, seed
+        sizes = np.maximum(active.num_atoms(), inactive.num_atoms())
+        ladder = np.asarray(sorted(bucket_sizes))
+        slot = np.searchsorted(ladder, sizes)
+        if (slot >= len(ladder)).any():
+            raise ValueError(
+                f"LEP pair with {int(sizes.max())} atoms exceeds the largest "
+                f"bucket {int(ladder[-1])}; extend --bucket"
+            )
+        self._bucket_of = ladder[slot]
+        self._native = None
+        try:
+            from geossl_tpu.native import packing as native_packing
+
+            if native_packing.available():
+                self._native = native_packing
+        except ImportError:
+            pass
 
     def __len__(self):
-        return -(-len(self.labels) // self.batch_size)
+        return sum(
+            -(-int((self._bucket_of == b).sum()) // self.batch_size)
+            for b in np.unique(self._bucket_of)
+        )
+
+    def _pack(self, store, chunk, n_max):
+        if self._native is not None:
+            at, pos, nm, gm, y = self._native.pack_batch_from_store(
+                store, chunk, n_max, self.batch_size
+            )
+            from geossl_tpu.data.batch import DenseMolBatch
+
+            return DenseMolBatch(atom_type=at, positions=pos, node_mask=nm,
+                                 y=y, graph_mask=gm)
+        return pack_batch(
+            [store.get(int(i)) for i in chunk], n_max, self.batch_size
+        )
 
     def epoch(self, epoch: int = 0) -> Iterator[DualMolBatch]:
-        idx = np.arange(len(self.labels))
-        if self.shuffle:
-            idx = np.random.default_rng((self.seed, epoch)).permutation(idx)
-        for s in range(0, len(idx), self.batch_size):
-            chunk = idx[s : s + self.batch_size]
-            a = pack_batch(
-                [self.active.get(int(i)) for i in chunk], self.n_max, self.batch_size
-            )
-            b = pack_batch(
-                [self.inactive.get(int(i)) for i in chunk], self.n_max, self.batch_size
-            )
+        rng = np.random.default_rng((self.seed, epoch))
+        chunks = []
+        for bucket in np.unique(self._bucket_of):
+            idx = np.where(self._bucket_of == bucket)[0]
+            if self.shuffle:
+                idx = rng.permutation(idx)
+            for s in range(0, len(idx), self.batch_size):
+                chunks.append((int(bucket), idx[s : s + self.batch_size]))
+        if self.shuffle and len(chunks) > 1:
+            chunks = [chunks[i] for i in rng.permutation(len(chunks))]
+        for bucket, chunk in chunks:
+            a = self._pack(self.active, chunk, bucket)
+            b = self._pack(self.inactive, chunk, bucket)
             y = np.zeros((self.batch_size,), np.float32)
             y[: len(chunk)] = self.labels[chunk]
             yield DualMolBatch(active=a, inactive=b, y=y)
@@ -77,7 +121,8 @@ class DualLoader:
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     common.add_common_args(p)
-    p.set_defaults(lr=1e-4, epochs=300, batch_size=16, bucket=[512])
+    # 448-pad: structures are env-capped at 400 atoms (datasets_LEP.py maxnum)
+    p.set_defaults(lr=1e-4, epochs=300, batch_size=16, bucket=[448])
     return p
 
 
@@ -117,9 +162,9 @@ def main(argv=None):
         print(f"Loaded pretrained backbone from {args.input_model_file}")
 
     bs = common.round_batch_to_mesh(args.batch_size, mesh)
-    n_max = common.buckets(args)[-1]
     loaders = {
-        k: DualLoader(a, i, y, bs, n_max, shuffle=(k == "train"), seed=args.seed)
+        k: DualLoader(a, i, y, bs, common.buckets(args),
+                      shuffle=(k == "train"), seed=args.seed)
         for k, (a, i, y) in splits.items()
     }
 

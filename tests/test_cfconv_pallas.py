@@ -146,3 +146,48 @@ def test_second_order_wrt_positions_chain(inputs):
     g_ref = jax.grad(lambda w: loss(cfconv_fused_reference, w))(jnp.float32(1.3))
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                rtol=1e-2)
+
+
+def test_md17_force_training_grads_fused_vs_xla():
+    """End-to-end MD17 shape: grad of [L1(E) + L1(-dE/dpos)] w.r.t. params
+    through the full SchNet, fused vs XLA paths."""
+    from geossl_tpu.models.schnet import SchNet
+
+    rng = np.random.default_rng(7)
+    b, n = 2, 8
+    z = jnp.asarray(rng.integers(0, 9, (b, n)), jnp.int32)
+    pos = jnp.asarray(np.cumsum(rng.normal(scale=0.8, size=(b, n, 3)),
+                                axis=1).astype(np.float32))
+    mask = jnp.ones((b, n), bool)
+    forces = jnp.asarray(rng.normal(scale=0.1, size=(b, n, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(b,)).astype(np.float32))
+
+    def make(use_pallas):
+        model = SchNet(hidden_channels=16, num_filters=16, num_interactions=2,
+                       num_gaussians=9, cutoff=6.0, use_pallas=use_pallas)
+        params = model.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+
+        def energy(p, q):
+            g, _ = model.apply({"params": p}, z, q, mask)
+            return g.mean(axis=-1)
+
+        def loss(p):
+            e = energy(p, pos)
+            f = -jax.grad(lambda q: jnp.sum(energy(p, q)))(pos)
+            return 0.05 * jnp.mean(jnp.abs(e - y)) + 0.95 * jnp.mean(
+                jnp.abs(f - forces))
+
+        return params, jax.grad(loss)(params)
+
+    params_x, gx = make(False)
+    params_p, gp = make(True)
+    # same init either way
+    for a, b_ in zip(jax.tree_util.tree_leaves(params_x),
+                     jax.tree_util.tree_leaves(params_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_p = jax.tree_util.tree_leaves(gp)
+    for (path, a), b_ in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
