@@ -100,3 +100,47 @@ def mol_to_arrays(mol) -> Tuple[dict, Dict[int, int]]:
         ),
         dict(atom_count),
     )
+
+
+def sdf_block_to_arrays(block: str) -> Tuple[dict, Dict[int, int]]:
+    """No-RDKit fallback of ``mol_to_arrays`` from a raw SDF molecule block
+    (``structio.parse_sdf_mol``). Atom types/positions/bond topology are
+    identical to the RDKit path; bond orders stay as written in the file
+    (kekulized, no aromaticity perception) and chirality tags are
+    unspecified — neither is consumed by any runnable workload (models embed
+    ``atom_type`` only; BFS masking uses topology)."""
+    from collections import defaultdict
+
+    from geossl_tpu.data.structio import SYMBOL_TO_Z, parse_sdf_mol
+
+    elements, positions, bonds = parse_sdf_mol(block)
+    atom_count: Dict[int, int] = defaultdict(int)
+    atom_types = []
+    for e in elements:
+        z = SYMBOL_TO_Z.get(e, -1)
+        atom_count[z] += 1
+        atom_types.append(atomic_number_to_index(z))
+
+    edges, edge_attrs = [], []
+    for i, j, order in bonds:
+        bt = min(max(int(order), 1), 4) - 1  # 1/2/3/4(arom) -> 0/1/2/3
+        edges += [(i, j), (j, i)]
+        edge_attrs += [(bt, 0), (bt, 0)]
+    bond_index = (
+        np.asarray(edges, dtype=np.int32).T.reshape(2, -1)
+        if edges else np.zeros((2, 0), np.int32)
+    )
+    bond_attr = (
+        np.asarray(edge_attrs, dtype=np.int32).reshape(-1, 2)
+        if edge_attrs else np.zeros((0, 2), np.int32)
+    )
+    return (
+        dict(
+            atom_type=np.asarray(atom_types, dtype=np.int32),
+            chirality=np.zeros(len(atom_types), np.int32),
+            positions=positions,
+            bond_index=bond_index,
+            bond_attr=bond_attr,
+        ),
+        dict(atom_count),
+    )

@@ -25,9 +25,31 @@ SDF_SHARDS = [
 ]
 
 
+def _iter_mol_arrays(path: str):
+    """Yield featurized array-dicts (or None for unparseable molecules) from
+    one SDF shard — RDKit when available (the reference's sanitizing parse,
+    ``datasets_Molecule3D.py:61-75``), else the dependency-free reader
+    (``featurize.sdf_block_to_arrays``; same atom types / positions / bond
+    topology, which is all any runnable workload consumes)."""
+    try:
+        from rdkit import Chem
+    except ImportError:
+        from geossl_tpu.data.featurize import sdf_block_to_arrays
+        from geossl_tpu.data.structio import iter_sdf_blocks
+
+        for block in iter_sdf_blocks(path):
+            try:
+                yield sdf_block_to_arrays(block)[0]
+            except (ValueError, IndexError):
+                yield None
+        return
+    suppl = Chem.SDMolSupplier(path, removeHs=False, sanitize=True)
+    for mol in suppl:
+        yield None if mol is None else mol_to_arrays(mol)[0]
+
+
 def build_molecule3d(root: str, limit: Optional[int] = None) -> MolStore:
     import pandas as pd
-    from rdkit import Chem
 
     raw = os.path.join(root, "raw")
     props = pd.read_csv(os.path.join(raw, "properties.csv"))
@@ -44,12 +66,10 @@ def build_molecule3d(root: str, limit: Optional[int] = None) -> MolStore:
                 f"Molecule3D shard {shard} missing under {raw}; all shards "
                 "are required to keep property rows aligned"
             )
-        suppl = Chem.SDMolSupplier(path, removeHs=False, sanitize=True)
-        for mol in suppl:
-            if mol is None:
+        for arrays in _iter_mol_arrays(path):
+            if arrays is None:
                 idx += 1
                 continue
-            arrays, _ = mol_to_arrays(mol)
             records.append(
                 MolRecord(
                     atom_type=arrays["atom_type"],

@@ -300,3 +300,74 @@ def test_read_lmdb_items_gated():
         pass
     with pytest.raises((ImportError, FileNotFoundError)):
         list(lep.read_lmdb_items("/nonexistent"))
+
+
+# ------------------------------------------------------- Molecule3D (no-RDKit)
+
+
+def make_mol_block(elements, coords, bonds, name="mol"):
+    lines = [name, "  synthetic", ""]
+    lines.append(f"{len(elements):3d}{len(bonds):3d}  0  0  0  0  0  0  0  0999 V2000")
+    for el, (x, y, z) in zip(elements, coords):
+        lines.append(
+            f"{x:10.4f}{y:10.4f}{z:10.4f} {el:<3s} 0  0  0  0  0  0  0  0  0  0  0  0"
+        )
+    for i, j, order in bonds:
+        lines.append(f"{i + 1:3d}{j + 1:3d}{order:3d}  0")
+    lines += ["M  END"]
+    return "\n".join(lines)
+
+
+def test_parse_sdf_mol_bonds():
+    from geossl_tpu.data.structio import parse_sdf_mol
+
+    block = make_mol_block(
+        ["C", "O", "H"], [(0, 0, 0), (1.2, 0, 0), (-1, 0, 0)],
+        [(0, 1, 2), (0, 2, 1)],
+    )
+    els, coords, bonds = parse_sdf_mol(block)
+    assert els == ["C", "O", "H"]
+    np.testing.assert_array_equal(bonds, [[0, 1, 2], [0, 2, 1]])
+
+
+def test_sdf_block_to_arrays_matches_vocab():
+    from geossl_tpu.data.featurize import sdf_block_to_arrays
+
+    block = make_mol_block(
+        ["C", "N", "Zn"], [(0, 0, 0), (1.4, 0, 0), (0, 1.4, 0)], [(0, 1, 4)]
+    )
+    arrays, counts = sdf_block_to_arrays(block)
+    # C=idx1, N=idx2, Zn not in vocab -> unknown idx 8
+    assert list(arrays["atom_type"]) == [1, 2, 8]
+    # aromatic bond (order 4) -> type idx 3, both directions
+    np.testing.assert_array_equal(arrays["bond_index"], [[0, 1], [1, 0]])
+    assert list(arrays["bond_attr"][:, 0]) == [3, 3]
+    assert counts[6] == 1 and counts[7] == 1
+
+
+def test_build_molecule3d_without_rdkit(tmp_path):
+    """The corpus builder must run on the plain-SDF path (rdkit absent in
+    this environment), keeping property rows aligned across parse failures."""
+    from geossl_tpu.data.molecule3d import SDF_SHARDS, build_molecule3d
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    mols = [
+        make_mol_block(["C", "O"], [(0, 0, 0), (1.2, 0, 0)], [(0, 1, 1)]),
+        "garbage\n",  # unparseable -> skipped, property row consumed
+        make_mol_block(["N", "N"], [(0, 0, 0), (1.1, 0, 0)], [(0, 1, 3)]),
+    ]
+    (raw / SDF_SHARDS[0]).write_text(
+        "".join(m.rstrip("\n") + "\n$$$$\n" for m in mols)
+    )
+    for shard in SDF_SHARDS[1:]:
+        (raw / shard).write_text("")
+    with open(raw / "properties.csv", "w") as f:
+        f.write("p0,p1\n")
+        for i in range(3):
+            f.write(f"{i}.5,{i * 10}.0\n")
+    store = build_molecule3d(str(tmp_path))
+    assert len(store) == 2
+    assert list(store.get(0).atom_type) == [1, 3]
+    np.testing.assert_allclose(store.get(0).y, [0.5, 0.0])
+    np.testing.assert_allclose(store.get(1).y, [2.5, 20.0])  # row 2, not 1
