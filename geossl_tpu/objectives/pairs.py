@@ -15,6 +15,31 @@ import jax.numpy as jnp
 from geossl_tpu.ops.geometry import pair_mask_from_nodes
 
 
+def exact_count_subsample(
+    rng: jax.Array, mask: jnp.ndarray, ratio: float, per_graph: bool = True
+) -> jnp.ndarray:
+    """Keep exactly ``floor(M·ratio)`` of the True entries of ``mask``.
+
+    Matches ``np.random.choice(M, int(M·ratio), replace=False)`` in
+    distribution (the reference's subsampling everywhere —
+    ``dataloaders_AtomTuple.py:26-29``, ``pretrain_ChargePrediction.py:66-68``)
+    with static shapes: draw i.i.d. uniforms on the selected entries and keep
+    those at or below the k-th order statistic. ``per_graph=True`` treats the
+    leading axis as independent graphs (per-graph M and k); ``False`` samples
+    over the whole batch, the charge-masking semantics.
+    """
+    u = jax.random.uniform(rng, mask.shape, jnp.float32)
+    u = jnp.where(mask, u, jnp.inf)
+    lead = mask.shape[0] if per_graph else 1
+    flat = u.reshape(lead, -1)
+    m = jnp.sum(mask.reshape(lead, -1), axis=1)
+    k = jnp.floor(m * ratio).astype(jnp.int32)
+    order = jnp.sort(flat, axis=1)
+    thr = jnp.take_along_axis(order, jnp.maximum(k - 1, 0)[:, None], axis=1)
+    keep = (flat <= thr) & (k[:, None] > 0)
+    return keep.reshape(mask.shape) & mask
+
+
 def pair_selection(
     node_mask: jnp.ndarray,
     option: str = "permutation",
@@ -26,10 +51,8 @@ def pair_selection(
     ``option='permutation'`` selects every ordered pair (i != j);
     ``option='combination'`` selects each unordered pair once (i < j), the
     "symmetry" noise mode (``pretrain_GeoSSL.py:289-295``). ``ratio < 1``
-    subsamples pairs i.i.d. Bernoulli(ratio) — the reference samples exactly
-    ``int(M·ratio)`` without replacement per graph
-    (``dataloaders_AtomTuple.py:26-29``); Bernoulli matches in expectation
-    and keeps shapes static.
+    subsamples exactly ``int(M·ratio)`` pairs per graph without replacement
+    (``dataloaders_AtomTuple.py:26-29`` semantics, static shapes).
     """
     mask = pair_mask_from_nodes(node_mask)
     if option == "combination":
@@ -41,8 +64,7 @@ def pair_selection(
     if ratio < 1.0:
         if rng is None:
             raise ValueError("ratio < 1 requires an rng key")
-        keep = jax.random.bernoulli(rng, ratio, mask.shape)
-        mask = mask & keep
+        mask = exact_count_subsample(rng, mask, ratio, per_graph=True)
     return mask
 
 

