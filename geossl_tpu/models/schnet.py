@@ -76,9 +76,11 @@ class InteractionBlock(nn.Module):
         # segment-sum over incoming edges, lin2.
         x = Dense(self.num_filters, use_bias=False, dtype=self.dtype)(h)
         op = cfconv_fused if self.use_pallas else cfconv_fused_reference
+        # bf16 compute runs the filter matmuls at full MXU rate (f32 accum)
+        mxu = "bf16" if self.dtype == jnp.bfloat16 else "f32"
         m = op(
             dist, env, x.astype(jnp.promote_types(jnp.float32, x.dtype)),
-            w1, b1, w2, b2, 0.0, self.cutoff, self.num_gaussians,
+            w1, b1, w2, b2, 0.0, self.cutoff, self.num_gaussians, mxu,
         )
         if self.dtype is not None:
             m = m.astype(self.dtype)

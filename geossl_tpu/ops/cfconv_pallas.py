@@ -45,23 +45,42 @@ def _ssp(x):
     return jax.nn.softplus(x) - LOG2
 
 
+def _dot(a, b, mxu):
+    """MXU matmul with f32 accumulation; mxu='bf16' feeds the systolic array
+    bf16 operands (full-rate) instead of multi-pass f32."""
+    if mxu == "bf16":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _offsets(start, delta, num_g):
     # computed in-kernel (pallas kernels may not capture array constants)
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, num_g), 1).astype(jnp.float32)
     return start + delta * ids
 
 
-def _rbf_3d(d2, offsets, coeff, ti, tj, num_g):
-    # d2 [ti, tj] -> rbf [ti*tj, num_g]. Mosaic supports broadcast into a new
-    # minor dim and collapsing MAJOR dims, but not lane->sublane reshapes —
-    # so expand to [ti, tj, G] then collapse the leading pair dims.
-    diff = d2[:, :, None] - offsets.reshape(1, 1, num_g)
-    rbf3 = jnp.exp(coeff * diff * diff)
-    return rbf3.reshape(ti * tj, num_g)
+def _rbf_4d(d3, offsets, coeff, bb, ti, tj, num_g):
+    # d3 [bb, ti, tj] -> rbf [bb*ti*tj, num_g]. Mosaic supports broadcast
+    # into a new minor dim and collapsing MAJOR dims, but not lane->sublane
+    # reshapes — so expand to [bb, ti, tj, G] then collapse the major dims.
+    diff = d3[:, :, :, None] - offsets.reshape(1, 1, 1, num_g)
+    rbf4 = jnp.exp(coeff * diff * diff)
+    return rbf4.reshape(bb * ti * tj, num_g)
+
+
+def _batch_block(b, ti, tj, budget=8192):
+    """Batch rows per kernel program. Tiny per-graph tiles (N=32 -> 32x32)
+    would otherwise spend the step on per-program overhead and under-feed the
+    MXU; blocking bb graphs per program amortizes both. Keeps
+    bb*ti*tj <= budget so live [bb*ti*tj, F] intermediates stay a few MB."""
+    from geossl_tpu.ops.pallas_utils import _largest_legal_divisor
+
+    return _largest_legal_divisor(b, max(1, budget // (ti * tj)), 1)
 
 
 def _fwd_kernel(dist_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                out_ref, *, start, delta, num_g, coeff, ti, tj):
+                out_ref, *, start, delta, num_g, coeff, bb, ti, tj, mxu):
     offsets = _offsets(start, delta, num_g)
     j = pl.program_id(2)
 
@@ -69,37 +88,37 @@ def _fwd_kernel(dist_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    rbf = _rbf_3d(dist_ref[0], offsets, coeff, ti, tj, num_g)
-    h = jnp.dot(rbf, w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[0]
+    rbf = _rbf_4d(dist_ref[...], offsets, coeff, bb, ti, tj, num_g)
+    h = _dot(rbf, w1_ref[...], mxu) + b1_ref[0]
     h = _ssp(h)
-    w = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32) + b2_ref[0]
-    w = w.reshape(ti, tj, -1) * env_ref[0][:, :, None]
-    xj = x_ref[0]  # [tj, F]
-    out_ref[0] += jnp.sum(w * xj[None, :, :], axis=1)
+    w = _dot(h, w2_ref[...], mxu) + b2_ref[0]
+    w = w.reshape(bb, ti, tj, -1) * env_ref[...][:, :, :, None]
+    out_ref[...] += jnp.sum(w * x_ref[...][:, None, :, :], axis=2)
 
 
-def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
+def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
     b, n, _ = dist.shape
     f = x.shape[-1]
     ti, tj = pair_tiles(n, 4096)
+    bb = _batch_block(b, ti, tj, budget=8192)
     delta = (stop - start) / (num_g - 1)
     coeff = -0.5 / delta**2
-    grid = (b, n // ti, n // tj)
+    grid = (b // bb, n // ti, n // tj)
     kernel = partial(_fwd_kernel, start=start, delta=delta, num_g=num_g,
-                     coeff=coeff, ti=ti, tj=tj)
+                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
-            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
-            pl.BlockSpec((1, tj, f), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((bb, ti, tj), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((bb, ti, tj), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((bb, tj, f), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec(w1.shape, lambda b, i, j: (0, 0)),
             pl.BlockSpec((1,) + b1.shape, lambda b, i, j: (0, 0)),
             pl.BlockSpec(w2.shape, lambda b, i, j: (0, 0)),
             pl.BlockSpec((1,) + b2.shape, lambda b, i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ti, f), lambda b, i, j: (b, i, 0)),
+        out_specs=pl.BlockSpec((bb, ti, f), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, f), jnp.float32),
         interpret=_interpret(),
     )(dist, env, x, w1, b1[None], w2, b2[None])
@@ -107,7 +126,7 @@ def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
 
 def _bwd_kernel(dist_ref, env_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
                 b2_ref, ddist_ref, denv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                *, start, delta, num_g, coeff, ti, tj):
+                *, start, delta, num_g, coeff, bb, ti, tj, mxu):
     offsets = _offsets(start, delta, num_g)
     bi, ii, jj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -118,59 +137,62 @@ def _bwd_kernel(dist_ref, env_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
         dw2_ref[...] = jnp.zeros_like(dw2_ref)
         db2_ref[...] = jnp.zeros_like(db2_ref)
 
-    d2 = dist_ref[0]  # [ti, tj]
-    env3 = env_ref[0][:, :, None]  # [ti, tj, 1]
-    rbf = _rbf_3d(d2, offsets, coeff, ti, tj, num_g)
-    pre1 = jnp.dot(rbf, w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[0]
+    d3 = dist_ref[...]  # [bb, ti, tj]
+    env4 = env_ref[...][:, :, :, None]  # [bb, ti, tj, 1]
+    rbf = _rbf_4d(d3, offsets, coeff, bb, ti, tj, num_g)
+    pre1 = _dot(rbf, w1_ref[...], mxu) + b1_ref[0]
     s = _ssp(pre1)
-    w_raw = jnp.dot(s, w2_ref[...], preferred_element_type=jnp.float32) + b2_ref[0]
+    w_raw = _dot(s, w2_ref[...], mxu) + b2_ref[0]
 
     # q[b,i,j,f] = g[b,i,f] * x[b,j,f]
     f = x_ref.shape[-1]
-    q3 = g_ref[0][:, None, :] * x_ref[0][None, :, :]  # [ti, tj, F]
-    denv_ref[0] = jnp.sum(w_raw.reshape(ti, tj, f) * q3, axis=2)
-    qe = (q3 * env3).reshape(ti * tj, f)
+    q4 = g_ref[...][:, :, None, :] * x_ref[...][:, None, :, :]  # [bb,ti,tj,F]
+    denv_ref[...] = jnp.sum(w_raw.reshape(bb, ti, tj, f) * q4, axis=3)
+    qe = (q4 * env4).reshape(bb * ti * tj, f)
 
-    dw2_ref[...] += jnp.dot(s.T, qe, preferred_element_type=jnp.float32)
+    dw2_ref[...] += _dot(s.T, qe, mxu)
     db2_ref[0] += jnp.sum(qe, axis=0)
-    dh = jnp.dot(qe, w2_ref[...].T, preferred_element_type=jnp.float32)
+    dh = _dot(qe, w2_ref[...].T, mxu)
     dh = dh * jax.nn.sigmoid(pre1)  # ssp' = sigmoid
-    dw1_ref[...] += jnp.dot(rbf.T, dh, preferred_element_type=jnp.float32)
+    dw1_ref[...] += _dot(rbf.T, dh, mxu)
     db1_ref[0] += jnp.sum(dh, axis=0)
     # ddist via the RBF chain rule: drbf/dd = rbf * 2*coeff*(d - off)
-    drbf = jnp.dot(dh, w1_ref[...].T, preferred_element_type=jnp.float32)
-    diff3 = d2[:, :, None] - offsets.reshape(1, 1, num_g)
-    chain3 = drbf.reshape(ti, tj, num_g) * jnp.exp(coeff * diff3 * diff3)
-    ddist_ref[0] = jnp.sum(chain3 * (2.0 * coeff) * diff3, axis=2)
+    drbf = _dot(dh, w1_ref[...].T, mxu)
+    diff4 = d3[:, :, :, None] - offsets.reshape(1, 1, 1, num_g)
+    chain4 = drbf.reshape(bb, ti, tj, num_g) * jnp.exp(coeff * diff4 * diff4)
+    ddist_ref[...] = jnp.sum(chain4 * (2.0 * coeff) * diff4, axis=3)
 
 
-def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g):
+def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
     b, n, _ = dist.shape
     f = x.shape[-1]
     f1 = w1.shape[1]
     ti, tj = pair_tiles(n, 4096)
+    # the backward keeps ~10 [bb*ti*tj, F] tensors live -> tighter bb budget
+    # (bb=8 at N=32 measured 26 MB scoped VMEM vs the 16 MB limit)
+    bb = _batch_block(b, ti, tj, budget=4096)
     delta = (stop - start) / (num_g - 1)
     coeff = -0.5 / delta**2
-    grid = (b, n // ti, n // tj)
+    grid = (b // bb, n // ti, n // tj)
     kernel = partial(_bwd_kernel, start=start, delta=delta, num_g=num_g,
-                     coeff=coeff, ti=ti, tj=tj)
+                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu)
     acc = lambda shape: pl.BlockSpec(shape, lambda b, i, j: tuple(0 for _ in shape))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
-            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
-            pl.BlockSpec((1, tj, f), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, ti, f), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((bb, ti, tj), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((bb, ti, tj), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((bb, tj, f), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((bb, ti, f), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec(w1.shape, lambda b, i, j: (0, 0)),
             pl.BlockSpec((1,) + b1.shape, lambda b, i, j: (0, 0)),
             pl.BlockSpec(w2.shape, lambda b, i, j: (0, 0)),
             pl.BlockSpec((1,) + b2.shape, lambda b, i, j: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
-            pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((bb, ti, tj), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((bb, ti, tj), lambda b, i, j: (b, i, j)),
             acc((num_g, f1)),
             acc((1, f1)),
             acc((f1, f)),
@@ -188,43 +210,46 @@ def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g):
     )(dist, env, x, g, w1, b1[None], w2, b2[None])
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
-    """Fused CFConv: see module docstring. All inputs f32; returns [B,N,F]."""
-    return _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g)
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
+    """Fused CFConv: see module docstring. All inputs f32; returns [B,N,F].
+    ``mxu='bf16'`` runs the filter matmuls (fwd AND grad) with bf16 operands
+    and f32 accumulation — full MXU rate, ~1e-3 relative drift."""
+    return _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu)
 
 
-def _vjp_fwd(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
+def _vjp_fwd(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
     # call the custom-vjp op (not the raw kernel) so that differentiating the
     # saved forward — which second-order AD does — hits this VJP again
     # instead of pallas_call's missing JVP rule
-    out = cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g)
+    out = cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu)
     return out, (dist, env, x, w1, b1, w2, b2)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _cfconv_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g):
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _cfconv_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g, mxu="f32"):
     """Differentiable wrapper of the backward kernel: returns
     (ddist, denv, dw1, db1, dw2, db2). Its own VJP (the second-order terms)
     runs through the XLA reference math."""
     ddist, denv, dw1, db1, dw2, db2 = _bwd_pallas(
-        dist, env, x, g, w1, b1, w2, b2, start, stop, num_g
+        dist, env, x, g, w1, b1, w2, b2, start, stop, num_g, mxu
     )
     return ddist, denv, dw1, db1[0], dw2, db2[0]
 
 
-def _cfconv_bwd_fwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g):
-    out = _cfconv_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g)
+def _cfconv_bwd_fwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g,
+                    mxu="f32"):
+    out = _cfconv_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g, mxu)
     return out, (dist, env, x, w1, b1, w2, b2, g)
 
 
-def _cfconv_bwd_bwd(start, stop, num_g, res, cts):
+def _cfconv_bwd_bwd(start, stop, num_g, mxu, res, cts):
     dist, env, x, w1, b1, w2, b2, g = res
 
     def ref_grads(dist, env, x, w1, b1, w2, b2, g):
         _, vjp = jax.vjp(
             lambda d, e, xx, a, ab, c, cb: cfconv_fused_reference(
-                d, e, xx, a, ab, c, cb, start, stop, num_g
+                d, e, xx, a, ab, c, cb, start, stop, num_g, mxu
             ),
             dist, env, x, w1, b1, w2, b2,
         )
@@ -238,14 +263,14 @@ def _cfconv_bwd_bwd(start, stop, num_g, res, cts):
 _cfconv_bwd.defvjp(_cfconv_bwd_fwd, _cfconv_bwd_bwd)
 
 
-def _vjp_bwd(start, stop, num_g, res, g):
+def _vjp_bwd(start, stop, num_g, mxu, res, g):
     dist, env, x, w1, b1, w2, b2 = res
     g = g.astype(jnp.float32)
     # dx: the fused op applied to g (dist/env/w symmetric in (i, j));
     # expressed via cfconv_fused itself so it differentiates to any order
-    dx = cfconv_fused(dist, env, g, w1, b1, w2, b2, start, stop, num_g)
+    dx = cfconv_fused(dist, env, g, w1, b1, w2, b2, start, stop, num_g, mxu)
     ddist, denv, dw1, db1, dw2, db2 = _cfconv_bwd(
-        dist, env, x, w1, b1, w2, b2, g, start, stop, num_g
+        dist, env, x, w1, b1, w2, b2, g, start, stop, num_g, mxu
     )
     return ddist, denv, dx, dw1, db1, dw2, db2
 
@@ -253,12 +278,18 @@ def _vjp_bwd(start, stop, num_g, res, g):
 cfconv_fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def cfconv_fused_reference(dist, env, x, w1, b1, w2, b2, start, stop, num_g):
-    """Pure-XLA reference of the fused op (same math, arbitrary-order AD)."""
+def cfconv_fused_reference(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
+                           mxu="f32"):
+    """Pure-XLA reference of the fused op (same math, arbitrary-order AD).
+    ``mxu='bf16'`` mimics the kernel's bf16-operand filter matmuls."""
     from geossl_tpu.models.common import gaussian_smearing
 
     rbf = gaussian_smearing(dist, start, stop, num_g)
-    w = _ssp(rbf @ w1 + b1) @ w2 + b2
+    if mxu == "bf16":
+        w = _ssp(_dot(rbf, w1, mxu) + b1)
+        w = _dot(w, w2, mxu) + b2
+    else:
+        w = _ssp(rbf @ w1 + b1) @ w2 + b2
     acc = jnp.promote_types(jnp.float32, jnp.result_type(w, env, x))
     return jnp.einsum("bijf,bij,bjf->bif", w, env, x, preferred_element_type=acc)
 

@@ -191,3 +191,28 @@ def test_md17_force_training_grads_fused_vs_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-3, atol=1e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_bf16_mxu_mode(inputs):
+    """mxu='bf16' (full-MXU-rate filter matmuls, f32 accumulation): fused
+    matches the bf16 reference tightly, and both stay within bf16 drift of
+    the f32 path; gradients stay usable."""
+    out_ref16 = cfconv_fused_reference(*inputs, START, STOP, G, "bf16")
+    out_f16 = cfconv_fused(*inputs, START, STOP, G, "bf16")
+    np.testing.assert_allclose(np.asarray(out_f16), np.asarray(out_ref16),
+                               rtol=2e-3, atol=2e-3)
+    out_f32 = cfconv_fused_reference(*inputs, START, STOP, G)
+    scale = float(np.abs(np.asarray(out_f32)).mean())
+    err = float(np.abs(np.asarray(out_f16) - np.asarray(out_f32)).mean())
+    assert err < 0.03 * scale, (err, scale)
+
+    def loss(args, mxu):
+        return jnp.sum(jnp.tanh(cfconv_fused(*args, START, STOP, G, mxu)))
+
+    g16 = jax.grad(lambda a: loss(a, "bf16"))(inputs)
+    g32 = jax.grad(lambda a: loss(a, "f32"))(inputs)
+    for name, a, b in zip(["dist", "env", "x", "w1", "b1", "w2", "b2"],
+                          g16, g32):
+        sa = float(np.abs(np.asarray(b)).mean()) + 1e-8
+        ea = float(np.abs(np.asarray(a) - np.asarray(b)).mean())
+        assert ea < 0.05 * sa, (name, ea, sa)
