@@ -249,10 +249,11 @@ def bench_ddm(use_pallas):
     from geossl_tpu.train import common, optim
 
     batch, n_max, emb = 128, 32, 128
-    # published defaults; fused Pallas CFConv + fused NCSN score head on real
-    # TPU backends (+14% / +44% respectively in honest same-process A/Bs)
+    # published defaults; fused Pallas CFConv on real TPU backends (+19% on
+    # this step, interleaved A/B). The fused NCSN head is neutral at N=32
+    # (docs/PERF.md) and stays off here, mirroring the driver's policy.
     model = SchNet(use_pallas=use_pallas)
-    head = NCSNv3(emb_dim=emb, use_pallas=use_pallas)
+    head = NCSNv3(emb_dim=emb)
     z, pos, mask, _, _ = _example(batch, n_max, seed=0)
     key = jax.random.PRNGKey(0)
     bp = model.init(key, z, pos, mask)["params"]
