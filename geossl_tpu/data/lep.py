@@ -21,7 +21,7 @@ import gzip
 import io
 import json
 import os
-from typing import Dict, Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 
