@@ -164,7 +164,7 @@ def bench_painn_qm9(use_pallas):
             "unit": "mol/s/chip", "vs_baseline": None}
 
 
-def bench_md17_force():
+def bench_md17_force(use_pallas=False):
     import jax
     import jax.numpy as jnp
 
@@ -172,7 +172,9 @@ def bench_md17_force():
     from geossl_tpu.train import common, optim
 
     batch, n_max = 5, 32  # protocol train batch 5 (submit_finetune_md17:9-17)
-    model = SchNet(use_pallas=False)  # double-backward path stays XLA
+    # the fused CFConv supports second-order AD, so the force path may run
+    # fused — mirroring the driver's policy (auto: fused on TPU backends)
+    model = SchNet(use_pallas=use_pallas)
     z, pos, mask, y, forces = _example(batch, n_max, seed=3, n_min=21)
     key = jax.random.PRNGKey(0)
     bp = model.init(key, z, pos, mask)["params"]

@@ -52,8 +52,13 @@ class ModelConfig:
     painn: PaiNNConfig = field(default_factory=PaiNNConfig)
     # Numerics: parameters are always f32; activations may run in bf16.
     compute_dtype: str = "float32"  # {"float32", "bfloat16"}
-    # Fused Pallas CFConv kernel (first-order AD only; +15-70% step speed on
-    # TPU depending on N). MD17's double-backward force path must keep False.
+    # SchNet filter-MLP matmul precision: 'bf16' feeds the MXU half-precision
+    # operands (f32 accumulation, ~1e-3 drift) while everything else stays
+    # f32. Measured NEUTRAL on v5e at N=32 and N=512 (docs/PERF.md) — the
+    # fused kernel is not matmul-rate-bound there; kept for other hardware.
+    filter_mxu: str = "f32"  # {"f32", "bf16"}
+    # Fused Pallas kernels (+10-150% step speed on TPU depending on N;
+    # both kernels support second-order AD, so MD17 forces run fused too).
     use_pallas: bool = False
 
     @property

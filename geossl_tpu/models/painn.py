@@ -53,7 +53,8 @@ class PaiNNInteraction(nn.Module):
     filter slice from the radial features so the full-depth filter tensor is
     never materialized. With ``use_pallas`` the whole RBF → filter → triple
     message-reduction chain runs as one fused kernel
-    (``ops/painn_pallas.py``; first-order AD only)."""
+    (``ops/painn_pallas.py``; supports second-order AD — the double-backward
+    terms run through the XLA reference math)."""
 
     n_atom_basis: int
     cutoff: float = 5.0

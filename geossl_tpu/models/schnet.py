@@ -10,7 +10,8 @@ fusible, with the filter MLP (the FLOPs-heavy part) running as large
 ``[B·N·N, G] @ [G, F]`` matmuls on the MXU. With ``use_pallas=True`` the
 whole RBF → filter-MLP → envelope → message-sum chain runs as one fused
 Pallas kernel that never materializes ``[B,N,N,F]`` in HBM
-(``ops/cfconv_pallas.py``; first-order AD only — MD17 keeps the XLA path).
+(``ops/cfconv_pallas.py``; supports second-order AD, so MD17's force path
+may run fused too).
 
 Behavioral parity notes:
 * The graph is recomputed from the *live* positions every forward, matching
@@ -59,6 +60,7 @@ class InteractionBlock(nn.Module):
     cutoff: float
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    filter_mxu: str = "f32"  # 'bf16': half-precision filter matmuls, f32 accum
 
     @nn.compact
     def __call__(self, h, dist, adj):
@@ -76,8 +78,15 @@ class InteractionBlock(nn.Module):
         # segment-sum over incoming edges, lin2.
         x = Dense(self.num_filters, use_bias=False, dtype=self.dtype)(h)
         op = cfconv_fused if self.use_pallas else cfconv_fused_reference
-        # bf16 compute runs the filter matmuls at full MXU rate (f32 accum)
-        mxu = "bf16" if self.dtype == jnp.bfloat16 else "f32"
+        # bf16 compute runs the filter matmuls at full MXU rate (f32 accum);
+        # either implied by a bf16 model dtype or opted into standalone
+        # (``filter_mxu='bf16'``) for the matmul-bound large-N regime (LBA)
+        # while everything else stays f32.
+        mxu = (
+            "bf16"
+            if self.dtype == jnp.bfloat16 or self.filter_mxu == "bf16"
+            else "f32"
+        )
         m = op(
             dist, env, x.astype(jnp.promote_types(jnp.float32, x.dtype)),
             w1, b1, w2, b2, 0.0, self.cutoff, self.num_gaussians, mxu,
@@ -111,6 +120,7 @@ class SchNet(nn.Module):
     atomref: Optional[jnp.ndarray] = None  # [node_class] per-type offsets
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    filter_mxu: str = "f32"
 
     @nn.compact
     def __call__(self, atom_type, positions, node_mask):
@@ -137,6 +147,7 @@ class SchNet(nn.Module):
                 self.cutoff,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                filter_mxu=self.filter_mxu,
             )(h, dist, adj)
 
         h = Dense(self.hidden_channels, dtype=self.dtype)(h)

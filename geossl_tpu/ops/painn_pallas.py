@@ -19,7 +19,15 @@ to ``[B,N,3F]`` with c-major layout ``mu2d[..., c*F+f]``.
 
 Custom VJP: one backward kernel (grid transposed so j-indexed outputs
 accumulate over the innermost i axis) produces dx, dmu_in, dWk, dbk, ddist,
-dgate and the three ddir components. First-order AD only.
+dgate and the three ddir components.
+
+Second-order AD (MD17 force training with PaiNN: the loss contains
+``-∂E/∂pos`` and is differentiated again w.r.t. parameters) IS supported,
+the same way as ``cfconv_pallas``: the backward kernel is itself wrapped in
+a custom VJP whose derivative is taken through the pure-XLA reference math
+(``painn_message_reference``). First-order traffic — the hot path — stays
+fully fused; only the double-backward terms materialize ``[B,N,N,3F]``, and
+MD17 runs at B=5, N≤32 where that is a few MB.
 """
 
 from __future__ import annotations
@@ -240,18 +248,57 @@ def painn_message_fused(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
 
 
 def _vjp_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
-    out = _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff)
+    # call the custom-vjp op (not the raw kernel) so that differentiating the
+    # saved forward — which second-order AD does — hits this VJP again
+    # instead of pallas_call's missing JVP rule
+    out = painn_message_fused(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff)
     return out, (dist, gate, dirx, diry, dirz, x, mu, wk, bk)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(11,))
+def _painn_bwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu, cutoff):
+    """Differentiable wrapper of the backward kernel: returns the cotangents
+    in the op's argument order (ddist, dgate, ddirx, ddiry, ddirz, dx, dmu,
+    dwk, dbk). Its own VJP (the second-order terms) runs through the XLA
+    reference math."""
+    dx_in, dmu_in, dwk, dbk, ddist, dgate, ddx, ddy, ddz = _bwd_pallas(
+        dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu
+    )
+    return ddist, dgate, ddx, ddy, ddz, dx_in, dmu_in, dwk, dbk[0]
+
+
+def _painn_bwd_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu, cutoff):
+    out = _painn_bwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu, cutoff)
+    return out, (dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu)
+
+
+def _painn_bwd_bwd(cutoff, res, cts):
+    dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu = res
+
+    def ref_grads(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu):
+        _, vjp = jax.vjp(
+            lambda d, g, cx, cy, cz, xx, m, a, ab: painn_message_reference(
+                d, g, cx, cy, cz, xx, m, a, ab, cutoff
+            ),
+            dist, gate, dirx, diry, dirz, x, mu, wk, bk,
+        )
+        return vjp((gq, gmu))  # 9 grads, same order as _painn_bwd's outputs
+
+    _, vjp2 = jax.vjp(ref_grads, dist, gate, dirx, diry, dirz, x, mu, wk, bk,
+                      gq, gmu)
+    return vjp2(tuple(cts))
+
+
+_painn_bwd.defvjp(_painn_bwd_fwd, _painn_bwd_bwd)
 
 
 def _vjp_bwd(cutoff, res, cots):
     dist, gate, dirx, diry, dirz, x, mu, wk, bk = res
     gq, gmu = cots
-    dx_in, dmu_in, dwk, dbk, ddist, dgate, ddx, ddy, ddz = _bwd_pallas(
-        dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
-        gq.astype(jnp.float32), gmu.astype(jnp.float32),
+    return _painn_bwd(
+        dist, gate, dirx, diry, dirz, x, mu, wk, bk,
+        gq.astype(jnp.float32), gmu.astype(jnp.float32), cutoff,
     )
-    return ddist, dgate, ddx, ddy, ddz, dx_in, dmu_in, dwk, dbk[0]
 
 
 painn_message_fused.defvjp(_vjp_fwd, _vjp_bwd)

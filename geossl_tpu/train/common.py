@@ -38,6 +38,7 @@ def make_backbone(cfg: ModelConfig):
             readout=s.readout,
             dtype=dtype,
             use_pallas=cfg.use_pallas,
+            filter_mxu=cfg.filter_mxu,
         )
 
         def apply(params, atom_type, positions, node_mask, pair_mask=None):
@@ -173,12 +174,17 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--painn_readout", default="add", choices=["mean", "add"])
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--filter_mxu", default="f32", choices=["f32", "bf16"],
+                   help="SchNet filter-MLP matmul precision; bf16 = "
+                        "half-precision MXU operands with f32 accumulation "
+                        "(measured NEUTRAL on v5e at both N=32 and N=512 — "
+                        "see docs/PERF.md; kept for other hardware)")
     p.add_argument("--profile_dir", default="",
                    help="capture a jax.profiler trace of the first training "
                         "epoch into this directory (TensorBoard/xprof)")
     p.add_argument("--use_pallas", default="auto", choices=["auto", "on", "off"],
-                   help="fused CFConv kernel (auto: on for TPU backends; "
-                        "always off for MD17's second-order force path)")
+                   help="fused Pallas kernels (auto: on for TPU backends; "
+                        "both support second-order AD for MD17 forces)")
     return p
 
 
@@ -234,5 +240,6 @@ def model_config_from_args(args, allow_pallas: bool = True) -> ModelConfig:
         schnet=schnet,
         painn=painn,
         compute_dtype=args.compute_dtype,
+        filter_mxu=getattr(args, "filter_mxu", "f32"),
         use_pallas=_resolve_use_pallas(args, allow_pallas),
     )

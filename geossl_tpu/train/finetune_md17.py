@@ -119,13 +119,10 @@ def main(argv=None):
     )
 
     mesh = pmesh.make_mesh(args.num_devices)
-    # forces take grad-of-grad through the backbone; the fused CFConv defines
-    # second-order AD (its backward is custom-VJP'd through the XLA reference
-    # math), so SchNet may run fused here too. PaiNN's kernel is first-order
-    # only and stays on the XLA path.
-    cfg = common.model_config_from_args(
-        args, allow_pallas=args.model_3d == "schnet"
-    )
+    # forces take grad-of-grad through the backbone; both fused kernels
+    # define second-order AD (their backward is custom-VJP'd through the XLA
+    # reference math), so SchNet and PaiNN may run fused here too.
+    cfg = common.model_config_from_args(args)
     module, backbone_apply = common.make_backbone(cfg)
     head = LinearHead()
     rng = jax.random.PRNGKey(args.seed)

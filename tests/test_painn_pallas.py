@@ -83,3 +83,76 @@ def test_painn_model_pallas_matches_xla():
     gp = jax.grad(loss(m_pal))(params)
     for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
+
+
+def test_second_order_matches_reference(inputs):
+    """MD17's force path with PaiNN: grad-of-grad through the fused op must
+    equal the XLA reference (the fused backward is itself custom-VJP'd, with
+    its derivative routed through the reference math)."""
+    dist, gate, dirx, diry, dirz, x, mu, wk, bk = inputs
+
+    def make_loss(op):
+        def loss(params, dist, gate, x):
+            wk, bk = params
+            dq, dmu = op(dist, gate, dirx, diry, dirz, x, mu, wk, bk, CUTOFF)
+            # "force": gradient of a scalar energy w.r.t. dist, then a loss
+            # of that gradient — second derivative w.r.t. params
+            f = jax.grad(
+                lambda d: jnp.sum(jnp.tanh(
+                    op(d, gate, dirx, diry, dirz, x, mu, wk, bk, CUTOFF)[0]))
+            )(dist)
+            return jnp.sum(dq) * 1e-3 + jnp.sum(dmu**2) * 1e-3 + jnp.sum(jnp.abs(f))
+        return loss
+
+    params = (wk, bk)
+    g_fused = jax.grad(make_loss(painn_message_fused))(params, dist, gate, x)
+    g_ref = jax.grad(make_loss(painn_message_reference))(params, dist, gate, x)
+    for name, a, b in zip(["wk", "bk"], g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3,
+            err_msg=f"second-order grad mismatch for {name}",
+        )
+
+
+def test_md17_force_training_grads_fused_vs_xla():
+    """End-to-end MD17 shape with PaiNN: grad of [L1(E) + L1(-dE/dpos)]
+    w.r.t. params through the full model, fused vs XLA paths."""
+    from geossl_tpu.models.painn import PaiNN
+
+    rng = np.random.default_rng(7)
+    b, n = 2, 8
+    z = jnp.asarray(rng.integers(0, 9, (b, n)), jnp.int32)
+    pos = jnp.asarray(np.cumsum(rng.normal(scale=0.8, size=(b, n, 3)),
+                                axis=1).astype(np.float32))
+    mask = jnp.ones((b, n), bool)
+    forces = jnp.asarray(rng.normal(scale=0.1, size=(b, n, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(b,)).astype(np.float32))
+
+    def make(use_pallas):
+        model = PaiNN(n_atom_basis=16, n_interactions=2, n_rbf=9, cutoff=5.0,
+                      max_z=9, use_pallas=use_pallas)
+        params = model.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+
+        def energy(p, q):
+            g, _ = model.apply({"params": p}, z, q, mask)
+            return g.mean(axis=-1)
+
+        def loss(p):
+            e = energy(p, pos)
+            f = -jax.grad(lambda q: jnp.sum(energy(p, q)))(pos)
+            return 0.05 * jnp.mean(jnp.abs(e - y)) + 0.95 * jnp.mean(
+                jnp.abs(f - forces))
+
+        return params, jax.grad(loss)(params)
+
+    params_x, gx = make(False)
+    params_p, gp = make(True)
+    for a, b_ in zip(jax.tree_util.tree_leaves(params_x),
+                     jax.tree_util.tree_leaves(params_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_p = jax.tree_util.tree_leaves(gp)
+    for (path, a), b_ in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-3, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))

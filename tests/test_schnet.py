@@ -184,3 +184,33 @@ def test_bf16_compute_close_to_f32(schnet_setup):
     np.testing.assert_allclose(
         np.asarray(out32), np.asarray(out16), rtol=0.1, atol=0.05
     )
+
+
+def test_filter_mxu_bf16_close_to_f32(schnet_setup):
+    """--filter_mxu bf16 (half-precision filter matmuls only, everything else
+    f32): tighter than full-bf16 compute, and gradients stay usable."""
+    _, params = schnet_setup
+    rng = np.random.default_rng(10)
+    z, pos = _random_mol(rng, 6)
+    zp, pp, m = _pad(z, pos, 8)
+    args = (jnp.asarray(zp)[None], jnp.asarray(pp)[None], jnp.asarray(m)[None])
+    kwargs = dict(hidden_channels=32, num_filters=32, num_interactions=3,
+                  num_gaussians=17, cutoff=4.0, node_class=9, readout="mean")
+    out32, _ = SchNet(**kwargs).apply({"params": params}, *args)
+    out16, _ = SchNet(**kwargs, filter_mxu="bf16").apply({"params": params}, *args)
+    assert out16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out32), np.asarray(out16), rtol=0.02, atol=0.01
+    )
+
+    def loss(model):
+        def f(p):
+            out, _ = model.apply({"params": p}, *args)
+            return jnp.sum(out**2)
+        return f
+
+    g32 = jax.grad(loss(SchNet(**kwargs)))(params)
+    g16 = jax.grad(loss(SchNet(**kwargs, filter_mxu="bf16")))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g32), jax.tree_util.tree_leaves(g16)):
+        sa = float(np.abs(np.asarray(a)).mean()) + 1e-8
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).mean()) < 0.05 * sa
