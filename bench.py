@@ -251,9 +251,10 @@ def bench_ddm(use_pallas):
     from geossl_tpu.train import common, optim
 
     batch, n_max, emb = 128, 32, 128
-    # published defaults; fused Pallas CFConv on real TPU backends (+19% on
-    # this step, interleaved A/B). The fused NCSN head is neutral at N=32
-    # (docs/PERF.md) and stays off here, mirroring the driver's policy.
+    # published defaults; fused Pallas CFConv on real TPU backends (11.5 ms
+    # XLA vs 8.1 ms fused after the dx-in-backward-kernel rework — see
+    # docs/PERF.md). The fused NCSN head is neutral at N=32 and stays off
+    # here, mirroring the driver's policy.
     model = SchNet(use_pallas=use_pallas)
     head = NCSNv3(emb_dim=emb)
     z, pos, mask, _, _ = _example(batch, n_max, seed=0)
