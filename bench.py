@@ -6,6 +6,7 @@ Configs (BASELINE.md "Reference configs to drive" #1-#5):
   3. md17_force_step_time       — SchNet energy+force (grad-of-grad), batch 5,
                                   N=32 (aspirin is 21 atoms), XLA CFConv path
   4. lba_schnet_throughput      — SchNet regression at N=512 complexes, batch 64
+  4b. lep_schnet_throughput     — dual-tower BCE at N=448 pairs, batch 16
   5. geossl_ddm_pretrain_throughput — the FLAGSHIP: full DDM step (two SchNet
      views + two NCSNv3 heads over all pairs), batch 128. Printed LAST so a
      tail-line parse still sees the headline metric.
@@ -240,6 +241,50 @@ def bench_lba(use_pallas):
             "unit": "complex/s/chip", "vs_baseline": None}
 
 
+def bench_lep(use_pallas):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from geossl_tpu.models import SchNet
+    from geossl_tpu.train import common, optim
+
+    # protocol batch 16 (submit_finetune_lba_lep:28-33); towers bucketed at
+    # 448 (maxnum=400 + headroom, finetune_lep.py) — dual tower: shared
+    # backbone over active+inactive, concat -> Linear(2emb->1) -> BCE
+    batch, n_max = 16, 448
+    model = SchNet(use_pallas=use_pallas)
+    za, pa, ma, _, _ = _example(batch, n_max, seed=5, n_min=250, spread=2.0)
+    zi, pi, mi, _, _ = _example(batch, n_max, seed=6, n_min=250, spread=2.0)
+    y = (np.random.default_rng(7).random(batch) > 0.5).astype(np.float32)
+    y = jnp.asarray(y)
+    key = jax.random.PRNGKey(0)
+    bp = model.init(key, za, pa, ma)["params"]
+    params = {"model": bp,
+              "head": {"w": jax.random.normal(key, (256, 1)) * 0.01,
+                       "b": jnp.zeros((1,))}}
+    tx = optim.make_optimizer(1e-4, epochs=300, steps_per_epoch=50)
+    state = common.TrainState.create(params, tx)
+
+    def loss_fn(p, za, pa, ma, zi, pi, mi, y):
+        ga, _ = model.apply({"params": p["model"]}, za, pa, ma)
+        gi, _ = model.apply({"params": p["model"]}, zi, pi, mi)
+        logit = (jnp.concatenate([ga, gi], -1) @ p["head"]["w"]
+                 + p["head"]["b"])[:, 0]
+        return jnp.mean(optax.sigmoid_binary_cross_entropy(logit, y))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, za, pa, ma, zi, pi, mi, y):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, za, pa, ma, zi, pi, mi, y)
+        return common.apply_updates(state, grads, tx), loss
+
+    sps = _time_steps(step, state, (za, pa, ma, zi, pi, mi, y),
+                      steps=10, windows=3)
+    return {"metric": "lep_schnet_throughput", "value": round(batch * sps, 1),
+            "unit": "pair/s/chip", "vs_baseline": None}
+
+
 def bench_ddm(use_pallas):
     import jax
     import jax.numpy as jnp  # noqa: F401
@@ -303,6 +348,7 @@ def main(only=None):
         ("painn_qm9", lambda: bench_painn_qm9(use_pallas)),
         ("md17", bench_md17_force),
         ("lba", lambda: bench_lba(use_pallas)),
+        ("lep", lambda: bench_lep(use_pallas)),
         ("ddm", lambda: bench_ddm(use_pallas)),  # flagship last (tail-parse)
     ]
     for name, fn in benches:

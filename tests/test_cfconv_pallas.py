@@ -216,3 +216,33 @@ def test_bf16_mxu_mode(inputs):
         sa = float(np.abs(np.asarray(b)).mean()) + 1e-8
         ea = float(np.abs(np.asarray(a) - np.asarray(b)).mean())
         assert ea < 0.05 * sa, (name, ea, sa)
+
+
+def test_larger_n_gradients_multi_tile():
+    """Gradients at N=256 (multi-tile grid): the dx accumulation over i-tiles
+    and the transposed (b, j, i) backward grid must match the reference."""
+    n = 256
+    rng = np.random.default_rng(5)
+    pos = np.cumsum(rng.normal(scale=0.7, size=(2, n, 3)), axis=1).astype(np.float32)
+    diff = pos[:, :, None] - pos[:, None, :]
+    dist = np.linalg.norm(diff, axis=-1).astype(np.float32)
+    adj = (dist < STOP) & ~np.eye(n, dtype=bool)
+    env = (0.5 * (np.cos(dist * np.pi / STOP) + 1.0) * adj).astype(np.float32)
+    x = rng.normal(size=(2, n, F)).astype(np.float32) * 0.5
+    w1 = (rng.normal(size=(G, F1)) * 0.2).astype(np.float32)
+    b1 = (rng.normal(size=(F1,)) * 0.1).astype(np.float32)
+    w2 = (rng.normal(size=(F1, F)) * 0.2).astype(np.float32)
+    b2 = (rng.normal(size=(F,)) * 0.1).astype(np.float32)
+    args = tuple(map(jnp.asarray, (dist, env, x, w1, b1, w2, b2)))
+
+    def loss(op):
+        return lambda a: jnp.sum(jnp.tanh(op(*a, START, STOP, G)))
+
+    g_fused = jax.grad(loss(cfconv_fused))(args)
+    g_ref = jax.grad(loss(cfconv_fused_reference))(args)
+    for name, a, b in zip(["dist", "env", "x", "w1", "b1", "w2", "b2"],
+                          g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-3,
+            err_msg=f"multi-tile grad mismatch for {name}",
+        )

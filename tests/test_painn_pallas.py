@@ -156,3 +156,42 @@ def test_md17_force_training_grads_fused_vs_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-3, atol=2e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_larger_n_gradients_multi_tile():
+    """Gradients at N=128 (multi-tile grid): j-indexed dx/dmu accumulation
+    over i-tiles must match the reference."""
+    n = 128
+    rng = np.random.default_rng(6)
+    pos = np.cumsum(rng.normal(scale=0.7, size=(1, n, 3)), axis=1).astype(np.float32)
+    diff = pos[:, :, None] - pos[:, None, :]
+    dist = np.linalg.norm(diff, axis=-1).astype(np.float32)
+    eye = np.eye(n, dtype=bool)
+    np.place(dist, np.broadcast_to(eye, dist.shape), 1.0)
+    direction = diff / dist[..., None]
+    np.place(dist, np.broadcast_to(eye, dist.shape), 0.0)
+    direction[np.broadcast_to(eye[None, :, :, None], direction.shape)] = 0.0
+    adj = (dist < CUTOFF) & ~eye
+    gate = (0.5 * (np.cos(dist * np.pi / CUTOFF) + 1.0) * adj).astype(np.float32)
+    x = (rng.normal(size=(1, n, 3 * F)) * 0.4).astype(np.float32)
+    mu = (rng.normal(size=(1, n, 3 * F)) * 0.4).astype(np.float32)
+    wk = (rng.normal(size=(R, 3 * F)) * 0.3).astype(np.float32)
+    bk = (rng.normal(size=(3 * F,)) * 0.1).astype(np.float32)
+    args = tuple(map(jnp.asarray, (
+        dist, gate, direction[..., 0].copy(), direction[..., 1].copy(),
+        direction[..., 2].copy(), x, mu, wk, bk)))
+
+    def loss(fn):
+        def f(a):
+            dq, dmu = fn(*a, CUTOFF)
+            return jnp.sum(jnp.tanh(dq)) + jnp.sum(jnp.tanh(dmu))
+        return f
+
+    g_fused = jax.grad(loss(painn_message_fused))(args)
+    g_ref = jax.grad(loss(painn_message_reference))(args)
+    names = ["dist", "gate", "dirx", "diry", "dirz", "x", "mu", "wk", "bk"]
+    for name, a, b in zip(names, g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-3,
+            err_msg=f"multi-tile grad mismatch: {name}",
+        )
