@@ -159,9 +159,8 @@ def _bwd_kernel(dist_ref, env_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
     g4 = g_ref[...][:, :, None, :]  # [bb, ti, 1, F]
     q4 = g4 * x_ref[...][:, None, :, :]  # [bb,ti,tj,F]
     denv_ref[...] = jnp.sum(w4 * q4, axis=3)
-    # dx[b,j,f] = Σ_i env·W·g — fused here instead of a second full forward
-    # kernel launch per block-backward (W is symmetric in (i, j) only through
-    # dist/env, which this tile already recomputed)
+    # dx[b,j,f] = Σ_i env[i,j]·W[i,j,f]·g[i,f] — this tile already recomputed
+    # W, so emitting dx here replaces a second full forward-kernel launch
     dx_ref[...] += jnp.sum(w4 * env4 * g4, axis=1)
     qe = (q4 * env4).reshape(bb * ti * tj, f)
 
