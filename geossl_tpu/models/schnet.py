@@ -45,7 +45,7 @@ from geossl_tpu.models.common import (
     zeros_init,
 )
 from geossl_tpu.ops import geometry
-from geossl_tpu.ops.cfconv_pallas import cfconv_fused, cfconv_fused_reference
+from geossl_tpu.ops.cfconv_pallas import cfconv
 
 
 class InteractionBlock(nn.Module):
@@ -77,7 +77,6 @@ class InteractionBlock(nn.Module):
         # CFConv (``schnet.py:170-195``): lin1 (no bias), message = x_j * W,
         # segment-sum over incoming edges, lin2.
         x = Dense(self.num_filters, use_bias=False, dtype=self.dtype)(h)
-        op = cfconv_fused if self.use_pallas else cfconv_fused_reference
         # bf16 compute runs the filter matmuls at full MXU rate (f32 accum);
         # either implied by a bf16 model dtype or opted into standalone
         # (``filter_mxu='bf16'``) for the matmul-bound large-N regime (LBA)
@@ -87,9 +86,13 @@ class InteractionBlock(nn.Module):
             if self.dtype == jnp.bfloat16 or self.filter_mxu == "bf16"
             else "f32"
         )
-        m = op(
+        # symmetric=True: dist comes from pairwise_distances and env from a
+        # symmetric adjacency, so the kernel may skip below-diagonal tiles
+        # (a no-op at N<=128 where the tiling has none to skip)
+        m = cfconv(
             dist, env, x.astype(jnp.promote_types(jnp.float32, x.dtype)),
             w1, b1, w2, b2, 0.0, self.cutoff, self.num_gaussians, mxu,
+            symmetric=True, use_pallas=self.use_pallas,
         )
         if self.dtype is not None:
             m = m.astype(self.dtype)

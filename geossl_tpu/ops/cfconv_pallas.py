@@ -291,6 +291,345 @@ def _vjp_bwd(start, stop, num_g, mxu, res, g):
 cfconv_fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Symmetric variant: dist/env are symmetric in SchNet (both derive from the
+# same pairwise-distance matrix), so the gated filter W[i,j,:] == W[j,i,:].
+# Tiles fully below the diagonal band are SKIPPED; each computed tile also
+# emits the mirrored contributions of the skipped cells (per-cell masks make
+# this exact for rectangular tilings). At N=512 that removes 37.5% of the
+# filter-MLP work in both directions. Requirements and deltas vs the plain op:
+#
+# * dist and env MUST be symmetric in their last two axes (guaranteed when
+#   they come from ``geometry.pairwise_distances`` + a symmetric adjacency).
+# * The ddist/denv cotangents are returned SYMMETRIZED-BY-PLACEMENT: the
+#   (i,j)+(j,i) mass of each skipped cell is placed on its computed mirror,
+#   zeros on the skipped cell. Any downstream that treats dist/env as the
+#   symmetric functions they are (e.g. the pullback through
+#   pairwise_distances, where ∂dist[i,j]/∂pos == ∂dist[j,i]/∂pos) receives
+#   identical gradients; per-cell equality with the reference does NOT hold.
+#   Model-level gradients (params, positions) are exactly equal — tested.
+# * Second-order AD routes through the reference math with the placement
+#   operator's transpose applied to the incoming ddist/denv cotangents.
+#
+# ``sym_profitable(n)`` gates the dispatch: at N<=128 with the default tile
+# budget no tile is skippable and the plain kernel is used.
+# ---------------------------------------------------------------------------
+
+
+def _sym_grid_info(n):
+    """(ti, tj, n_skipped): tiles fully below the diagonal band are skipped.
+    Tile (pi, pj) is skipped iff every cell (r, c) in it has its own tile
+    fully in the strict lower triangle: (pj+1)*tj <= pi*ti."""
+    ti, tj = pair_tiles(n, 4096)
+    skipped = sum(
+        1
+        for pi in range(n // ti)
+        for pj in range(n // tj)
+        if (pj + 1) * tj <= pi * ti
+    )
+    return ti, tj, skipped
+
+
+def sym_profitable(n: int) -> bool:
+    """True when the symmetric kernel skips at least one tile."""
+    return _sym_grid_info(n)[2] > 0
+
+
+def _mirror_skipped_mask(ri, cj, ti, tj):
+    """[1, ti, tj, 1] f32: 1 where cell (r, c)'s MIRROR (c, r) lies in a
+    skipped tile — i.e. this computed cell must also emit the mirror's
+    contributions. Built f32-first with stepwise dim expansion (major expand
+    then minor append) — Mosaic rejects reshapes of i1 vectors."""
+    r = ri + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+    c = cj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+    mb = ((r // tj + 1) * tj <= (c // ti) * ti).astype(jnp.float32)
+    return mb[None, :, :][:, :, :, None]
+
+
+def _fwd_sym_kernel(dist_ref, env_ref, xj_ref, xi_ref, w1_ref, b1_ref,
+                    w2_ref, b2_ref, out1_ref, out2_ref,
+                    *, start, delta, num_g, coeff, bb, ti, tj, mxu):
+    # grid = (b, j_tile, i_tile), i innermost. The j-indexed out2 block stays
+    # resident across the inner loop (consecutive accumulation — Mosaic does
+    # not support accumulating into a block that is left and revisited); the
+    # i-indexed A contributions go to per-tile slots summed outside.
+    offsets = _offsets(start, delta, num_g)
+    jj, ii = pl.program_id(1), pl.program_id(2)
+    skipped = (jj + 1) * tj <= ii * ti  # tile fully below the band
+
+    @pl.when(ii == 0)
+    def _():
+        out2_ref[...] = jnp.zeros_like(out2_ref)
+
+    @pl.when(skipped)
+    def _():
+        out1_ref[...] = jnp.zeros_like(out1_ref)
+
+    @pl.when(jnp.logical_not(skipped))
+    def _():
+        rbf = _rbf_4d(dist_ref[...], offsets, coeff, bb, ti, tj, num_g)
+        h = _ssp(_dot(rbf, w1_ref[...], mxu) + b1_ref[0])
+        w = _dot(h, w2_ref[...], mxu) + b2_ref[0]
+        w = w.reshape(bb, ti, tj, -1) * env_ref[...][:, :, :, None]
+        # A: m[r] += Σ_c W·x_c — true per-cell values for every computed cell
+        out1_ref[...] = jnp.sum(w * xj_ref[...][:, None, :, :], axis=2)[
+            :, None, :, :
+        ]
+        # B: for cells whose mirror tile was skipped, emit the mirror's
+        # message m[c] += W[r,c]·x_r (W symmetric)
+        wb = w * _mirror_skipped_mask(ii * ti, jj * tj, ti, tj)
+        out2_ref[...] += jnp.sum(wb * xi_ref[...][:, :, None, :], axis=1)
+
+
+def _fwd_sym_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
+                    mxu="f32"):
+    b, n, _ = dist.shape
+    f = x.shape[-1]
+    ti, tj, _ = _sym_grid_info(n)
+    bb = _batch_block(b, ti, tj, budget=8192)
+    delta = (stop - start) / (num_g - 1)
+    coeff = -0.5 / delta**2
+    kernel = partial(_fwd_sym_kernel, start=start, delta=delta, num_g=num_g,
+                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu)
+    out1, out2 = pl.pallas_call(
+        kernel,
+        grid=(b // bb, n // tj, n // ti),
+        in_specs=[
+            pl.BlockSpec((bb, ti, tj), lambda b, j, i: (b, i, j)),
+            pl.BlockSpec((bb, ti, tj), lambda b, j, i: (b, i, j)),
+            pl.BlockSpec((bb, tj, f), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((bb, ti, f), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec(w1.shape, lambda b, j, i: (0, 0)),
+            pl.BlockSpec((1,) + b1.shape, lambda b, j, i: (0, 0)),
+            pl.BlockSpec(w2.shape, lambda b, j, i: (0, 0)),
+            pl.BlockSpec((1,) + b2.shape, lambda b, j, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, 1, ti, f), lambda b, j, i: (b, j, i, 0)),
+            pl.BlockSpec((bb, tj, f), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n // tj, n, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(dist, env, x, x, w1, b1[None], w2, b2[None])
+    return jnp.sum(out1, axis=1) + out2
+
+
+def _bwd_sym_kernel(dist_ref, env_ref, xj_ref, xi_ref, gi_ref, gj_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref,
+                    ddist_ref, denv_ref, dxj_ref, dxi_ref,
+                    dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    *, start, delta, num_g, coeff, bb, ti, tj, mxu):
+    # grid = (b, j_tile, i_tile), i innermost (dxj accumulates consecutively)
+    offsets = _offsets(start, delta, num_g)
+    bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(ii == 0)
+    def _():
+        dxj_ref[...] = jnp.zeros_like(dxj_ref)
+
+    @pl.when((bi == 0) & (ii == 0) & (jj == 0))
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    skipped = (jj + 1) * tj <= ii * ti
+
+    @pl.when(skipped)
+    def _():
+        ddist_ref[...] = jnp.zeros_like(ddist_ref)
+        denv_ref[...] = jnp.zeros_like(denv_ref)
+        dxi_ref[...] = jnp.zeros_like(dxi_ref)
+
+    @pl.when(jnp.logical_not(skipped))
+    def _():
+        d3 = dist_ref[...]
+        env4 = env_ref[...][:, :, :, None]
+        rbf = _rbf_4d(d3, offsets, coeff, bb, ti, tj, num_g)
+        pre1 = _dot(rbf, w1_ref[...], mxu) + b1_ref[0]
+        s = _ssp(pre1)
+        w_raw = _dot(s, w2_ref[...], mxu) + b2_ref[0]
+
+        f = xj_ref.shape[-1]
+        w4 = w_raw.reshape(bb, ti, tj, f)
+        gi4 = gi_ref[...][:, :, None, :]  # [bb, ti, 1, F]
+        gj4 = gj_ref[...][:, None, :, :]  # [bb, 1, tj, F]
+        mb4 = _mirror_skipped_mask(ii * ti, jj * tj, ti, tj)
+        # combined per-pair cotangent: A (this cell) + B (mirror cell,
+        # transposed into this layout; exact because W/env are symmetric)
+        q4 = gi4 * xj_ref[...][:, None, :, :] + mb4 * (
+            xi_ref[...][:, :, None, :] * gj4
+        )
+        denv_ref[...] = jnp.sum(w4 * q4, axis=3)
+        we4 = w4 * env4
+        # A-part dx is j-indexed: its block is resident across the inner i
+        # loop (consecutive accumulation). The i-indexed B-part goes to a
+        # per-tile slot (Mosaic cannot accumulate into revisited blocks).
+        dxj_ref[...] += jnp.sum(we4 * gi4, axis=1)
+        dxi_ref[...] = jnp.sum(we4 * mb4 * gj4, axis=2)[:, None, :, :]
+        qe = (q4 * env4).reshape(bb * ti * tj, f)
+
+        dw2_ref[...] += _dot(s.T, qe, mxu)
+        db2_ref[0] += jnp.sum(qe, axis=0)
+        dh = _dot(qe, w2_ref[...].T, mxu)
+        dh = dh * jax.nn.sigmoid(pre1)
+        dw1_ref[...] += _dot(rbf.T, dh, mxu)
+        db1_ref[0] += jnp.sum(dh, axis=0)
+        drbf = _dot(dh, w1_ref[...].T, mxu)
+        diff4 = d3[:, :, :, None] - offsets.reshape(1, 1, 1, num_g)
+        chain4 = drbf.reshape(bb, ti, tj, num_g) * jnp.exp(coeff * diff4 * diff4)
+        ddist_ref[...] = jnp.sum(chain4 * (2.0 * coeff) * diff4, axis=3)
+
+
+def _bwd_sym_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g,
+                    mxu="f32"):
+    b, n, _ = dist.shape
+    f = x.shape[-1]
+    f1 = w1.shape[1]
+    ti, tj, _ = _sym_grid_info(n)
+    bb = _batch_block(b, ti, tj, budget=4096)
+    delta = (stop - start) / (num_g - 1)
+    coeff = -0.5 / delta**2
+    kernel = partial(_bwd_sym_kernel, start=start, delta=delta, num_g=num_g,
+                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu)
+    pair = pl.BlockSpec((bb, ti, tj), lambda b, j, i: (b, i, j))
+    acc = lambda shape: pl.BlockSpec(shape, lambda b, j, i: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb, n // tj, n // ti),
+        in_specs=[
+            pair,
+            pair,
+            pl.BlockSpec((bb, tj, f), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((bb, ti, f), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((bb, ti, f), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((bb, tj, f), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec(w1.shape, lambda b, j, i: (0, 0)),
+            pl.BlockSpec((1,) + b1.shape, lambda b, j, i: (0, 0)),
+            pl.BlockSpec(w2.shape, lambda b, j, i: (0, 0)),
+            pl.BlockSpec((1,) + b2.shape, lambda b, j, i: (0, 0)),
+        ],
+        out_specs=[
+            pair,
+            pair,
+            pl.BlockSpec((bb, tj, f), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((bb, 1, ti, f), lambda b, j, i: (b, j, i, 0)),
+            acc((num_g, f1)),
+            acc((1, f1)),
+            acc((f1, f)),
+            acc((1, f)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddist (placed)
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # denv (placed)
+            jax.ShapeDtypeStruct((b, n, f), jnp.float32),  # dx (j part)
+            jax.ShapeDtypeStruct((b, n // tj, n, f), jnp.float32),  # dx i slots
+            jax.ShapeDtypeStruct((num_g, f1), jnp.float32),
+            jax.ShapeDtypeStruct((1, f1), jnp.float32),
+            jax.ShapeDtypeStruct((f1, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(dist, env, x, x, g, g, w1, b1[None], w2, b2[None])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def cfconv_fused_sym(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
+                     mxu="f32"):
+    """Symmetric-input CFConv (see block comment above): identical output,
+    37.5% less filter work at N=512; ddist/denv cotangents are placement-
+    symmetrized. Use ONLY with symmetric dist/env."""
+    return _fwd_sym_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
+                           mxu)
+
+
+def _sym_vjp_fwd(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
+    out = cfconv_fused_sym(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
+                           mxu)
+    return out, (dist, env, x, w1, b1, w2, b2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _cfconv_sym_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g,
+                    mxu="f32"):
+    ddist, denv, dxj, dxi, dw1, db1, dw2, db2 = _bwd_sym_pallas(
+        dist, env, x, g, w1, b1, w2, b2, start, stop, num_g, mxu
+    )
+    return ddist, denv, dxj + jnp.sum(dxi, axis=1), dw1, db1[0], dw2, db2[0]
+
+
+def _cfconv_sym_bwd_fwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g,
+                        mxu="f32"):
+    out = _cfconv_sym_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop,
+                          num_g, mxu)
+    return out, (dist, env, x, w1, b1, w2, b2, g)
+
+
+def _unplace_cotangent(c, ti, tj):
+    """Transpose of the placement operator P: skipped cells read their
+    computed mirror's cotangent (P moves a skipped cell's mass onto its
+    mirror, so Pᵀ copies the mirror's cotangent back)."""
+    n = c.shape[-1]
+    r = jnp.arange(n)[:, None]
+    cc = jnp.arange(n)[None, :]
+    skipped = (cc // tj + 1) * tj <= (r // ti) * ti
+    return jnp.where(skipped, jnp.swapaxes(c, -1, -2), c)
+
+
+def _cfconv_sym_bwd_bwd(start, stop, num_g, mxu, res, cts):
+    dist, env, x, w1, b1, w2, b2, g = res
+    ti, tj, _ = _sym_grid_info(dist.shape[-1])
+    c_dd, c_de, c_dx, c_w1, c_b1, c_w2, c_b2 = cts
+    cts_ref = (
+        _unplace_cotangent(c_dd, ti, tj),
+        _unplace_cotangent(c_de, ti, tj),
+        c_dx, c_w1, c_b1, c_w2, c_b2,
+    )
+
+    def ref_grads(dist, env, x, w1, b1, w2, b2, g):
+        _, vjp = jax.vjp(
+            lambda d, e, xx, a, ab, c, cb: cfconv_fused_reference(
+                d, e, xx, a, ab, c, cb, start, stop, num_g, mxu
+            ),
+            dist, env, x, w1, b1, w2, b2,
+        )
+        return vjp(g)
+
+    _, vjp2 = jax.vjp(ref_grads, dist, env, x, w1, b1, w2, b2, g)
+    return vjp2(cts_ref)
+
+
+_cfconv_sym_bwd.defvjp(_cfconv_sym_bwd_fwd, _cfconv_sym_bwd_bwd)
+
+
+def _sym_vjp_bwd(start, stop, num_g, mxu, res, g):
+    dist, env, x, w1, b1, w2, b2 = res
+    return _cfconv_sym_bwd(
+        dist, env, x, w1, b1, w2, b2, g.astype(jnp.float32),
+        start, stop, num_g, mxu,
+    )
+
+
+cfconv_fused_sym.defvjp(_sym_vjp_fwd, _sym_vjp_bwd)
+
+
+def cfconv(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32",
+           symmetric=False, use_pallas=True):
+    """Dispatcher: fused kernel (symmetric variant when the caller guarantees
+    symmetric dist/env AND the tiling can skip tiles) or the XLA reference."""
+    if not use_pallas:
+        return cfconv_fused_reference(dist, env, x, w1, b1, w2, b2, start,
+                                      stop, num_g, mxu)
+    if symmetric and sym_profitable(dist.shape[-1]):
+        return cfconv_fused_sym(dist, env, x, w1, b1, w2, b2, start, stop,
+                                num_g, mxu)
+    return cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu)
+
+
 def cfconv_fused_reference(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
                            mxu="f32"):
     """Pure-XLA reference of the fused op (same math, arbitrary-order AD).

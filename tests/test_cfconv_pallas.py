@@ -246,3 +246,134 @@ def test_larger_n_gradients_multi_tile():
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-3,
             err_msg=f"multi-tile grad mismatch for {name}",
         )
+
+
+def _symmetric_inputs(n, b=2, seed=11):
+    rng = np.random.default_rng(seed)
+    pos = np.cumsum(rng.normal(scale=0.7, size=(b, n, 3)), axis=1).astype(np.float32)
+    diff = pos[:, :, None] - pos[:, None, :]
+    dist = np.linalg.norm(diff, axis=-1).astype(np.float32)
+    adj = (dist < STOP) & ~np.eye(n, dtype=bool)
+    env = (0.5 * (np.cos(dist * np.pi / STOP) + 1.0) * adj).astype(np.float32)
+    x = rng.normal(size=(b, n, F)).astype(np.float32) * 0.5
+    w1 = (rng.normal(size=(G, F1)) * 0.2).astype(np.float32)
+    b1 = (rng.normal(size=(F1,)) * 0.1).astype(np.float32)
+    w2 = (rng.normal(size=(F1, F)) * 0.2).astype(np.float32)
+    b2 = (rng.normal(size=(F,)) * 0.1).astype(np.float32)
+    return jnp.asarray(pos), tuple(
+        map(jnp.asarray, (dist, env, x, w1, b1, w2, b2)))
+
+
+def test_sym_profitable_gate():
+    from geossl_tpu.ops.cfconv_pallas import sym_profitable
+
+    assert not sym_profitable(32)   # single tile — nothing to skip
+    assert not sym_profitable(128)  # (32,128) tiling has no fully-lower tile
+    assert sym_profitable(256)
+    assert sym_profitable(512)
+
+
+def test_sym_forward_matches_reference():
+    from geossl_tpu.ops.cfconv_pallas import cfconv_fused_sym
+
+    for n in (256, 512):
+        _, args = _symmetric_inputs(n, b=1)
+        out = cfconv_fused_sym(*args, START, STOP, G)
+        ref = cfconv_fused_reference(*args, START, STOP, G)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3,
+            err_msg=f"sym forward mismatch at N={n}",
+        )
+
+
+def test_sym_gradients_through_symmetric_chain():
+    """ddist/denv are placement-symmetrized, so compare gradients THROUGH a
+    symmetric construction (positions -> dist -> env), which is how SchNet
+    consumes the op: grads w.r.t. positions/x/weights must match exactly."""
+    from geossl_tpu.ops.cfconv_pallas import cfconv_fused_sym
+
+    n = 256
+    pos, (_, _, x, w1, b1, w2, b2) = _symmetric_inputs(n, b=1)
+
+    def loss(op, pos, x, w1, b1, w2, b2):
+        d = jnp.linalg.norm(
+            pos[:, :, None] - pos[:, None, :]
+            + jnp.eye(n)[None, :, :, None], axis=-1
+        ) * (1.0 - jnp.eye(n))[None]
+        adj = (d < STOP) & (d > 0)
+        env = 0.5 * (jnp.cos(d * jnp.pi / STOP) + 1.0) * adj
+        out = op(d, env, x, w1, b1, w2, b2, START, STOP, G)
+        return jnp.sum(jnp.tanh(out))
+
+    g_sym = jax.grad(loss, argnums=(1, 2, 3, 4, 5, 6))(
+        cfconv_fused_sym, pos, x, w1, b1, w2, b2)
+    g_ref = jax.grad(loss, argnums=(1, 2, 3, 4, 5, 6))(
+        cfconv_fused_reference, pos, x, w1, b1, w2, b2)
+    for name, a, b in zip(["pos", "x", "w1", "b1", "w2", "b2"], g_sym, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-3,
+            err_msg=f"sym grad mismatch for {name}",
+        )
+
+
+def test_sym_second_order_through_positions():
+    """MD17 shape at sym-qualifying N: grad of loss(-dE/dpos) w.r.t. params
+    must match the reference through the placement-symmetrized backward."""
+    from geossl_tpu.ops.cfconv_pallas import cfconv_fused_sym
+
+    n = 256
+    pos, (_, _, x, w1, b1, w2, b2) = _symmetric_inputs(n, b=1)
+
+    def energy(op, pos, w1):
+        d = jnp.linalg.norm(
+            pos[:, :, None] - pos[:, None, :]
+            + jnp.eye(n)[None, :, :, None], axis=-1
+        ) * (1.0 - jnp.eye(n))[None]
+        adj = (d < STOP) & (d > 0)
+        env = 0.5 * (jnp.cos(d * jnp.pi / STOP) + 1.0) * adj
+        out = op(d, env, x, w1, b1, w2, b2, START, STOP, G)
+        return jnp.sum(jnp.tanh(out))
+
+    def loss(op, w1):
+        f = jax.grad(lambda p: energy(op, p, w1))(pos)
+        return jnp.sum(f * f)
+
+    g_sym = jax.grad(lambda w: loss(cfconv_fused_sym, w))(w1)
+    g_ref = jax.grad(lambda w: loss(cfconv_fused_reference, w))(w1)
+    np.testing.assert_allclose(
+        np.asarray(g_sym), np.asarray(g_ref), rtol=1e-2, atol=1e-3)
+
+
+def test_schnet_sym_path_matches_xla_large_n():
+    """SchNet at N=256 routes to the symmetric kernel; outputs and parameter
+    gradients must match the XLA path."""
+    from geossl_tpu.models.schnet import SchNet
+
+    rng = np.random.default_rng(12)
+    n = 256
+    z = jnp.asarray(rng.integers(0, 9, size=(1, n)), jnp.int32)
+    pos = jnp.asarray(
+        np.cumsum(rng.normal(scale=0.7, size=(1, n, 3)), axis=1).astype(np.float32)
+    )
+    mask = jnp.asarray(np.arange(n)[None, :] < n - 10)
+    kwargs = dict(hidden_channels=32, num_filters=32, num_interactions=2,
+                  num_gaussians=17, cutoff=8.0)
+    m_xla = SchNet(**kwargs, use_pallas=False)
+    m_sym = SchNet(**kwargs, use_pallas=True)
+    params = m_xla.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+    out_x, _ = m_xla.apply({"params": params}, z, pos, mask)
+    out_s, _ = m_sym.apply({"params": params}, z, pos, mask)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_s),
+                               rtol=1e-3, atol=1e-4)
+
+    def loss(m):
+        def f(p):
+            out, _ = m.apply({"params": p}, z, pos, mask)
+            return jnp.sum(out**2)
+        return f
+
+    gx = jax.grad(loss(m_xla))(params)
+    gs = jax.grad(loss(m_sym))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-3)
