@@ -70,15 +70,22 @@ class PaiNNInteraction(nn.Module):
         x = Dense(3 * f, dtype=self.dtype)(x)  # [B,N,F*3]
 
         if self.use_pallas:
-            from geossl_tpu.ops.painn_pallas import painn_message_fused
+            from geossl_tpu.ops.painn_pallas import painn_message
 
             b, n = q.shape[:2]
-            dq, dmu_flat = painn_message_fused(
+            # symmetric=False: PaiNN's inputs qualify for the tile-skipping
+            # symmetric kernel (dist/gate symmetric, dir antisymmetric), but
+            # it measures SLOWER here (0.96x at N=512, docs/PERF.md) — the
+            # per-tile cost is the elementwise D/M reductions, which the
+            # mirrored-B emission nearly doubles, unlike CFConv where the
+            # shared filter MLP dominates. Kept opt-in via ops.painn_pallas.
+            dq, dmu_flat = painn_message(
                 dist, gate.astype(jnp.float32),
                 direction[..., 0], direction[..., 1], direction[..., 2],
                 x.astype(jnp.float32),
                 mu.astype(jnp.float32).reshape(b, n, 3 * f),
                 wk.astype(jnp.float32), bk.astype(jnp.float32), self.cutoff,
+                symmetric=False,
             )
             dmu = dmu_flat.reshape(b, n, 3, f)
             return q + dq.astype(q.dtype), mu + dmu.astype(mu.dtype)

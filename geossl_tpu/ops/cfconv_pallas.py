@@ -37,7 +37,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from geossl_tpu.ops.pallas_utils import interpret as _interpret
-from geossl_tpu.ops.pallas_utils import pair_tiles
+from geossl_tpu.ops.pallas_utils import (
+    mirror_skipped_mask as _mirror_skipped_mask,
+    pair_tiles,
+    sym_grid_info,
+    unplace_pair_cotangent,
+)
 
 
 LOG2 = math.log(2.0)
@@ -317,33 +322,12 @@ cfconv_fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def _sym_grid_info(n):
-    """(ti, tj, n_skipped): tiles fully below the diagonal band are skipped.
-    Tile (pi, pj) is skipped iff every cell (r, c) in it has its own tile
-    fully in the strict lower triangle: (pj+1)*tj <= pi*ti."""
-    ti, tj = pair_tiles(n, 4096)
-    skipped = sum(
-        1
-        for pi in range(n // ti)
-        for pj in range(n // tj)
-        if (pj + 1) * tj <= pi * ti
-    )
-    return ti, tj, skipped
+    return sym_grid_info(n, 4096)
 
 
 def sym_profitable(n: int) -> bool:
     """True when the symmetric kernel skips at least one tile."""
     return _sym_grid_info(n)[2] > 0
-
-
-def _mirror_skipped_mask(ri, cj, ti, tj):
-    """[1, ti, tj, 1] f32: 1 where cell (r, c)'s MIRROR (c, r) lies in a
-    skipped tile — i.e. this computed cell must also emit the mirror's
-    contributions. Built f32-first with stepwise dim expansion (major expand
-    then minor append) — Mosaic rejects reshapes of i1 vectors."""
-    r = ri + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
-    c = cj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
-    mb = ((r // tj + 1) * tj <= (c // ti) * ti).astype(jnp.float32)
-    return mb[None, :, :][:, :, :, None]
 
 
 def _fwd_sym_kernel(dist_ref, env_ref, xj_ref, xi_ref, w1_ref, b1_ref,
@@ -569,24 +553,13 @@ def _cfconv_sym_bwd_fwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g,
     return out, (dist, env, x, w1, b1, w2, b2, g)
 
 
-def _unplace_cotangent(c, ti, tj):
-    """Transpose of the placement operator P: skipped cells read their
-    computed mirror's cotangent (P moves a skipped cell's mass onto its
-    mirror, so Pᵀ copies the mirror's cotangent back)."""
-    n = c.shape[-1]
-    r = jnp.arange(n)[:, None]
-    cc = jnp.arange(n)[None, :]
-    skipped = (cc // tj + 1) * tj <= (r // ti) * ti
-    return jnp.where(skipped, jnp.swapaxes(c, -1, -2), c)
-
-
 def _cfconv_sym_bwd_bwd(start, stop, num_g, mxu, res, cts):
     dist, env, x, w1, b1, w2, b2, g = res
     ti, tj, _ = _sym_grid_info(dist.shape[-1])
     c_dd, c_de, c_dx, c_w1, c_b1, c_w2, c_b2 = cts
     cts_ref = (
-        _unplace_cotangent(c_dd, ti, tj),
-        _unplace_cotangent(c_de, ti, tj),
+        unplace_pair_cotangent(c_dd, ti, tj),
+        unplace_pair_cotangent(c_de, ti, tj),
         c_dx, c_w1, c_b1, c_w2, c_b2,
     )
 

@@ -37,9 +37,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from geossl_tpu.ops.pallas_utils import interpret as _interpret
-from geossl_tpu.ops.pallas_utils import pair_tiles
+from geossl_tpu.ops.pallas_utils import (
+    mirror_skipped_mask,
+    pair_tiles,
+    sym_grid_info,
+    unplace_pair_cotangent,
+)
 
 
 def _offsets(cutoff, num_r):
@@ -325,3 +331,376 @@ def painn_message_reference(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff)
         dmu_c += jnp.einsum("bijf,bjf,bjf->bif", wm, xm, mu_c)
         dmu.append(dmu_c)
     return dq, jnp.concatenate(dmu, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Symmetric variant. PaiNN's pair inputs obey: dist/gate symmetric (both from
+# the symmetric distance matrix × a symmetric adjacency), direction
+# ANTIsymmetric (dir[j,i] = -dir[i,j]); so the gated filters are symmetric
+# and tiles fully below the diagonal band can be skipped, with each computed
+# tile also emitting the skipped cells' mirrored contributions (direction
+# terms pick up a sign). Same scheme as ``cfconv_pallas.cfconv_fused_sym``:
+# j-indexed outputs accumulate consecutively, i-indexed parts go to per-tile
+# slots summed outside (Mosaic cannot accumulate into revisited blocks), and
+# the pair-field cotangents (ddist/dgate symmetric, ddir antisymmetric) are
+# returned placement-symmetrized — exact for PaiNN's symmetric/antisymmetric
+# consumers (positions -> dist/dir), tested at the model level.
+# ---------------------------------------------------------------------------
+
+_PAINN_BUDGET = 2048
+
+
+def painn_sym_profitable(n: int) -> bool:
+    return sym_grid_info(n, _PAINN_BUDGET)[2] > 0
+
+
+def _fwd_sym_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
+                    xj_ref, xi_ref, muj_ref, mui_ref, wk_ref, bk_ref,
+                    dqb_ref, dmub_ref, dqa_ref, dmua_ref,
+                    *, cutoff, num_r, coeff, ti, tj, f):
+    jj, ii = pl.program_id(1), pl.program_id(2)
+    skipped = (jj + 1) * tj <= ii * ti
+
+    @pl.when(ii == 0)
+    def _():
+        dqb_ref[...] = jnp.zeros_like(dqb_ref)
+        dmub_ref[...] = jnp.zeros_like(dmub_ref)
+
+    @pl.when(skipped)
+    def _():
+        dqa_ref[...] = jnp.zeros_like(dqa_ref)
+        dmua_ref[...] = jnp.zeros_like(dmua_ref)
+
+    @pl.when(jnp.logical_not(skipped))
+    def _():
+        _, w3 = _gated_filters(
+            dist_ref[0], gate_ref[0], wk_ref, bk_ref, cutoff, num_r, coeff,
+            ti, tj,
+        )
+        wq, wr, wm = jnp.split(w3, 3, axis=-1)
+        xqj, xrj, xmj = jnp.split(xj_ref[0], 3, axis=-1)   # [tj, F]
+        xqi, xri, xmi = jnp.split(xi_ref[0], 3, axis=-1)   # [ti, F]
+        muj_c = jnp.split(muj_ref[0], 3, axis=-1)
+        mui_c = jnp.split(mui_ref[0], 3, axis=-1)
+        dirs = (dx_ref[0], dy_ref[0], dz_ref[0])
+        mb3 = mirror_skipped_mask(ii * ti, jj * tj, ti, tj)[0]  # [ti, tj, 1]
+
+        # A: true per-cell messages for the rows of this tile
+        dqa = jnp.sum(wq * xqj[None, :, :], axis=1)  # [ti, F]
+        m_r = wr * xrj[None, :, :]
+        m_m = wm * xmj[None, :, :]
+        parts = []
+        for c in range(3):
+            dmu_c = jnp.sum(m_r * dirs[c][:, :, None], axis=1)
+            dmu_c += jnp.sum(m_m * muj_c[c][None, :, :], axis=1)
+            parts.append(dmu_c)
+        dqa_ref[...] = dqa[None, None, :, :]
+        dmua_ref[...] = jnp.concatenate(parts, axis=-1)[None, None, :, :]
+
+        # B: mirrored messages for columns whose mirror tile was skipped
+        # (dir at the mirror cell is -dir here)
+        wqb, wrb, wmb = wq * mb3, wr * mb3, wm * mb3
+        dqb_ref[0] += jnp.sum(wqb * xqi[:, None, :], axis=0)  # [tj, F]
+        mb_r = wrb * xri[:, None, :]
+        mb_m = wmb * xmi[:, None, :]
+        partsb = []
+        for c in range(3):
+            dmu_c = jnp.sum(mb_r * (-dirs[c])[:, :, None], axis=0)
+            dmu_c += jnp.sum(mb_m * mui_c[c][:, None, :], axis=0)
+            partsb.append(dmu_c)
+        dmub_ref[0] += jnp.concatenate(partsb, axis=-1)
+
+
+def _fwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
+    b, n, _ = dist.shape
+    f3 = x.shape[-1]
+    f = f3 // 3
+    num_r = wk.shape[0]
+    ti, tj, _ = sym_grid_info(n, _PAINN_BUDGET)
+    delta = cutoff / (num_r - 1)
+    coeff = -0.5 / delta**2
+    kernel = partial(_fwd_sym_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,
+                     ti=ti, tj=tj, f=f)
+    pair = pl.BlockSpec((1, ti, tj), lambda b, j, i: (b, i, j))
+    jblk = lambda w: pl.BlockSpec((1, tj, w), lambda b, j, i: (b, j, 0))
+    iblk = lambda w: pl.BlockSpec((1, ti, w), lambda b, j, i: (b, i, 0))
+    islot = lambda w: pl.BlockSpec((1, 1, ti, w), lambda b, j, i: (b, j, i, 0))
+    dqb, dmub, dqa, dmua = pl.pallas_call(
+        kernel,
+        grid=(b, n // tj, n // ti),
+        in_specs=[
+            pair, pair, pair, pair, pair,
+            jblk(f3), iblk(f3), jblk(f3), iblk(f3),
+            pl.BlockSpec(wk.shape, lambda b, j, i: (0, 0)),
+            pl.BlockSpec((1,) + bk.shape, lambda b, j, i: (0, 0)),
+        ],
+        out_specs=[jblk(f), jblk(f3), islot(f), islot(f3)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, f3), jnp.float32),
+            jax.ShapeDtypeStruct((b, n // tj, n, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n // tj, n, f3), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
+    )(dist, gate, dirx, diry, dirz, x, x, mu, mu, wk, bk[None])
+    return dqb + jnp.sum(dqa, axis=1), dmub + jnp.sum(dmua, axis=1)
+
+
+def _bwd_sym_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
+                    xj_ref, xi_ref, muj_ref, mui_ref,
+                    wk_ref, bk_ref, gqi_ref, gqj_ref, gmui_ref, gmuj_ref,
+                    dxnj_ref, dmuj_ref, dxni_ref, dmui_out_ref,
+                    dwk_ref, dbk_ref, ddist_ref, dgate_ref,
+                    ddx_ref, ddy_ref, ddz_ref,
+                    *, cutoff, num_r, coeff, ti, tj, f):
+    bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    skipped = (jj + 1) * tj <= ii * ti
+
+    @pl.when(ii == 0)
+    def _():
+        dxnj_ref[...] = jnp.zeros_like(dxnj_ref)
+        dmuj_ref[...] = jnp.zeros_like(dmuj_ref)
+
+    @pl.when((bi == 0) & (ii == 0) & (jj == 0))
+    def _():
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dbk_ref[...] = jnp.zeros_like(dbk_ref)
+
+    @pl.when(skipped)
+    def _():
+        dxni_ref[...] = jnp.zeros_like(dxni_ref)
+        dmui_out_ref[...] = jnp.zeros_like(dmui_out_ref)
+        ddist_ref[...] = jnp.zeros_like(ddist_ref)
+        dgate_ref[...] = jnp.zeros_like(dgate_ref)
+        ddx_ref[...] = jnp.zeros_like(ddx_ref)
+        ddy_ref[...] = jnp.zeros_like(ddy_ref)
+        ddz_ref[...] = jnp.zeros_like(ddz_ref)
+
+    @pl.when(jnp.logical_not(skipped))
+    def _():
+        d2, gate2 = dist_ref[0], gate_ref[0]
+        phi, w3 = _gated_filters(
+            d2, gate2, wk_ref, bk_ref, cutoff, num_r, coeff, ti, tj
+        )
+        wq, wr, wm = jnp.split(w3, 3, axis=-1)
+        xqj, xrj, xmj = jnp.split(xj_ref[0], 3, axis=-1)
+        xqi, xri, xmi = jnp.split(xi_ref[0], 3, axis=-1)
+        muj_c = jnp.split(muj_ref[0], 3, axis=-1)
+        mui_c = jnp.split(mui_ref[0], 3, axis=-1)
+        gqi, gqj = gqi_ref[0], gqj_ref[0]
+        gmui_c = jnp.split(gmui_ref[0], 3, axis=-1)
+        gmuj_c = jnp.split(gmuj_ref[0], 3, axis=-1)
+        dirs = (dx_ref[0], dy_ref[0], dz_ref[0])
+        mb3 = mirror_skipped_mask(ii * ti, jj * tj, ti, tj)[0]  # [ti, tj, 1]
+
+        # A-direction structures (this tile's true per-cell terms)
+        DA = jnp.zeros((ti, tj, f), jnp.float32)
+        MA = jnp.zeros((ti, tj, f), jnp.float32)
+        # B-direction structures (mirror cells, expressed in this layout)
+        DB = jnp.zeros((ti, tj, f), jnp.float32)
+        MB = jnp.zeros((ti, tj, f), jnp.float32)
+        dmu_j_parts = []
+        dmu_i_parts = []
+        for c in range(3):
+            DA += dirs[c][:, :, None] * gmui_c[c][:, None, :]
+            MA += muj_c[c][None, :, :] * gmui_c[c][:, None, :]
+            DB += (-dirs[c])[:, :, None] * gmuj_c[c][None, :, :]
+            MB += mui_c[c][:, None, :] * gmuj_c[c][None, :, :]
+            # dmu_in at columns (A) and rows (B, mirrored)
+            s_c = jnp.sum(wm * gmui_c[c][:, None, :], axis=0)  # [tj, f]
+            dmu_j_parts.append(s_c * xmj)
+            t_c = jnp.sum(wm * mb3 * gmuj_c[c][None, :, :], axis=1)  # [ti, f]
+            dmu_i_parts.append(t_c * xmi)
+            # ddir: A term minus the mirrored B term (dir antisymmetric)
+            ddir_a = jnp.sum(wr * xrj[None, :, :] * gmui_c[c][:, None, :],
+                             axis=2)
+            ddir_b = jnp.sum(
+                wr * mb3 * xri[:, None, :] * gmuj_c[c][None, :, :], axis=2
+            )
+            (ddx_ref, ddy_ref, ddz_ref)[c][0] = ddir_a - ddir_b
+        dmuj_ref[0] += jnp.concatenate(dmu_j_parts, axis=-1)
+        dmui_out_ref[...] = jnp.concatenate(dmu_i_parts, axis=-1)[
+            None, None, :, :
+        ]
+
+        # dx at columns (A) and rows (B, mirrored; slots)
+        wqb, wrb, wmb = wq * mb3, wr * mb3, wm * mb3
+        dxq_j = jnp.sum(wq * gqi[:, None, :], axis=0)
+        dxr_j = jnp.sum(wr * DA, axis=0)
+        dxm_j = jnp.sum(wm * MA, axis=0)
+        dxnj_ref[0] += jnp.concatenate([dxq_j, dxr_j, dxm_j], axis=-1)
+        dxq_i = jnp.sum(wqb * gqj[None, :, :], axis=1)
+        dxr_i = jnp.sum(wrb * DB, axis=1)
+        dxm_i = jnp.sum(wmb * MB, axis=1)
+        dxni_ref[...] = jnp.concatenate([dxq_i, dxr_i, dxm_i], axis=-1)[
+            None, None, :, :
+        ]
+
+        # combined cotangent on the gated filters: A + mirrored B
+        dw3 = jnp.concatenate(
+            [
+                gqi[:, None, :] * xqj[None, :, :]
+                + mb3 * (xqi[:, None, :] * gqj[None, :, :]),
+                DA * xrj[None, :, :] + mb3 * (DB * xri[:, None, :]),
+                MA * xmj[None, :, :] + mb3 * (MB * xmi[:, None, :]),
+            ],
+            axis=2,
+        )  # [ti, tj, 3F]
+        off = _offsets(cutoff, num_r)
+        diff3 = d2[:, :, None] - off
+        w_raw = (
+            jnp.dot(phi, wk_ref[...], preferred_element_type=jnp.float32)
+            + bk_ref[0]
+        ).reshape(ti, tj, 3 * f)
+        dgate_ref[0] = jnp.sum(w_raw * dw3, axis=2)
+        dwg = (dw3 * gate2[:, :, None]).reshape(ti * tj, 3 * f)
+        dwk_ref[...] += jnp.dot(phi.T, dwg, preferred_element_type=jnp.float32)
+        dbk_ref[0] += jnp.sum(dwg, axis=0)
+        dphi = jnp.dot(dwg, wk_ref[...].T, preferred_element_type=jnp.float32)
+        chain3 = dphi.reshape(ti, tj, num_r) * jnp.exp(coeff * diff3 * diff3)
+        ddist_ref[0] = jnp.sum(chain3 * (2.0 * coeff) * diff3, axis=2)
+
+
+def _bwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
+                    gq, gmu):
+    b, n, _ = dist.shape
+    f3 = x.shape[-1]
+    f = f3 // 3
+    num_r = wk.shape[0]
+    ti, tj, _ = sym_grid_info(n, _PAINN_BUDGET)
+    delta = cutoff / (num_r - 1)
+    coeff = -0.5 / delta**2
+    kernel = partial(_bwd_sym_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,
+                     ti=ti, tj=tj, f=f)
+    pair = pl.BlockSpec((1, ti, tj), lambda b, j, i: (b, i, j))
+    jblk = lambda w: pl.BlockSpec((1, tj, w), lambda b, j, i: (b, j, 0))
+    iblk = lambda w: pl.BlockSpec((1, ti, w), lambda b, j, i: (b, i, 0))
+    islot = lambda w: pl.BlockSpec((1, 1, ti, w), lambda b, j, i: (b, j, i, 0))
+    acc = lambda shape: pl.BlockSpec(shape, lambda b, j, i: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // tj, n // ti),
+        in_specs=[
+            pair, pair, pair, pair, pair,
+            jblk(f3), iblk(f3), jblk(f3), iblk(f3),
+            pl.BlockSpec(wk.shape, lambda b, j, i: (0, 0)),
+            pl.BlockSpec((1,) + bk.shape, lambda b, j, i: (0, 0)),
+            iblk(f), jblk(f), iblk(f3), jblk(f3),
+        ],
+        out_specs=[
+            jblk(f3), jblk(f3), islot(f3), islot(f3),
+            acc(wk.shape), acc((1,) + bk.shape),
+            pair, pair, pair, pair, pair,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, f3), jnp.float32),  # dx (j)
+            jax.ShapeDtypeStruct((b, n, f3), jnp.float32),  # dmu_in (j)
+            jax.ShapeDtypeStruct((b, n // tj, n, f3), jnp.float32),  # dx i slots
+            jax.ShapeDtypeStruct((b, n // tj, n, f3), jnp.float32),  # dmu i slots
+            jax.ShapeDtypeStruct(wk.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1,) + bk.shape, jnp.float32),
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddist (placed)
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # dgate (placed)
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddirx (placed, signed)
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddiry
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddirz
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
+    )(dist, gate, dirx, diry, dirz, x, x, mu, mu, wk, bk[None],
+      gq, gq, gmu, gmu)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9,))
+def painn_message_fused_sym(dist, gate, dirx, diry, dirz, x, mu, wk, bk,
+                            cutoff):
+    """Symmetric-input PaiNN message pass (see block comment): identical
+    output, skips below-diagonal tiles; pair-field cotangents are placement-
+    symmetrized (ddir with the antisymmetric sign). Use ONLY with symmetric
+    dist/gate and antisymmetric directions."""
+    return _fwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk,
+                           cutoff)
+
+
+def _sym_vjp_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
+    out = painn_message_fused_sym(dist, gate, dirx, diry, dirz, x, mu, wk,
+                                  bk, cutoff)
+    return out, (dist, gate, dirx, diry, dirz, x, mu, wk, bk)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(11,))
+def _painn_sym_bwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu,
+                   cutoff):
+    (dxj, dmuj, dxi, dmui, dwk, dbk, ddist, dgate, ddx, ddy, ddz
+     ) = _bwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
+                         gq, gmu)
+    return (ddist, dgate, ddx, ddy, ddz,
+            dxj + jnp.sum(dxi, axis=1), dmuj + jnp.sum(dmui, axis=1),
+            dwk, dbk[0])
+
+
+def _painn_sym_bwd_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu,
+                       cutoff):
+    out = _painn_sym_bwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq,
+                         gmu, cutoff)
+    return out, (dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu)
+
+
+def _painn_sym_bwd_bwd(cutoff, res, cts):
+    dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu = res
+    ti, tj, _ = sym_grid_info(dist.shape[-1], _PAINN_BUDGET)
+    c_dd, c_dg, c_dx, c_dy, c_dz, c_x, c_mu, c_wk, c_bk = cts
+    cts_ref = (
+        unplace_pair_cotangent(c_dd, ti, tj),
+        unplace_pair_cotangent(c_dg, ti, tj),
+        unplace_pair_cotangent(c_dx, ti, tj, antisymmetric=True),
+        unplace_pair_cotangent(c_dy, ti, tj, antisymmetric=True),
+        unplace_pair_cotangent(c_dz, ti, tj, antisymmetric=True),
+        c_x, c_mu, c_wk, c_bk,
+    )
+
+    def ref_grads(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu):
+        _, vjp = jax.vjp(
+            lambda d, g, cx, cy, cz, xx, m, a, ab: painn_message_reference(
+                d, g, cx, cy, cz, xx, m, a, ab, cutoff
+            ),
+            dist, gate, dirx, diry, dirz, x, mu, wk, bk,
+        )
+        return vjp((gq, gmu))
+
+    _, vjp2 = jax.vjp(ref_grads, dist, gate, dirx, diry, dirz, x, mu, wk, bk,
+                      gq, gmu)
+    return vjp2(cts_ref)
+
+
+_painn_sym_bwd.defvjp(_painn_sym_bwd_fwd, _painn_sym_bwd_bwd)
+
+
+def _sym_vjp_bwd(cutoff, res, cots):
+    dist, gate, dirx, diry, dirz, x, mu, wk, bk = res
+    gq, gmu = cots
+    return _painn_sym_bwd(
+        dist, gate, dirx, diry, dirz, x, mu, wk, bk,
+        gq.astype(jnp.float32), gmu.astype(jnp.float32), cutoff,
+    )
+
+
+painn_message_fused_sym.defvjp(_sym_vjp_fwd, _sym_vjp_bwd)
+
+
+def painn_message(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
+                  use_pallas=True, symmetric=False):
+    """Dispatcher: fused kernel (symmetric variant when the caller guarantees
+    symmetric dist/gate + antisymmetric directions AND the tiling can skip
+    tiles) or the XLA reference."""
+    if not use_pallas:
+        return painn_message_reference(dist, gate, dirx, diry, dirz, x, mu,
+                                       wk, bk, cutoff)
+    if symmetric and painn_sym_profitable(dist.shape[-1]):
+        return painn_message_fused_sym(dist, gate, dirx, diry, dirz, x, mu,
+                                       wk, bk, cutoff)
+    return painn_message_fused(dist, gate, dirx, diry, dirz, x, mu, wk, bk,
+                               cutoff)

@@ -32,3 +32,47 @@ def pair_tiles(n: int, row_budget: int = 4096) -> tuple[int, int]:
     tj = _largest_legal_divisor(n, 128, 128)
     ti = _largest_legal_divisor(n, max(8, row_budget // tj), 8)
     return ti, tj
+
+
+def sym_grid_info(n: int, row_budget: int = 4096) -> tuple[int, int, int]:
+    """(ti, tj, n_skipped) for the symmetric pair kernels: tile (pi, pj) is
+    skippable iff every cell (r, c) in it lies in the strict lower triangle
+    at tile granularity: (pj+1)*tj <= pi*ti."""
+    ti, tj = pair_tiles(n, row_budget)
+    skipped = sum(
+        1
+        for pi in range(n // ti)
+        for pj in range(n // tj)
+        if (pj + 1) * tj <= pi * ti
+    )
+    return ti, tj, skipped
+
+
+def mirror_skipped_mask(ri, cj, ti, tj):
+    """[1, ti, tj, 1] f32: 1 where cell (r, c)'s MIRROR (c, r) lies in a
+    skipped tile — i.e. this computed cell must also emit the mirror's
+    contributions. Built f32-first with stepwise dim expansion (major expand
+    then minor append) — Mosaic rejects reshapes of i1 vectors."""
+    import jax
+    import jax.numpy as jnp
+
+    r = ri + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+    c = cj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+    mb = ((r // tj + 1) * tj <= (c // ti) * ti).astype(jnp.float32)
+    return mb[None, :, :][:, :, :, None]
+
+
+def unplace_pair_cotangent(c, ti, tj, antisymmetric: bool = False):
+    """Transpose of the symmetric kernels' placement operator P over the last
+    two axes: skipped cells read their computed mirror's cotangent (negated
+    for antisymmetric pair fields like directions)."""
+    import jax.numpy as jnp
+
+    n = c.shape[-1]
+    r = jnp.arange(n)[:, None]
+    cc = jnp.arange(n)[None, :]
+    skipped = (cc // tj + 1) * tj <= (r // ti) * ti
+    mirrored = jnp.swapaxes(c, -1, -2)
+    if antisymmetric:
+        mirrored = -mirrored
+    return jnp.where(skipped, mirrored, c)

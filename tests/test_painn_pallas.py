@@ -195,3 +195,112 @@ def test_larger_n_gradients_multi_tile():
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-3,
             err_msg=f"multi-tile grad mismatch: {name}",
         )
+
+
+def _symmetric_painn_inputs(n, seed=13):
+    rng = np.random.default_rng(seed)
+    pos = np.cumsum(rng.normal(scale=0.7, size=(1, n, 3)), axis=1).astype(np.float32)
+    diff = pos[:, :, None] - pos[:, None, :]
+    dist = np.linalg.norm(diff, axis=-1).astype(np.float32)
+    eye = np.eye(n, dtype=bool)
+    np.place(dist, np.broadcast_to(eye, dist.shape), 1.0)
+    direction = diff / dist[..., None]
+    np.place(dist, np.broadcast_to(eye, dist.shape), 0.0)
+    direction[np.broadcast_to(eye[None, :, :, None], direction.shape)] = 0.0
+    adj = (dist < CUTOFF) & ~eye
+    gate = (0.5 * (np.cos(dist * np.pi / CUTOFF) + 1.0) * adj).astype(np.float32)
+    x = (rng.normal(size=(1, n, 3 * F)) * 0.4).astype(np.float32)
+    mu = (rng.normal(size=(1, n, 3 * F)) * 0.4).astype(np.float32)
+    wk = (rng.normal(size=(R, 3 * F)) * 0.3).astype(np.float32)
+    bk = (rng.normal(size=(3 * F,)) * 0.1).astype(np.float32)
+    return jnp.asarray(pos), tuple(map(jnp.asarray, (
+        dist, gate, direction[..., 0].copy(), direction[..., 1].copy(),
+        direction[..., 2].copy(), x, mu, wk, bk)))
+
+
+def test_painn_sym_profitable_gate():
+    from geossl_tpu.ops.painn_pallas import painn_sym_profitable
+
+    assert not painn_sym_profitable(16)
+    assert not painn_sym_profitable(128)
+    assert painn_sym_profitable(256)
+    assert painn_sym_profitable(512)
+
+
+def test_painn_sym_forward_matches_reference():
+    from geossl_tpu.ops.painn_pallas import painn_message_fused_sym
+
+    _, args = _symmetric_painn_inputs(256)
+    dq, dmu = painn_message_fused_sym(*args, CUTOFF)
+    dq_r, dmu_r = painn_message_reference(*args, CUTOFF)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dmu), np.asarray(dmu_r),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_painn_sym_gradients_through_symmetric_chain():
+    """Pair-field cotangents are placement-symmetrized (with the
+    antisymmetric sign for directions), so compare gradients THROUGH the
+    symmetric construction (positions -> dist/gate/dir), which is how PaiNN
+    consumes the op."""
+    from geossl_tpu.ops.painn_pallas import painn_message_fused_sym
+
+    n = 256
+    pos, (_, _, _, _, _, x, mu, wk, bk) = _symmetric_painn_inputs(n)
+
+    def loss(op, pos, x, mu, wk, bk):
+        eye = jnp.eye(n)[None]
+        diff = pos[:, :, None] - pos[:, None, :]
+        d = jnp.linalg.norm(diff + eye[..., None], axis=-1) * (1.0 - eye)
+        direction = diff / (d[..., None] + eye[..., None])
+        adj = (d < CUTOFF) & (d > 0)
+        gate = 0.5 * (jnp.cos(d * jnp.pi / CUTOFF) + 1.0) * adj
+        dq, dmu = op(d, gate, direction[..., 0], direction[..., 1],
+                     direction[..., 2], x, mu, wk, bk, CUTOFF)
+        return jnp.sum(jnp.tanh(dq)) + jnp.sum(jnp.tanh(dmu))
+
+    g_sym = jax.grad(loss, argnums=(1, 2, 3, 4, 5))(
+        painn_message_fused_sym, pos, x, mu, wk, bk)
+    g_ref = jax.grad(loss, argnums=(1, 2, 3, 4, 5))(
+        painn_message_reference, pos, x, mu, wk, bk)
+    for name, a, b in zip(["pos", "x", "mu", "wk", "bk"], g_sym, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-3,
+            err_msg=f"painn sym grad mismatch for {name}",
+        )
+
+
+def test_painn_model_pallas_matches_xla_large_n():
+    """PaiNN at N=256 on the fused path (the model keeps the plain kernel —
+    the symmetric variant measured slower for PaiNN, see docs/PERF.md):
+    outputs and gradients through live-position dist/dir must match XLA."""
+    from geossl_tpu.models.painn import PaiNN
+
+    rng = np.random.default_rng(14)
+    n = 256
+    z = jnp.asarray(rng.integers(0, 9, size=(1, n)), jnp.int32)
+    pos = jnp.asarray(
+        np.cumsum(rng.normal(scale=0.7, size=(1, n, 3)), axis=1).astype(np.float32)
+    )
+    mask = jnp.asarray(np.arange(n)[None, :] < n - 10)
+    kwargs = dict(n_atom_basis=32, n_interactions=2, n_rbf=9, cutoff=6.0, max_z=9)
+    m_xla = PaiNN(**kwargs, use_pallas=False)
+    m_sym = PaiNN(**kwargs, use_pallas=True)
+    params = m_xla.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+    out_x, _ = m_xla.apply({"params": params}, z, pos, mask)
+    out_s, _ = m_sym.apply({"params": params}, z, pos, mask)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_s),
+                               rtol=1e-3, atol=1e-3)
+
+    def loss(m):
+        def f(p, q):
+            out, _ = m.apply({"params": p}, z, q, mask)
+            return jnp.sum(out**2)
+        return f
+
+    gx = jax.grad(loss(m_xla), argnums=(0, 1))(params, pos)
+    gs = jax.grad(loss(m_sym), argnums=(0, 1))(params, pos)
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-3)
