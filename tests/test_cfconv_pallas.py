@@ -377,3 +377,28 @@ def test_schnet_sym_path_matches_xla_large_n():
     for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-3)
+
+
+def test_sym_batched_blocks():
+    """b > 1 exercises bb > 1 batch-blocking in the symmetric kernel's
+    per-tile slot outputs."""
+    from geossl_tpu.ops.cfconv_pallas import cfconv_fused_sym
+
+    _, args = _symmetric_inputs(256, b=4, seed=15)
+    out = cfconv_fused_sym(*args, START, STOP, G)
+    ref = cfconv_fused_reference(*args, START, STOP, G)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    def loss(op):
+        return lambda x, w2: jnp.sum(jnp.tanh(op(
+            args[0], args[1], x, args[3], args[4], w2, args[6],
+            START, STOP, G)))
+
+    gs = jax.grad(loss(cfconv_fused_sym), argnums=(0, 1))(args[2], args[5])
+    gr = jax.grad(loss(cfconv_fused_reference), argnums=(0, 1))(args[2], args[5])
+    for name, a, b in zip(["x", "w2"], gs, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-3,
+            err_msg=f"batched sym grad mismatch for {name}",
+        )
