@@ -4,7 +4,8 @@ Configs (BASELINE.md "Reference configs to drive" #1-#5):
   1. schnet_qm9_throughput      — SchNet + linear head, L1 loss, batch 128, N=32
   2. painn_qm9_throughput       — PaiNN 12-target regression, batch 128, N=32
   3. md17_force_step_time       — SchNet energy+force (grad-of-grad), batch 5,
-                                  N=32 (aspirin is 21 atoms), XLA CFConv path
+                                  N=32 (aspirin is 21 atoms), driver policy
+                                  (fused on TPU; fused/XLA neutral at B=5)
   4. lba_schnet_throughput      — SchNet regression at N=512 complexes, batch 64
   4b. lep_schnet_throughput     — dual-tower BCE at N=448 pairs, batch 16
   5. geossl_ddm_pretrain_throughput — the FLAGSHIP: full DDM step (two SchNet
@@ -346,7 +347,7 @@ def main(only=None):
     benches = [
         ("schnet_qm9", lambda: bench_schnet_qm9(use_pallas)),
         ("painn_qm9", lambda: bench_painn_qm9(use_pallas)),
-        ("md17", bench_md17_force),
+        ("md17", lambda: bench_md17_force(use_pallas)),
         ("lba", lambda: bench_lba(use_pallas)),
         ("lep", lambda: bench_lep(use_pallas)),
         ("ddm", lambda: bench_ddm(use_pallas)),  # flagship last (tail-parse)

@@ -77,10 +77,11 @@ class InteractionBlock(nn.Module):
         # CFConv (``schnet.py:170-195``): lin1 (no bias), message = x_j * W,
         # segment-sum over incoming edges, lin2.
         x = Dense(self.num_filters, use_bias=False, dtype=self.dtype)(h)
-        # bf16 compute runs the filter matmuls at full MXU rate (f32 accum);
-        # either implied by a bf16 model dtype or opted into standalone
-        # (``filter_mxu='bf16'``) for the matmul-bound large-N regime (LBA)
-        # while everything else stays f32.
+        # bf16 operand precision for the filter matmuls (f32 accumulation);
+        # implied by a bf16 model dtype or opted into standalone via
+        # ``filter_mxu='bf16'``. Measured NEUTRAL on v5e at N=32 and N=512
+        # (TPU matmuls already default to bf16 operands — docs/PERF.md);
+        # kept for other hardware.
         mxu = (
             "bf16"
             if self.dtype == jnp.bfloat16 or self.filter_mxu == "bf16"

@@ -304,3 +304,33 @@ def test_painn_model_pallas_matches_xla_large_n():
     for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-3)
+
+
+def test_painn_sym_second_order_through_positions():
+    """Grad-of-grad (MD17 shape) through the symmetric PaiNN kernel: the
+    antisymmetric-signed placement transpose in the second-order path must
+    reproduce the reference."""
+    from geossl_tpu.ops.painn_pallas import painn_message_fused_sym
+
+    n = 256
+    pos, (_, _, _, _, _, x, mu, wk, bk) = _symmetric_painn_inputs(n)
+
+    def energy(op, pos, wk):
+        eye = jnp.eye(n)[None]
+        diff = pos[:, :, None] - pos[:, None, :]
+        d = jnp.linalg.norm(diff + eye[..., None], axis=-1) * (1.0 - eye)
+        direction = diff / (d[..., None] + eye[..., None])
+        adj = (d < CUTOFF) & (d > 0)
+        gate = 0.5 * (jnp.cos(d * jnp.pi / CUTOFF) + 1.0) * adj
+        dq, dmu = op(d, gate, direction[..., 0], direction[..., 1],
+                     direction[..., 2], x, mu, wk, bk, CUTOFF)
+        return jnp.sum(jnp.tanh(dq)) + jnp.sum(jnp.tanh(dmu))
+
+    def loss(op, wk):
+        f = jax.grad(lambda p: energy(op, p, wk))(pos)
+        return jnp.sum(f * f)
+
+    g_sym = jax.grad(lambda w: loss(painn_message_fused_sym, w))(wk)
+    g_ref = jax.grad(lambda w: loss(painn_message_reference, w))(wk)
+    np.testing.assert_allclose(
+        np.asarray(g_sym), np.asarray(g_ref), rtol=1e-2, atol=1e-3)
