@@ -294,3 +294,106 @@ def test_adam_trajectory_schnet_ddm_matches_torch():
     lj, lt, pj, _ = _run_adam_pair(jax_loss, torch_loss, params, pt)
     np.testing.assert_allclose(lj, lt, rtol=1e-7)
     assert_trees_close(pj, pt, rtol=1e-5, atol=1e-8)
+
+
+# ------------------------------------------------------- PaiNN trajectory
+
+
+def torch_painn(p, z_b, pos_b, readout="add"):
+    """Batched differentiable edge-list PaiNN forward on torch params
+    (mirrors ``Geom3D/models/painn.py:216-269``; autograd-safe — no in-place
+    ops on leaves)."""
+    f = p["embedding"].shape[1]
+    gate_row = torch.ones((p["embedding"].shape[0], 1), dtype=torch.float64)
+    gate_row[0] = 0.0  # padding_idx=0: row 0 pinned at zero, no gradient
+    emb = p["embedding"] * gate_row
+    n_rbf = p["filter_kernel"].shape[0]
+    offsets = torch.linspace(0.0, CUTOFF, n_rbf, dtype=torch.float64)
+    width = (offsets[1] - offsets[0]).abs()
+    reprs, nodes = [], []
+    for b in range(z_b.shape[0]):
+        z = torch.tensor(z_b[b], dtype=torch.long)
+        pos = torch.tensor(pos_b[b], dtype=torch.float64)
+        edges = radius_edges(pos_b[b], CUTOFF)
+        idx_i = torch.tensor(edges[:, 0])
+        idx_j = torch.tensor(edges[:, 1])
+        r_ij = pos[idx_i] - pos[idx_j]
+        d_ij = r_ij.norm(dim=1, keepdim=True)
+        dir_ij = r_ij / d_ij
+        phi = torch.exp(-0.5 / width**2 * (d_ij[..., None] - offsets) ** 2)
+        fcut = 0.5 * (torch.cos(d_ij * torch.pi / CUTOFF) + 1.0) * (d_ij < CUTOFF)
+        filters = (phi @ p["filter_kernel"] + p["filter_bias"]) * fcut[..., None]
+        filter_list = torch.split(filters, 3 * f, dim=-1)
+
+        def dense(blk, x, bias=True):
+            y = x @ blk["kernel"]
+            if bias and "bias" in blk:
+                y = y + blk["bias"]
+            return y
+
+        n = z.shape[0]
+        q = emb[z][:, None, :]
+        mu = torch.zeros((n, 3, f), dtype=torch.float64)
+        for k in range(NI):
+            blk = p[f"PaiNNInteraction_{k}"]
+            mix = p[f"PaiNNMixing_{k}"]
+            x = torch.nn.functional.silu(dense(blk["Dense_0"]["Dense_0"], q))
+            x = dense(blk["Dense_1"]["Dense_0"], x)
+            xe = filter_list[k] * x[idx_j]
+            dq_e, dmur, dmumu = torch.split(xe, f, dim=-1)
+            dq = torch.zeros((n, 1, f), dtype=torch.float64).index_add(
+                0, idx_i, dq_e)
+            dmu_e = dmur * dir_ij[..., None] + dmumu * mu[idx_j]
+            dmu = torch.zeros((n, 3, f), dtype=torch.float64).index_add(
+                0, idx_i, dmu_e)
+            q, mu = q + dq, mu + dmu
+            mu_mix = dense(mix["mu_channel_mix"]["Dense_0"], mu, bias=False)
+            mu_v, mu_w = torch.split(mu_mix, f, dim=-1)
+            mu_vn = torch.sqrt((mu_v**2).sum(dim=-2, keepdim=True) + 1e-8)
+            ctx = torch.cat([q, mu_vn], dim=-1)
+            x = torch.nn.functional.silu(dense(mix["Dense_0"]["Dense_0"], ctx))
+            x = dense(mix["Dense_1"]["Dense_0"], x)
+            dq_i, dmu_g, dqmu = torch.split(x, f, dim=-1)
+            q = q + dq_i + dqmu * (mu_v * mu_w).sum(dim=1, keepdim=True)
+            mu = mu + dmu_g * mu_w
+        qf = q[:, 0, :]
+        reprs.append(qf.sum(dim=0) if readout == "add" else qf.mean(dim=0))
+        nodes.append(qf)
+    return torch.stack(reprs), torch.stack(nodes)
+
+
+def test_adam_trajectory_painn_qm9_matches_torch():
+    """4 Adam steps of PaiNN + linear head + L1 loss track torch — pins the
+    vector-feature training dynamics (zero-pad embedding gradient gating,
+    shared filter_net slicing, mixing-block residuals) the forward-parity
+    test alone cannot."""
+    from geossl_tpu.models.painn import PaiNN
+
+    model = PaiNN(n_atom_basis=EMB, n_interactions=NI, n_rbf=NG,
+                  cutoff=CUTOFF, readout="add", max_z=9)
+    z, pos = make_batch(seed=6)
+    mask = jnp.ones((B, N), bool)
+    mp = f64(model.init(jax.random.PRNGKey(0), jnp.asarray(z),
+                        jnp.asarray(pos), mask)["params"])
+    rng = np.random.default_rng(8)
+    y = rng.normal(size=(B,)).astype(np.float64)
+    wh = rng.normal(size=(EMB, 1)) * 0.1
+    params = {"model": mp, "head": {"w": jnp.asarray(wh), "b": jnp.zeros((1,))}}
+
+    def jax_loss(p, step):
+        g, _ = model.apply({"params": p["model"]},
+                           jnp.asarray(z), jnp.asarray(pos), mask)
+        pred = (g @ p["head"]["w"] + p["head"]["b"])[:, 0]
+        return jnp.mean(jnp.abs(pred - jnp.asarray(y)))
+
+    pt = torch_tree(params)
+
+    def torch_loss(p, step):
+        g, _ = torch_painn(p["model"], z, pos)
+        pred = (g @ p["head"]["w"] + p["head"]["b"])[:, 0]
+        return (pred - torch.tensor(y)).abs().mean()
+
+    lj, lt, pj, _ = _run_adam_pair(jax_loss, torch_loss, params, pt)
+    np.testing.assert_allclose(lj, lt, rtol=1e-7)
+    assert_trees_close(pj, pt, rtol=1e-5, atol=1e-7)
+    assert lj[-1] < lj[0]
