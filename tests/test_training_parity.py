@@ -299,10 +299,14 @@ def test_adam_trajectory_schnet_ddm_matches_torch():
 # ------------------------------------------------------- PaiNN trajectory
 
 
-def torch_painn(p, z_b, pos_b, readout="add"):
+def torch_painn(p, z_b, pos_b, readout="add", edges_pos=None):
     """Batched differentiable edge-list PaiNN forward on torch params
     (mirrors ``Geom3D/models/painn.py:216-269``; autograd-safe — no in-place
-    ops on leaves)."""
+    ops on leaves). ``edges_pos`` supplies the positions used to build the
+    radius graph (the reference caches the CLEAN geometry's
+    ``radius_edge_index`` and reuses it for perturbed views,
+    ``pretrain_GeoSSL.py:88-89``); distances/directions always come from
+    ``pos_b``."""
     f = p["embedding"].shape[1]
     gate_row = torch.ones((p["embedding"].shape[0], 1), dtype=torch.float64)
     gate_row[0] = 0.0  # padding_idx=0: row 0 pinned at zero, no gradient
@@ -314,7 +318,8 @@ def torch_painn(p, z_b, pos_b, readout="add"):
     for b in range(z_b.shape[0]):
         z = torch.tensor(z_b[b], dtype=torch.long)
         pos = torch.tensor(pos_b[b], dtype=torch.float64)
-        edges = radius_edges(pos_b[b], CUTOFF)
+        edges = radius_edges(
+            pos_b[b] if edges_pos is None else edges_pos[b], CUTOFF)
         idx_i = torch.tensor(edges[:, 0])
         idx_j = torch.tensor(edges[:, 1])
         r_ij = pos[idx_i] - pos[idx_j]
@@ -397,3 +402,67 @@ def test_adam_trajectory_painn_qm9_matches_torch():
     np.testing.assert_allclose(lj, lt, rtol=1e-7)
     assert_trees_close(pj, pt, rtol=1e-5, atol=1e-7)
     assert lj[-1] < lj[0]
+
+
+def test_adam_trajectory_painn_ddm_matches_torch():
+    """4 Adam steps of PaiNN + the cross-view DDM objective. Pins the
+    reference's clean-geometry radius-graph reuse: the perturbed view keeps
+    the CLEAN positions' edge set while distances/directions come from the
+    live (perturbed) positions (``pretrain_GeoSSL.py:88-89``,
+    ``painn.py:216,230``)."""
+    from geossl_tpu.models.painn import PaiNN
+
+    model = PaiNN(n_atom_basis=EMB, n_interactions=NI, n_rbf=NG,
+                  cutoff=CUTOFF, readout="add", max_z=9)
+    head = NCSNv3(emb_dim=EMB, sigma_begin=10.0, sigma_end=0.01,
+                  num_noise_level=NL, anneal_power=ANNEAL)
+    z, pos = make_batch(seed=10)
+    mask = jnp.ones((B, N), bool)
+    k = jax.random.PRNGKey(0)
+    mp = f64(model.init(k, jnp.asarray(z), jnp.asarray(pos), mask)["params"])
+    dist0, _ = geometry.pairwise_distances(jnp.asarray(pos), mask)
+    sel = pair_selection(mask, "combination")
+    hp1 = f64(head.init(jax.random.fold_in(k, 1), k,
+                        jnp.zeros((B, N, EMB)), dist0, sel)["params"])
+    hp2 = f64(head.init(jax.random.fold_in(k, 2), k,
+                        jnp.zeros((B, N, EMB)), dist0, sel)["params"])
+    params = {"model": mp, "n1": hp1, "n2": hp2}
+    base = jax.random.PRNGKey(13)
+
+    def step_keys(step):
+        return jax.random.split(jax.random.fold_in(base, step), 3)
+
+    def jax_loss(p, step):
+        k_view, k1, k2 = step_keys(step)
+        pos1 = jnp.asarray(pos)
+        pos2 = perturb_positions(k_view, pos1, 0.0, 0.3)
+        # clean-geometry pair_mask reused for BOTH views (driver behavior)
+        d_clean, pm = geometry.pairwise_distances(pos1, mask)
+        pair_mask = geometry.radius_adjacency(d_clean, pm, CUTOFF)
+        _, h1 = model.apply({"params": p["model"]}, jnp.asarray(z), pos1,
+                            mask, pair_mask)
+        _, h2 = model.apply({"params": p["model"]}, jnp.asarray(z), pos2,
+                            mask, pair_mask)
+        d1, _ = geometry.pairwise_distances(pos1, mask)
+        d2, _ = geometry.pairwise_distances(pos2, mask)
+        l1 = head.apply({"params": p["n1"]}, k1, h1, d2, sel)
+        l2 = head.apply({"params": p["n2"]}, k2, h2, d1, sel)
+        return (l1 + l2) / 2
+
+    pt = torch_tree(params)
+
+    def torch_loss(p, step):
+        k_view, k1, k2 = step_keys(step)
+        pos2 = np.asarray(
+            perturb_positions(k_view, jnp.asarray(pos), 0.0, 0.3), np.float64)
+        _, h1 = torch_painn(p["model"], z, pos)
+        _, h2 = torch_painn(p["model"], z, pos2, edges_pos=pos)  # clean edges
+        s1, n1 = extract_ncsn_rng(k1)
+        s2, n2 = extract_ncsn_rng(k2)
+        l1 = torch_ncsn_loss(p["n1"], h1, pos2, s1, n1)
+        l2 = torch_ncsn_loss(p["n2"], h2, pos, s2, n2)
+        return (l1 + l2) / 2
+
+    lj, lt, pj, _ = _run_adam_pair(jax_loss, torch_loss, params, pt)
+    np.testing.assert_allclose(lj, lt, rtol=1e-7)
+    assert_trees_close(pj, pt, rtol=1e-5, atol=1e-7)
