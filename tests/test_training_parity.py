@@ -466,3 +466,70 @@ def test_adam_trajectory_painn_ddm_matches_torch():
     lj, lt, pj, _ = _run_adam_pair(jax_loss, torch_loss, params, pt)
     np.testing.assert_allclose(lj, lt, rtol=1e-7)
     assert_trees_close(pj, pt, rtol=1e-5, atol=1e-7)
+
+
+# ------------------------------------------------- contrastive loss parity
+
+
+def test_contrastive_losses_match_torch():
+    """dual InfoNCE (`pretrain_GeoSSL.py:141-176`), the EBM-NCE objective
+    (`:103-138`, averaged), and do_CL's EBM_dot_prod variant (`util.py:48`,
+    NOT averaged) — loss values and gradients vs literal torch
+    reimplementations."""
+    from geossl_tpu.objectives.contrastive import (
+        do_cl, dual_infonce_loss, ebm_nce_loss)
+
+    rng = np.random.default_rng(21)
+    Bc, D, T = 6, 12, 0.1
+    x = rng.normal(size=(Bc, D))
+    y = rng.normal(size=(Bc, D))
+
+    def torch_pair():
+        xt = torch.tensor(x, dtype=torch.float64, requires_grad=True)
+        yt = torch.tensor(y, dtype=torch.float64, requires_grad=True)
+        return xt, yt
+
+    def check(jax_fn, torch_fn):
+        xj, yj = jnp.asarray(x), jnp.asarray(y)
+        lj, gj = jax.value_and_grad(
+            lambda a, b: jax_fn(a, b)[0], argnums=(0, 1))(xj, yj)
+        xt, yt = torch_pair()
+        lt = torch_fn(xt, yt)
+        lt.backward()
+        np.testing.assert_allclose(float(lj), float(lt.detach()), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(gj[0]), xt.grad.numpy(),
+                                   rtol=1e-10, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(gj[1]), yt.grad.numpy(),
+                                   rtol=1e-10, atol=1e-14)
+
+    # dual InfoNCE: CE over BxB dot-product logits / T, both directions
+    ce = torch.nn.CrossEntropyLoss()
+    labels = torch.arange(Bc)
+
+    def t_dual_infonce(xt, yt):
+        l1 = ce(xt @ yt.T / T, labels)
+        l2 = ce(yt @ xt.T / T, labels)
+        return (l1 + l2) / 2
+
+    check(lambda a, b: dual_infonce_loss(a, b, T), t_dual_infonce)
+
+    # EBM-NCE objective: BCE pos vs one cyclic-shift negative, averaged
+    bce = torch.nn.BCEWithLogitsLoss()
+    roll = list(range(1, Bc)) + [0]  # cycle_index(B, 1)
+
+    def t_ebm_nce(xt, yt):
+        pos = (xt * yt).sum(dim=1)
+        neg = (xt * yt[roll]).sum(dim=1)
+        return (bce(pos, torch.ones(Bc, dtype=torch.float64))
+                + bce(neg, torch.zeros(Bc, dtype=torch.float64))) / 2
+
+    check(lambda a, b: ebm_nce_loss(a, b), t_ebm_nce)
+
+    # do_CL EBM_dot_prod: temperature-scaled, NO averaging (util.py:48)
+    def t_do_cl_ebm(xt, yt):
+        pos = (xt * yt).sum(dim=1) / T
+        neg = (xt * yt[roll]).sum(dim=1) / T
+        return (bce(pos, torch.ones(Bc, dtype=torch.float64))
+                + bce(neg, torch.zeros(Bc, dtype=torch.float64)))
+
+    check(lambda a, b: do_cl(a, b, "EBM_dot_prod", T), t_do_cl_ebm)
