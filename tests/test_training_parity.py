@@ -533,3 +533,62 @@ def test_contrastive_losses_match_torch():
                 + bce(neg, torch.zeros(Bc, dtype=torch.float64)))
 
     check(lambda a, b: do_cl(a, b, "EBM_dot_prod", T), t_do_cl_ebm)
+
+
+# ----------------------------------------------- baseline objective parity
+
+
+def test_charge_and_infograph_losses_match_torch():
+    """Masked-atom CE (`pretrain_ChargePrediction.py:64-81`) and do_InfoGraph
+    (`pretrain_3DInfoGraph.py:19-76`) — loss values and gradients vs literal
+    torch reimplementations on unpadded batches with shared masks."""
+    from geossl_tpu.objectives.heads import charge_loss
+    from geossl_tpu.objectives.infograph import (
+        InfoGraphDiscriminator, infograph_loss)
+
+    rng = np.random.default_rng(23)
+    Bc, Nn, C, F = 3, 5, 9, 8
+
+    # ---- charge: CE over masked atoms only
+    logits = rng.normal(size=(Bc, Nn, C))
+    target = rng.integers(0, C, size=(Bc, Nn))
+    lmask = rng.random(size=(Bc, Nn)) < 0.4
+    lmask[0, 0] = True  # at least one
+
+    lj, gj = jax.value_and_grad(
+        lambda lg: charge_loss(jnp.asarray(lg), jnp.asarray(target),
+                               jnp.asarray(lmask))[0])(logits)
+    lt_in = torch.tensor(logits, dtype=torch.float64, requires_grad=True)
+    flat = lt_in.reshape(-1, C)[torch.tensor(lmask.reshape(-1))]
+    tgt = torch.tensor(target.reshape(-1)[lmask.reshape(-1)], dtype=torch.long)
+    lt = torch.nn.functional.cross_entropy(flat, tgt)  # :81
+    lt.backward()
+    np.testing.assert_allclose(float(lj), float(lt.detach()), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gj), lt_in.grad.numpy(),
+                               rtol=1e-10, atol=1e-14)
+
+    # ---- InfoGraph: bilinear node-vs-summary BCE, cycle-shift negatives
+    node = rng.normal(size=(Bc, Nn, F))
+    graph = rng.normal(size=(Bc, F))
+    w = rng.normal(size=(F, F)) * 0.3
+    disc = InfoGraphDiscriminator(hidden_dim=F)
+    dp = {"weight": jnp.asarray(w)}
+    nmask = jnp.ones((Bc, Nn), bool)
+
+    lj, gj = jax.value_and_grad(
+        lambda wj: infograph_loss(disc, {"weight": wj}, jnp.asarray(node),
+                                  jnp.asarray(graph), nmask)[0])(jnp.asarray(w))
+    wt = torch.tensor(w, dtype=torch.float64, requires_grad=True)
+    node_t = torch.tensor(node.reshape(-1, F), dtype=torch.float64)
+    summary = torch.sigmoid(torch.tensor(graph, dtype=torch.float64))
+    roll = list(range(1, Bc)) + [0]
+    pos_s = summary.repeat_interleave(Nn, dim=0)
+    neg_s = summary[roll].repeat_interleave(Nn, dim=0)
+    bce = torch.nn.BCEWithLogitsLoss()
+    pos = (node_t * (pos_s @ wt)).sum(dim=1)
+    neg = (node_t * (neg_s @ wt)).sum(dim=1)
+    lt = bce(pos, torch.ones_like(pos)) + bce(neg, torch.zeros_like(neg))
+    lt.backward()
+    np.testing.assert_allclose(float(lj), float(lt.detach()), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gj), wt.grad.numpy(),
+                               rtol=1e-10, atol=1e-14)
