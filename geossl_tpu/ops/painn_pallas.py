@@ -127,6 +127,8 @@ def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
             jax.ShapeDtypeStruct((b, n, f3), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
     )(dist, gate, dirx, diry, dirz, x, mu, wk, bk[None])
 
 
@@ -244,6 +246,10 @@ def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu):
             jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddirz
         ],
         interpret=_interpret(),
+        # B=64/N=512 (the LBA protocol with PaiNN) measures 16.21M scoped
+        # VMEM — just over the 16M default soft limit (v5e has 128M)
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
     )(dist, gate, dirx, diry, dirz, x, mu, wk, bk[None], gq, gmu)
 
 

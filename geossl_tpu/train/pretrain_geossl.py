@@ -70,6 +70,12 @@ def build_parser():
                    action="store_true", default=True)
     p.add_argument("--no_detach_target", dest="detach_target",
                    action="store_false")
+    p.add_argument("--ckpt_every", type=int, default=1,
+                   help="write the full resume state every k epochs (the "
+                        "state fetch costs ~0.2 s through the remote-TPU "
+                        "tunnel — negligible at corpus scale, visible on "
+                        "small synthetic runs; best-model saves are "
+                        "unaffected)")
     p.add_argument("--resume", action="store_true",
                    help="resume from <output_model_dir>/state.ckpt if present")
     p.add_argument("--steps_per_call", type=int, default=1,
@@ -334,7 +340,8 @@ def main(argv=None):
             _profiler.stop_trace()
             profiler_active = False
             print(f"profiler trace written to {args.profile_dir}")
-        if state_path:
+        if state_path and (epoch % max(args.ckpt_every, 1) == 0
+                           or epoch == args.epochs):
             checkpoints.save_train_state(state_path, state, epoch, saver.best_metric)
     saver.save_final({"model": jax.device_get(state.params[0]["model"])})
     return state
