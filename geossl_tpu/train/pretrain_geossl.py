@@ -123,11 +123,12 @@ def main(argv=None):
             emb_dim=args.emb_dim, sigma_begin=args.SM_sigma_begin,
             sigma_end=args.SM_sigma_end, num_noise_level=args.SM_num_noise_level,
             anneal_power=args.SM_anneal_power,
-            # fused per-pair score kernel: neutral at the protocol N=32
-            # (interleaved A/B, docs/PERF.md) but it avoids the XLA head's
-            # [B,N,N,emb] HBM materializations, which matters for large
-            # pair grids; first-order AD is all DDM needs
-            use_pallas=cfg.use_pallas and n_max >= 128,
+            # fused per-pair score kernel: measured NEUTRAL at every bucket
+            # tried (N=32, 64 and 256 interleaved A/Bs — docs/PERF.md); the
+            # DDM step is backbone-bound and XLA schedules the head's
+            # [B,N,N,emb] passes well. Kept correctness-tested and opt-in
+            # via NCSNv3(use_pallas=True); the driver takes the simple path.
+            use_pallas=False,
         )
         h = jnp.zeros((2, n_max, args.emb_dim))
         d = jnp.zeros((2, n_max, n_max))
