@@ -8,6 +8,7 @@ Configs (BASELINE.md "Reference configs to drive" #1-#5):
                                   (fused on TPU; fused/XLA neutral at B=5)
   4. lba_schnet_throughput      — SchNet regression at N=512 complexes, batch 64
   4b. lep_schnet_throughput     — dual-tower BCE at N=448 pairs, batch 16
+  4c. geossl_ddm_painn_throughput — the DDM step on the PaiNN backbone
   5. geossl_ddm_pretrain_throughput — the FLAGSHIP: full DDM step (two SchNet
      views + two NCSNv3 heads over all pairs), batch 128. Printed LAST so a
      tail-line parse still sees the headline metric.
@@ -286,7 +287,7 @@ def bench_lep(use_pallas):
             "unit": "pair/s/chip", "vs_baseline": None}
 
 
-def bench_ddm(use_pallas):
+def bench_ddm(use_pallas, model_3d="schnet"):
     import jax
     import jax.numpy as jnp  # noqa: F401
 
@@ -297,11 +298,16 @@ def bench_ddm(use_pallas):
     from geossl_tpu.train import common, optim
 
     batch, n_max, emb = 128, 32, 128
-    # published defaults; fused Pallas CFConv on real TPU backends (11.5 ms
-    # XLA vs 8.1 ms fused after the dx-in-backward-kernel rework — see
-    # docs/PERF.md). The fused NCSN head is neutral at N=32 and stays off
-    # here, mirroring the driver's policy.
-    model = SchNet(use_pallas=use_pallas)
+    # published defaults; fused Pallas kernels on real TPU backends (11.5 ms
+    # XLA vs 8.1 ms fused for SchNet after the dx-in-backward-kernel rework
+    # — see docs/PERF.md). The fused NCSN head is neutral at every bucket
+    # and stays off, mirroring the driver's policy.
+    if model_3d == "painn":
+        from geossl_tpu.models import PaiNN
+
+        model = PaiNN(use_pallas=use_pallas)
+    else:
+        model = SchNet(use_pallas=use_pallas)
     head = NCSNv3(emb_dim=emb)
     z, pos, mask, _, _ = _example(batch, n_max, seed=0)
     key = jax.random.PRNGKey(0)
@@ -334,7 +340,9 @@ def bench_ddm(use_pallas):
 
     sps = _time_steps(step, state, (z, pos, mask), key_fn=jax.random.PRNGKey)
     mols = batch * sps
-    return {"metric": "geossl_ddm_pretrain_throughput", "value": round(mols, 1),
+    name = ("geossl_ddm_pretrain_throughput" if model_3d == "schnet"
+            else f"geossl_ddm_{model_3d}_throughput")
+    return {"metric": name, "value": round(mols, 1),
             "unit": "mol/s/chip",
             "vs_baseline": round(mols / BASELINE_MOLS_PER_SEC, 2)}
 
@@ -350,6 +358,7 @@ def main(only=None):
         ("md17", lambda: bench_md17_force(use_pallas)),
         ("lba", lambda: bench_lba(use_pallas)),
         ("lep", lambda: bench_lep(use_pallas)),
+        ("ddm_painn", lambda: bench_ddm(use_pallas, "painn")),
         ("ddm", lambda: bench_ddm(use_pallas)),  # flagship last (tail-parse)
     ]
     for name, fn in benches:
