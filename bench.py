@@ -334,11 +334,15 @@ def bench_ddm(use_pallas, model_3d="schnet"):
         return (l1 + l2) / 2
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state, z, pos, mask, key):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, z, pos, mask, key)
+    def step(state, z, pos, mask, epoch_key):
+        # per-step RNG derived ON DEVICE (fold_in by state.step), exactly
+        # like the driver — a fresh host-built key per timed step would add
+        # a ~0.3 ms host->device transfer the real training loop doesn't pay
+        rng = jax.random.fold_in(epoch_key, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, z, pos, mask, rng)
         return common.apply_updates(state, grads, tx), loss
 
-    sps = _time_steps(step, state, (z, pos, mask), key_fn=jax.random.PRNGKey)
+    sps = _time_steps(step, state, (z, pos, mask, jax.random.PRNGKey(1)))
     mols = batch * sps
     name = ("geossl_ddm_pretrain_throughput" if model_3d == "schnet"
             else f"geossl_ddm_{model_3d}_throughput")

@@ -29,6 +29,56 @@ def pick_bucket(n: int, bucket_sizes: Sequence[int]) -> int:
     raise ValueError(f"molecule with {n} atoms exceeds largest bucket {bucket_sizes[-1]}")
 
 
+def assign_buckets(sizes: np.ndarray, bucket_sizes: Sequence[int]) -> np.ndarray:
+    """Vectorized pick_bucket over an array of atom counts. Oversized
+    entries fail loudly with the full size histogram so the fix (--bucket
+    ladder) is obvious from the message."""
+    ladder = np.asarray(sorted(bucket_sizes))
+    slot = np.searchsorted(ladder, sizes)
+    if (slot >= len(ladder)).any():
+        edges = np.concatenate([[0], ladder, [int(sizes.max())]])
+        hist, _ = np.histogram(sizes, bins=edges)
+        bands = ", ".join(f"≤{int(e)}: {int(c)}" for e, c in zip(edges[1:], hist))
+        raise ValueError(
+            f"{int((slot >= len(ladder)).sum())} molecules exceed the "
+            f"largest bucket {int(ladder[-1])} (max {int(sizes.max())} "
+            f"atoms; size histogram {bands}). Extend the bucket ladder, "
+            f"e.g. --bucket {' '.join(str(int(b)) for b in ladder)} "
+            f"{int(2 ** np.ceil(np.log2(sizes.max())))}"
+        )
+    return ladder[slot]
+
+
+def bucket_chunks(bucket_of, batch_size, rng, shuffle, drop_last=False):
+    """Per-bucket index chunks, with the epoch's batch ORDER shuffled ACROSS
+    buckets — matching the reference DataLoader's uniform molecule shuffle in
+    training-order distribution (a bucket-major order would train on all
+    small molecules first every epoch)."""
+    chunks = []
+    for bucket in np.unique(bucket_of):
+        idx = np.where(bucket_of == bucket)[0]
+        if shuffle:
+            idx = rng.permutation(idx)
+        for s in range(0, len(idx), batch_size):
+            chunk = idx[s : s + batch_size]
+            if len(chunk) < batch_size and drop_last:
+                continue
+            chunks.append((int(bucket), chunk))
+    if shuffle and len(chunks) > 1:
+        chunks = [chunks[i] for i in rng.permutation(len(chunks))]
+    return chunks
+
+
+def find_native_packer():
+    """The C++ fast-path packer, or None when the extension is unavailable."""
+    try:
+        from geossl_tpu.native import packing as native_packing
+
+        return native_packing if native_packing.available() else None
+    except ImportError:
+        return None
+
+
 def pack_batch(
     records: Sequence[MolRecord],
     n_max: int,
@@ -100,40 +150,18 @@ class BucketedLoader:
         self.drop_last = drop_last
         self.with_forces = with_forces
         self.transform = transform
-        sizes = store.num_atoms()
-        ladder = np.asarray(self.bucket_sizes)
-        slot = np.searchsorted(ladder, sizes)  # vectorized pick_bucket
-        if (slot >= len(ladder)).any():
-            # size-histogram check: fail loudly with the actual distribution
-            # so the fix (--bucket ladder) is obvious from the message
-            edges = np.concatenate([[0], ladder, [int(sizes.max())]])
-            hist, _ = np.histogram(sizes, bins=edges)
-            bands = ", ".join(
-                f"≤{int(e)}: {int(c)}" for e, c in zip(edges[1:], hist)
-            )
-            raise ValueError(
-                f"{int((slot >= len(ladder)).sum())} molecules exceed the "
-                f"largest bucket {int(ladder[-1])} (max {int(sizes.max())} "
-                f"atoms; size histogram {bands}). Extend the bucket ladder, "
-                f"e.g. --bucket {' '.join(str(int(b)) for b in ladder)} "
-                f"{int(2 ** np.ceil(np.log2(sizes.max())))}"
-            )
-        self._bucket_of = ladder[slot]
+        self._bucket_of = assign_buckets(store.num_atoms(), self.bucket_sizes)
         self._epoch = 0
         # native fast path: pack straight from the store's flat arrays when
         # the transform is absent or is the BFS mask (fused in C++)
         self._native = None
         self._bfs_ratio = getattr(transform, "bfs_mask_ratio", None)
         if (transform is None or self._bfs_ratio is not None) and not with_forces:
-            try:
-                from geossl_tpu.native import packing as native_packing
-
-                if native_packing.available() and (
-                    self._bfs_ratio is None or store.bond_index is not None
-                ):
-                    self._native = native_packing
-            except ImportError:
-                pass
+            native = find_native_packer()
+            if native is not None and (
+                self._bfs_ratio is None or store.bond_index is not None
+            ):
+                self._native = native
 
     def __len__(self) -> int:
         total = 0
@@ -148,22 +176,9 @@ class BucketedLoader:
             epoch = self._epoch
             self._epoch += 1
         rng = np.random.default_rng((self.seed, epoch))
-        chunks = []
-        for bucket in np.unique(self._bucket_of):
-            idx = np.where(self._bucket_of == bucket)[0]
-            if self.shuffle:
-                idx = rng.permutation(idx)
-            for s in range(0, len(idx), self.batch_size):
-                chunk = idx[s : s + self.batch_size]
-                if len(chunk) < self.batch_size and self.drop_last:
-                    continue
-                chunks.append((int(bucket), chunk))
-        if self.shuffle and len(chunks) > 1:
-            # interleave batches across buckets: the reference's DataLoader
-            # shuffles molecules uniformly, so training order carries no
-            # size bias; a bucket-major order would train on all small
-            # molecules first every epoch (VERDICT r1 weak #1)
-            chunks = [chunks[i] for i in rng.permutation(len(chunks))]
+        chunks = bucket_chunks(
+            self._bucket_of, self.batch_size, rng, self.shuffle, self.drop_last
+        )
         for bucket, chunk in chunks:
             if self._native is not None:
                 if self._bfs_ratio is not None:

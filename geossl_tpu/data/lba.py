@@ -177,7 +177,7 @@ def build_lba(
         try:
             with open(lf) as f:
                 lig_elements, lig_coords = parse_sdf(f.read())
-        except ValueError:
+        except (ValueError, IndexError):  # truncated/malformed ligand files
             skipped += 1
             continue
         pocket_idx = get_pocket_atom_indices(protein, lig_coords, dist)

@@ -73,12 +73,17 @@ def _element_from_atom_name(name: str) -> str:
     alpha = "".join(ch for ch in name if ch.isalpha())
     if not alpha:
         return ""
-    # Standard PDB convention: a name starting in column 13 means a
-    # two-character element symbol; names starting at column 14 are
-    # one-character elements. Callers pass the raw 4-char field so we can
-    # use that: leading non-space => 2-char element candidate.
-    if name[:1] != " " and len(alpha) >= 2 and alpha[:2].capitalize() in _KNOWN_TWO:
-        return alpha[:2].capitalize()
+    # Standard PDB convention: a name starting in column 13 means EITHER a
+    # two-character element symbol OR a four-character hydrogen name
+    # (``HG11``, ``HE21``, ``1HB `` …) — long hydrogens start at column 13
+    # too. Disambiguate before the two-char-element lookup: an H-prefixed
+    # name containing digits is a hydrogen, not Hg/He/Ho (a real metal like
+    # mercury appears as ``HG  `` with no digits).
+    if name[:1] != " ":
+        if alpha[:1].upper() == "H" and any(ch.isdigit() for ch in name):
+            return "H"
+        if len(alpha) >= 2 and alpha[:2].capitalize() in _KNOWN_TWO:
+            return alpha[:2].capitalize()
     return alpha[0].upper()
 
 
@@ -122,10 +127,13 @@ def parse_pdb(text: str) -> PDBStructure:
             continue
         icode = line[26].strip()
         key = (chain_id, res_seq, icode, atom_name.strip())
-        if altloc != " ":
-            first = seen_altloc.setdefault(key, altloc)
-            if altloc != first:
-                continue
+        # Keep the FIRST record per (residue, atom name) across ALL altlocs:
+        # real files mix a blank-altloc primary with lettered alternates of
+        # the same physical atom, and tracking only lettered altlocs would
+        # keep both (duplicating the atom).
+        if key in seen_altloc:
+            continue
+        seen_altloc[key] = altloc
         try:
             x, y, z = float(line[30:38]), float(line[38:46]), float(line[46:54])
         except ValueError:

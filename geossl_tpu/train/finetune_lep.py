@@ -62,23 +62,11 @@ class DualLoader:
         self.labels = np.asarray(labels, np.float32)
         self.batch_size = batch_size
         self.shuffle, self.seed = shuffle, seed
-        sizes = np.maximum(active.num_atoms(), inactive.num_atoms())
-        ladder = np.asarray(sorted(bucket_sizes))
-        slot = np.searchsorted(ladder, sizes)
-        if (slot >= len(ladder)).any():
-            raise ValueError(
-                f"LEP pair with {int(sizes.max())} atoms exceeds the largest "
-                f"bucket {int(ladder[-1])}; extend --bucket"
-            )
-        self._bucket_of = ladder[slot]
-        self._native = None
-        try:
-            from geossl_tpu.native import packing as native_packing
+        from geossl_tpu.data.bucketing import assign_buckets, find_native_packer
 
-            if native_packing.available():
-                self._native = native_packing
-        except ImportError:
-            pass
+        sizes = np.maximum(active.num_atoms(), inactive.num_atoms())
+        self._bucket_of = assign_buckets(sizes, bucket_sizes)
+        self._native = find_native_packer()
 
     def __len__(self):
         return sum(
@@ -100,16 +88,10 @@ class DualLoader:
         )
 
     def epoch(self, epoch: int = 0) -> Iterator[DualMolBatch]:
+        from geossl_tpu.data.bucketing import bucket_chunks
+
         rng = np.random.default_rng((self.seed, epoch))
-        chunks = []
-        for bucket in np.unique(self._bucket_of):
-            idx = np.where(self._bucket_of == bucket)[0]
-            if self.shuffle:
-                idx = rng.permutation(idx)
-            for s in range(0, len(idx), self.batch_size):
-                chunks.append((int(bucket), idx[s : s + self.batch_size]))
-        if self.shuffle and len(chunks) > 1:
-            chunks = [chunks[i] for i in rng.permutation(len(chunks))]
+        chunks = bucket_chunks(self._bucket_of, self.batch_size, rng, self.shuffle)
         for bucket, chunk in chunks:
             a = self._pack(self.active, chunk, bucket)
             b = self._pack(self.inactive, chunk, bucket)

@@ -371,3 +371,43 @@ def test_build_molecule3d_without_rdkit(tmp_path):
     assert list(store.get(0).atom_type) == [1, 3]
     np.testing.assert_allclose(store.get(0).y, [0.5, 0.0])
     np.testing.assert_allclose(store.get(1).y, [2.5, 20.0])  # row 2, not 1
+
+
+def test_parse_pdb_blank_then_lettered_altloc_not_duplicated():
+    # real files mix a blank-altloc primary with lettered alternates of the
+    # SAME physical atom — keep only the first record
+    lines = [
+        pdb_line(1, " CA", "SER", "A", 1, (0, 0, 0), "C"),
+        pdb_line(2, " CA", "SER", "A", 1, (9, 9, 9), "C", altloc="A"),
+        pdb_line(3, " CB", "SER", "A", 1, (1, 1, 1), "C"),
+    ]
+    s = parse_pdb("\n".join(lines))
+    assert len(s) == 2
+    np.testing.assert_allclose(s.coords[0], [0, 0, 0])
+
+
+def test_parse_pdb_long_hydrogen_names_not_metals():
+    # 4-char hydrogen names start at column 13 like 2-char elements do;
+    # HG11/HE21 are hydrogens, not mercury/helium (bare HG with no digits
+    # IS mercury)
+    for name, want in (("HG11", "H"), ("HE21", "H"), ("HD23", "H"),
+                       ("HG  ", "Hg")):
+        line = pdb_line(1, name, "LEU", "A", 1, (0, 0, 0), "  ",
+                        record="HETATM" if want == "Hg" else "ATOM")
+        s = parse_pdb(line)
+        assert s.elements == [want], (name, s.elements)
+
+
+def test_parse_sdf_truncated_raises_catchable():
+    # counts line declares more atoms than exist -> IndexError; build_lba
+    # must skip such ligands rather than crash (it catches ValueError AND
+    # IndexError)
+    import pytest as _pytest
+
+    text = "\n".join([
+        "mol", "", "",
+        "  5  0  0  0  0  0  0  0  0  0999 V2000",
+        "    0.0000    0.0000    0.0000 C   0  0",
+    ])
+    with _pytest.raises((ValueError, IndexError)):
+        parse_sdf(text)
