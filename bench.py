@@ -55,7 +55,7 @@ def _example(batch, n_max, seed=0, n_min=8, spread=0.9, targets=1):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
-    sizes = rng.integers(n_min, n_max, size=batch)
+    sizes = rng.integers(n_min, n_max, size=batch, endpoint=True)
     atom_type = np.zeros((batch, n_max), np.int32)
     positions = np.zeros((batch, n_max, 3), np.float32)
     node_mask = np.zeros((batch, n_max), bool)

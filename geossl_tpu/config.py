@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -60,6 +60,26 @@ class ModelConfig:
     # Fused Pallas kernels (+10-150% step speed on TPU depending on N;
     # both kernels support second-order AD, so MD17 forces run fused too).
     use_pallas: bool = False
+    # Checkpoint-parity cap on neighbors per atom (torch_cluster's default
+    # max_num_neighbors=32, ``Geom3D/models/schnet.py:91``): keep the k
+    # NEAREST in-cutoff neighbors. None (default) keeps full neighborhoods
+    # — the documented, strictly-more-informative delta; set 32 to match
+    # released-checkpoint connectivity at LBA/LEP density.
+    max_neighbors: Optional[int] = None
+
+    def __post_init__(self):
+        # argparse validates CLI input; this catches direct construction with
+        # a typo (e.g. 'bf-16'), which would otherwise silently run f32.
+        if self.filter_mxu not in ("f32", "bf16"):
+            raise ValueError(
+                f"filter_mxu must be 'f32' or 'bf16', got {self.filter_mxu!r}"
+            )
+        if self.model_3d not in ("schnet", "painn"):
+            raise ValueError(f"model_3d must be 'schnet' or 'painn', "
+                             f"got {self.model_3d!r}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype must be 'float32' or 'bfloat16', "
+                             f"got {self.compute_dtype!r}")
 
     @property
     def backbone(self):

@@ -149,6 +149,11 @@ class PaiNN(nn.Module):
     n_rbf: int = 20
     cutoff: float = 5.0
     readout: str = "add"
+    # Checkpoint-parity knob for torch_cluster's max_num_neighbors=32
+    # truncation (the reference's *Radius dataset wrappers inherit it,
+    # ``datasets_3D_Radius.py:118-122``); None = full neighborhood. Only
+    # applies when ``pair_mask`` is not supplied by the caller.
+    max_neighbors: Optional[int] = None
     max_z: int = 9
     shared_interactions: bool = False
     shared_filters: bool = False
@@ -175,7 +180,9 @@ class PaiNN(nn.Module):
             positions.astype(jnp.float32), node_mask
         )
         if pair_mask is None:
-            adj = geometry.radius_adjacency(dist, live_mask, self.cutoff)
+            adj = geometry.radius_adjacency(
+                dist, live_mask, self.cutoff, self.max_neighbors
+            )
         else:
             adj = pair_mask & live_mask  # clean-geometry edges, padded excluded
 

@@ -61,6 +61,10 @@ class InteractionBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     filter_mxu: str = "f32"  # 'bf16': half-precision filter matmuls, f32 accum
+    # True only when the caller guarantees dist AND adj are bitwise symmetric
+    # (the plain radius adjacency is; a max_neighbors-truncated one is NOT) —
+    # lets the fused kernel skip below-diagonal tiles.
+    symmetric: bool = True
 
     @nn.compact
     def __call__(self, h, dist, adj):
@@ -87,13 +91,10 @@ class InteractionBlock(nn.Module):
             if self.dtype == jnp.bfloat16 or self.filter_mxu == "bf16"
             else "f32"
         )
-        # symmetric=True: dist comes from pairwise_distances and env from a
-        # symmetric adjacency, so the kernel may skip below-diagonal tiles
-        # (a no-op at N<=128 where the tiling has none to skip)
         m = cfconv(
             dist, env, x.astype(jnp.promote_types(jnp.float32, x.dtype)),
             w1, b1, w2, b2, 0.0, self.cutoff, self.num_gaussians, mxu,
-            symmetric=True, use_pallas=self.use_pallas,
+            symmetric=self.symmetric, use_pallas=self.use_pallas,
         )
         if self.dtype is not None:
             m = m.astype(self.dtype)
@@ -119,6 +120,10 @@ class SchNet(nn.Module):
     cutoff: float = 10.0
     node_class: int = 9
     readout: str = "mean"
+    # Checkpoint-parity knob for torch_cluster's max_num_neighbors=32
+    # truncation (``schnet.py:91``): keep each atom's k nearest in-cutoff
+    # neighbors. Default None = full neighborhood (the documented delta).
+    max_neighbors: Optional[int] = None
     mean: Optional[float] = None
     std: Optional[float] = None
     atomref: Optional[jnp.ndarray] = None  # [node_class] per-type offsets
@@ -141,7 +146,9 @@ class SchNet(nn.Module):
         dist, pair_mask = geometry.pairwise_distances(
             positions.astype(geom_dtype), node_mask
         )
-        adj = geometry.radius_adjacency(dist, pair_mask, self.cutoff)
+        adj = geometry.radius_adjacency(
+            dist, pair_mask, self.cutoff, self.max_neighbors
+        )
 
         for _ in range(self.num_interactions):
             h = h + InteractionBlock(
@@ -152,6 +159,9 @@ class SchNet(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 filter_mxu=self.filter_mxu,
+                # k-nearest truncation breaks adjacency symmetry, so the
+                # tile-skipping kernel path must be disabled with it
+                symmetric=self.max_neighbors is None,
             )(h, dist, adj)
 
         h = Dense(self.hidden_channels, dtype=self.dtype)(h)

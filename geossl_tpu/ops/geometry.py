@@ -60,17 +60,35 @@ def pairwise_directions(
 
 
 def radius_adjacency(
-    dist: jnp.ndarray, pair_mask: jnp.ndarray, cutoff: float
+    dist: jnp.ndarray,
+    pair_mask: jnp.ndarray,
+    cutoff: float,
+    max_neighbors: "int | None" = None,
 ) -> jnp.ndarray:
     """Neighbor mask equivalent to ``radius_graph(pos, r, loop=False)``.
 
-    Note: the reference relies on ``torch_cluster``'s default
-    ``max_num_neighbors=32`` (``schnet.py:91``), which *silently truncates*
-    neighborhoods for graphs denser than 32 neighbors (only LBA/LEP ever hit
-    this). The dense build keeps the full neighborhood within the cutoff —
-    strictly more information; this is an intentional, documented delta.
+    ``max_neighbors`` is the checkpoint-parity knob for ``torch_cluster``'s
+    default ``max_num_neighbors=32`` (``schnet.py:91``), which *silently
+    truncates* neighborhoods for graphs denser than 32 neighbors (only
+    LBA/LEP ever hit this). The default (None) keeps the full neighborhood
+    within the cutoff — strictly more information, and the documented delta
+    of the dense build. With ``max_neighbors=k`` each atom keeps its k
+    NEAREST in-cutoff neighbors (ties broken by lower atom index via stable
+    argsort) — deterministic, unlike torch_cluster's arbitrary scan-order
+    truncation, but the same neighborhood *size* so reference checkpoints
+    see reference-equivalent connectivity. Truncation is per *receiving*
+    atom i (axis -1 sums over sources j), matching per-node truncation of
+    incoming edges. Note the result is generally ASYMMETRIC — callers that
+    exploit adjacency symmetry (the tile-skipping CFConv) must not when
+    this knob is set.
     """
-    return pair_mask & (dist < cutoff)
+    adj = pair_mask & (dist < cutoff)
+    if max_neighbors is None or max_neighbors >= adj.shape[-1]:
+        return adj
+    masked = jnp.where(adj, dist, jnp.inf)
+    order = jnp.argsort(masked, axis=-1)  # ascending, stable
+    ranks = jnp.argsort(order, axis=-1)  # rank of j among i's neighbors
+    return adj & (ranks < max_neighbors)
 
 
 def masked_segment_mean(

@@ -36,6 +36,7 @@ def make_backbone(cfg: ModelConfig):
             cutoff=s.cutoff,
             node_class=s.node_class,
             readout=s.readout,
+            max_neighbors=cfg.max_neighbors,
             dtype=dtype,
             use_pallas=cfg.use_pallas,
             filter_mxu=cfg.filter_mxu,
@@ -56,6 +57,7 @@ def make_backbone(cfg: ModelConfig):
             shared_interactions=p.shared_interactions,
             shared_filters=p.shared_filters,
             epsilon=p.epsilon,
+            max_neighbors=cfg.max_neighbors,
             dtype=dtype,
             use_pallas=cfg.use_pallas,
         )
@@ -172,6 +174,12 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--painn_n_interactions", type=int, default=3)
     p.add_argument("--painn_n_rbf", type=int, default=20)
     p.add_argument("--painn_readout", default="add", choices=["mean", "add"])
+    p.add_argument("--max_num_neighbors", type=int, default=None,
+                   help="cap on neighbors per atom: keep the k NEAREST "
+                        "in-cutoff neighbors (checkpoint-parity knob for "
+                        "torch_cluster's default max_num_neighbors=32 "
+                        "truncation; matters only at LBA/LEP density). "
+                        "Default: full neighborhoods")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--filter_mxu", default="f32", choices=["f32", "bf16"],
@@ -242,4 +250,5 @@ def model_config_from_args(args, allow_pallas: bool = True) -> ModelConfig:
         compute_dtype=args.compute_dtype,
         filter_mxu=getattr(args, "filter_mxu", "f32"),
         use_pallas=_resolve_use_pallas(args, allow_pallas),
+        max_neighbors=getattr(args, "max_num_neighbors", None),
     )

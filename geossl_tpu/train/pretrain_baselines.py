@@ -99,6 +99,12 @@ def _run(args, objective: str):
         params["head"] = head.init(rng, jnp.zeros((2, args.emb_dim)))["params"]
         y = store.y[:, args.task_id]
         train_mean, train_std = float(y.mean()), float(y.std())
+        if not np.isfinite(train_std) or train_std < 1e-12:
+            raise ValueError(
+                f"property column task_id={args.task_id} has no variance over "
+                f"this corpus (std={train_std}); z-normalization would divide "
+                f"by zero — pick a different --task_id"
+            )
         print(f"Train mean: {train_mean}\tTrain std: {train_std}")
     else:
         raise ValueError(objective)

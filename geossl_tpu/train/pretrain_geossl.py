@@ -64,6 +64,9 @@ def build_parser():
     p.add_argument("--SM_anneal_power", type=float, default=2.0)
     p.add_argument("--distance_sample_ratio", type=float, default=1.0)
     p.add_argument("--T", type=float, default=0.1)
+    p.add_argument("--CL_neg_samples", type=int, default=1,
+                   help="cyclic-shift negatives per positive for EBM_NCE "
+                        "(reference --CL_neg_samples, config.py:166-170)")
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--AE_loss", default="l2", choices=["l1", "l2", "cosine"])
     p.add_argument("--detach_target", dest="detach_target",
@@ -175,7 +178,9 @@ def main(argv=None):
         if is_painn:
             # cached clean-geometry radius graph (pretrain_GeoSSL.py:88-89)
             dist, pm = geometry.pairwise_distances(pos1, batch.node_mask)
-            pair_mask = geometry.radius_adjacency(dist, pm, painn_cutoff)
+            pair_mask = geometry.radius_adjacency(
+                dist, pm, painn_cutoff, cfg.max_neighbors
+            )
         g1, h1 = encode(model_params, batch, pos1, pair_mask)
         g2, h2 = encode(model_params, batch, pos2, pair_mask)
         return (pos1, g1, h1), (pos2, g2, h2)
@@ -210,7 +215,9 @@ def main(argv=None):
         elif option == "EBM_NCE":
             if args.normalize:
                 g1, g2 = l2_normalize(g1), l2_normalize(g2)
-            loss, acc = ebm_nce_loss(g1, g2, batch.graph_mask)
+            loss, acc = ebm_nce_loss(
+                g1, g2, batch.graph_mask, num_neg=args.CL_neg_samples
+            )
         elif option == "RR":
             if args.normalize:
                 g1, g2 = l2_normalize(g1), l2_normalize(g2)

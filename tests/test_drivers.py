@@ -151,3 +151,46 @@ def test_synthetic_supports_larger_molecules():
     loader = BucketedLoader(store, 8, (32, 64), shuffle=False)
     shapes = {b.atom_type.shape[1] for b in loader.epoch(0)}
     assert shapes == {32, 64}
+
+
+def test_ebm_nce_neg_samples_flag():
+    """--CL_neg_samples plumbs through to the EBM-NCE loss (reference
+    --CL_neg_samples, examples/config.py:166-170)."""
+    from geossl_tpu.train import pretrain_geossl
+
+    state = pretrain_geossl.main(
+        [
+            "--synthetic", "--synthetic_size", "32", "--epochs", "1",
+            "--batch_size", "16", "--num_devices", "1",
+            "--GeoSSL_option", "EBM_NCE", "--CL_neg_samples", "3",
+        ]
+    )
+    assert int(state.step) > 0
+
+
+def test_supervised_constant_column_raises():
+    """A zero-variance property column must fail loudly, not NaN silently."""
+    import geossl_tpu.train.pretrain_baselines as pb
+
+    class _ConstStore:
+        pass
+
+    orig = pb.load_molecule3d
+
+    def fake_load(*a, **kw):
+        store = orig(*a, **kw)
+        store.y[:, 6] = 2.5  # constant column
+        return store
+
+    pb.load_molecule3d = fake_load
+    try:
+        with pytest.raises(ValueError, match="no variance"):
+            pb.main(
+                [
+                    "supervised", "--synthetic", "--synthetic_size", "32",
+                    "--epochs", "1", "--batch_size", "16",
+                    "--num_devices", "1",
+                ]
+            )
+    finally:
+        pb.load_molecule3d = orig

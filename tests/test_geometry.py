@@ -63,6 +63,70 @@ def test_directions_unit_norm_and_antisymmetric():
     )
 
 
+def _knn_oracle(pos, mask, cutoff, k):
+    """Edge-list oracle: per atom i, keep the k nearest j with d<cutoff
+    (ties by lower j), as an explicit python loop over edges."""
+    b, n = mask.shape
+    adj = np.zeros((b, n, n), bool)
+    for bi in range(b):
+        for i in range(n):
+            if not mask[bi, i]:
+                continue
+            cand = []
+            for j in range(n):
+                if j == i or not mask[bi, j]:
+                    continue
+                d = float(np.linalg.norm(pos[bi, i] - pos[bi, j]))
+                if d < cutoff:
+                    cand.append((d, j))
+            cand.sort()
+            for _, j in cand[:k]:
+                adj[bi, i, j] = True
+    return adj
+
+
+def test_max_neighbors_matches_knn_oracle():
+    """k-nearest truncation (torch_cluster max_num_neighbors parity knob) at
+    LBA-like density: ~60 atoms in a tight box so in-cutoff degree >> k."""
+    rng = np.random.default_rng(3)
+    b, n, cutoff, k = 2, 60, 10.0, 32
+    pos = rng.uniform(0, 12.0, size=(b, n, 3)).astype(np.float32)
+    mask = np.ones((b, n), bool)
+    mask[1, 50:] = False
+    dist, pmask = geometry.pairwise_distances(jnp.asarray(pos), jnp.asarray(mask))
+    adj = np.asarray(geometry.radius_adjacency(dist, pmask, cutoff, k))
+    expect = _knn_oracle(pos, mask, cutoff, k)
+    # the dense degree here genuinely exceeds k (the knob has work to do)
+    full = np.asarray(geometry.radius_adjacency(dist, pmask, cutoff))
+    assert full.sum(-1).max() > k
+    assert adj.sum(-1).max() <= k
+    np.testing.assert_array_equal(adj, expect)
+    # sparse graphs are untouched: k >= max degree is a no-op
+    loose = np.asarray(geometry.radius_adjacency(dist, pmask, cutoff, n))
+    np.testing.assert_array_equal(loose, full)
+
+
+def test_max_neighbors_schnet_runs_and_differs():
+    """SchNet with max_neighbors set must produce different outputs on a
+    dense graph (and identical ones on a sparse graph where k is a no-op)."""
+    from geossl_tpu.models import SchNet
+
+    rng = np.random.default_rng(4)
+    n = 24
+    pos = jnp.asarray(rng.uniform(0, 4.0, size=(1, n, 3)).astype(np.float32))
+    z = jnp.asarray(rng.integers(0, 9, size=(1, n)).astype(np.int32))
+    mask = jnp.ones((1, n), bool)
+    full = SchNet(num_interactions=2)
+    capped = SchNet(num_interactions=2, max_neighbors=4)
+    params = full.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+    g_full, _ = full.apply({"params": params}, z, pos, mask)
+    g_cap, _ = capped.apply({"params": params}, z, pos, mask)
+    assert not np.allclose(np.asarray(g_full), np.asarray(g_cap))
+    uncapped = SchNet(num_interactions=2, max_neighbors=n)
+    g_same, _ = uncapped.apply({"params": params}, z, pos, mask)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_same), rtol=1e-6)
+
+
 def test_masked_readout():
     x = jnp.ones((2, 4, 3))
     mask = jnp.array([[True, True, False, False], [True] * 4])

@@ -118,3 +118,33 @@ def test_train_state_roundtrip(tmp_path):
     )
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_model_config_validates_fields():
+    import pytest
+
+    from geossl_tpu.config import ModelConfig
+
+    with pytest.raises(ValueError, match="filter_mxu"):
+        ModelConfig(filter_mxu="bf-16")
+    with pytest.raises(ValueError, match="model_3d"):
+        ModelConfig(model_3d="dimenet")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        ModelConfig(compute_dtype="fp16")
+    assert ModelConfig(filter_mxu="bf16").filter_mxu == "bf16"
+
+
+def test_max_num_neighbors_cli_plumbing():
+    from geossl_tpu.train import common as tc
+
+    p = tc.add_common_args(__import__("argparse").ArgumentParser())
+    args = p.parse_args(["--max_num_neighbors", "32"])
+    cfg = tc.model_config_from_args(args, allow_pallas=False)
+    assert cfg.max_neighbors == 32
+    module, _ = tc.make_backbone(cfg)
+    assert module.max_neighbors == 32
+    args = p.parse_args(["--model_3d", "painn"])
+    cfg = tc.model_config_from_args(args, allow_pallas=False)
+    assert cfg.max_neighbors is None
+    module, _ = tc.make_backbone(cfg)
+    assert module.max_neighbors is None
