@@ -97,3 +97,56 @@ def test_native_bfs_pack_matches_reference_semantics():
             assert not b.node_mask[row, kept:].any()
             seen += 1
     assert seen == 30
+
+
+@pytest.mark.parametrize(
+    "edges,n,ratio",
+    [
+        # branched tree: frontier choices matter at every step
+        ([(0, 1), (1, 2), (2, 3), (1, 4), (4, 5), (0, 6)], 7, 0.4),
+        # disconnected graph: exercises the random-restart path
+        ([(0, 1), (1, 2), (3, 4)], 6, 0.34),
+    ],
+)
+def test_native_bfs_distribution_matches_numpy(edges, n, ratio):
+    """The C++ sampler (SplitMix64 + sorted-vector frontier) must produce the
+    SAME kept-subgraph distribution as the NumPy oracle's
+    ``rng.choice(sorted(frontier))`` semantics (reference
+    ``datasets_3D.py:24-44``) — structural equality alone would miss a biased
+    frontier pick. Two-sample chi-square over kept-set frequencies."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from collections import Counter
+
+    from scipy.stats import chi2
+
+    bond = np.array(
+        [[a for a, b in edges] + [b for a, b in edges],
+         [b for a, b in edges] + [a for a, b in edges]], np.int32
+    )
+    draws = 4000
+    rng_np = np.random.default_rng(123)
+    rng_cc = np.random.default_rng(456)
+    c_np, c_cc = Counter(), Counter()
+    for _ in range(draws):
+        c_np[tuple(bfs_subgraph_indices(rng_np, n, bond, ratio))] += 1
+        c_cc[tuple(native.bfs_subgraph_indices(rng_cc, n, bond, ratio))] += 1
+    keys = sorted(set(c_np) | set(c_cc))
+    # kept sizes must agree everywhere
+    sizes_np = {len(k) for k in c_np}
+    sizes_cc = {len(k) for k in c_cc}
+    assert sizes_np == sizes_cc
+    stat = 0.0
+    for k in keys:
+        o1, o2 = c_np.get(k, 0), c_cc.get(k, 0)
+        e = (o1 + o2) / 2.0
+        if e == 0:
+            continue
+        stat += (o1 - e) ** 2 / e + (o2 - e) ** 2 / e
+    df = len(keys) - 1
+    p = float(chi2.sf(stat, df))
+    # fixed seeds -> deterministic; p ~ U(0,1) under H0, fail only on
+    # gross divergence
+    assert p > 1e-4, (
+        f"kept-set distributions diverge: chi2={stat:.1f} df={df} p={p:.2e}"
+    )
