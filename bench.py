@@ -8,7 +8,12 @@ Configs (BASELINE.md "Reference configs to drive" #1-#5):
                                   (fused on TPU; fused/XLA neutral at B=5)
   4. lba_schnet_throughput      — SchNet regression at N=512 complexes, batch 64
   4b. lep_schnet_throughput     — dual-tower BCE at N=448 pairs, batch 16
-  4c. geossl_ddm_painn_throughput — the DDM step on the PaiNN backbone
+  4c. lba_painn_throughput / lep_painn_throughput — PaiNN at the same Atom3D
+      shapes (N=512 is the shape that once exposed a scoped-VMEM compile
+      failure; benched so regressions there are harness-visible)
+  4d. geossl_ddm_e2e_throughput — END-TO-END driver wall-clock (loader +
+      native BFS masking + prefetch + train, 32/64 bucket ladder)
+  4e. geossl_ddm_painn_throughput — the DDM step on the PaiNN backbone
   5. geossl_ddm_pretrain_throughput — the FLAGSHIP: full DDM step (two SchNet
      views + two NCSNv3 heads over all pairs), batch 128. Printed LAST so a
      tail-line parse still sees the headline metric.
@@ -351,6 +356,127 @@ def bench_ddm(use_pallas, model_3d="schnet"):
             "vs_baseline": round(mols / BASELINE_MOLS_PER_SEC, 2)}
 
 
+def bench_lba_painn(use_pallas):
+    """PaiNN at the Atom3D LBA protocol shape (B=64, N=512) — the shape that
+    exposed the scoped-VMEM compile failure (docs/PERF.md); benched so a
+    regression there is caught by the harness."""
+    import jax
+    import jax.numpy as jnp
+
+    from geossl_tpu.models import PaiNN
+    from geossl_tpu.ops import geometry
+    from geossl_tpu.train import common, optim
+
+    batch, n_max = 64, 512
+    model = PaiNN(use_pallas=use_pallas)
+    z, pos, mask, y, _ = _example(batch, n_max, seed=8, n_min=300, spread=2.0)
+    key = jax.random.PRNGKey(0)
+    dist, pm = geometry.pairwise_distances(pos, mask)
+    pair_mask = geometry.radius_adjacency(dist, pm, 5.0)
+    bp = model.init(key, z, pos, mask, pair_mask)["params"]
+    params = {"model": bp,
+              "head": {"w": jax.random.normal(key, (128, 1)) * 0.01,
+                       "b": jnp.zeros((1,))}}
+    tx = optim.make_optimizer(1e-4, epochs=300, steps_per_epoch=50)
+    state = common.TrainState.create(params, tx)
+
+    def loss_fn(p, z, pos, mask, pair_mask, y):
+        g, _ = model.apply({"params": p["model"]}, z, pos, mask, pair_mask)
+        pred = (g @ p["head"]["w"] + p["head"]["b"])[:, 0]
+        return jnp.mean((pred - y[:, 0]) ** 2)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, z, pos, mask, pair_mask, y):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, z, pos, mask, pair_mask, y)
+        return common.apply_updates(state, grads, tx), loss
+
+    sps = _time_steps(step, state, (z, pos, mask, pair_mask, y),
+                      steps=10, windows=3)
+    return {"metric": "lba_painn_throughput", "value": round(batch * sps, 1),
+            "unit": "complex/s/chip", "vs_baseline": None}
+
+
+def bench_lep_painn(use_pallas):
+    """PaiNN dual-tower at the LEP protocol (B=16, N=448)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from geossl_tpu.models import PaiNN
+    from geossl_tpu.ops import geometry
+    from geossl_tpu.train import common, optim
+
+    batch, n_max = 16, 448
+    model = PaiNN(use_pallas=use_pallas)
+    za, pa, ma, _, _ = _example(batch, n_max, seed=9, n_min=250, spread=2.0)
+    zi, pi, mi, _, _ = _example(batch, n_max, seed=10, n_min=250, spread=2.0)
+    y = jnp.asarray((np.random.default_rng(11).random(batch) > 0.5)
+                    .astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    def adj(pos, mask):
+        dist, pm = geometry.pairwise_distances(pos, mask)
+        return geometry.radius_adjacency(dist, pm, 5.0)
+
+    pma, pmi = adj(pa, ma), adj(pi, mi)
+    bp = model.init(key, za, pa, ma, pma)["params"]
+    params = {"model": bp,
+              "head": {"w": jax.random.normal(key, (256, 1)) * 0.01,
+                       "b": jnp.zeros((1,))}}
+    tx = optim.make_optimizer(1e-4, epochs=300, steps_per_epoch=50)
+    state = common.TrainState.create(params, tx)
+
+    def loss_fn(p, za, pa, ma, pma, zi, pi, mi, pmi, y):
+        ga, _ = model.apply({"params": p["model"]}, za, pa, ma, pma)
+        gi, _ = model.apply({"params": p["model"]}, zi, pi, mi, pmi)
+        logit = (jnp.concatenate([ga, gi], -1) @ p["head"]["w"]
+                 + p["head"]["b"])[:, 0]
+        return jnp.mean(optax.sigmoid_binary_cross_entropy(logit, y))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, *args):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, *args)
+        return common.apply_updates(state, grads, tx), loss
+
+    sps = _time_steps(step, state, (za, pa, ma, pma, zi, pi, mi, pmi, y),
+                      steps=10, windows=3)
+    return {"metric": "lep_painn_throughput", "value": round(batch * sps, 1),
+            "unit": "pair/s/chip", "vs_baseline": None}
+
+
+def bench_ddm_e2e():
+    """END-TO-END DDM driver wall-clock: loader + native BFS masking (0.3) +
+    prefetch + train over a synthetic corpus spanning the 32/64 buckets —
+    tracks the HOST pipeline, not just the device rate (the device-rate
+    flagship is ``geossl_ddm_pretrain_throughput``). Steady state = best
+    epoch after the compile epoch; reference analog: the per-epoch
+    wall-clock print, ``examples/pretrain_GeoSSL.py:269``."""
+    import contextlib
+    import io
+    import re
+
+    from geossl_tpu.train import pretrain_geossl
+
+    corpus, epochs = 16384, 4
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pretrain_geossl.main([
+            "--synthetic", "--synthetic_size", str(corpus),
+            "--synthetic_max_atoms", "50", "--bucket", "32", "64",
+            "--epochs", str(epochs), "--batch_size", "128",
+            "--num_devices", "1", "--GeoSSL_option", "DDM",
+            "--GeoSSL_atom_masking_ratio", "0.3", "--lr", "5e-4",
+        ])
+    times = [float(t) for t in re.findall(r"Time: ([0-9.]+)", buf.getvalue())]
+    assert len(times) == epochs, buf.getvalue()
+    steady = min(times[1:])  # epoch 1 pays the per-bucket compiles
+    mols = corpus / steady
+    return {"metric": "geossl_ddm_e2e_throughput", "value": round(mols, 1),
+            "unit": "mol/s/chip",
+            "vs_baseline": round(mols / BASELINE_MOLS_PER_SEC, 2)}
+
+
 def main(only=None):
     _setup_cache()
     import jax
@@ -362,6 +488,9 @@ def main(only=None):
         ("md17", lambda: bench_md17_force(use_pallas)),
         ("lba", lambda: bench_lba(use_pallas)),
         ("lep", lambda: bench_lep(use_pallas)),
+        ("lba_painn", lambda: bench_lba_painn(use_pallas)),
+        ("lep_painn", lambda: bench_lep_painn(use_pallas)),
+        ("ddm_e2e", bench_ddm_e2e),
         ("ddm_painn", lambda: bench_ddm(use_pallas, "painn")),
         ("ddm", lambda: bench_ddm(use_pallas)),  # flagship last (tail-parse)
     ]

@@ -48,12 +48,84 @@ def _iter_mol_arrays(path: str):
         yield None if mol is None else mol_to_arrays(mol)[0]
 
 
+def _build_molecule3d_native(raw: str, prop_np: np.ndarray,
+                             limit: Optional[int]) -> MolStore:
+    """Corpus build via the C++ shard scanner (``geossl_native.cpp
+    scan_sdf_file``): one mmap'd pass per shard, no per-molecule Python.
+    Produces the same store as the per-block Python path (equality-tested);
+    unparseable blocks are skipped with their properties row, exactly like
+    the reference's ``mol is None`` skip (``datasets_Molecule3D.py:66-70``).
+    """
+    from geossl_tpu.native import packing
+
+    atom_chunks, pos_chunks, bond_chunks = [], [], []
+    len_chunks, bond_len_chunks, y_chunks = [], [], []
+    base = 0  # global molecule index (all blocks, parsed or not)
+    total_ok = 0
+    for shard in SDF_SHARDS:
+        path = os.path.join(raw, shard)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"Molecule3D shard {shard} missing under {raw}; all shards "
+                "are required to keep property rows aligned"
+            )
+        ok, atom_type, pos, aoff, bond_index, _btype, boff = (
+            packing.scan_sdf_file(path)
+        )
+        lens = np.diff(aoff)
+        blens = np.diff(boff)
+        ok_idx = np.flatnonzero(ok)
+        if limit is not None and total_ok + len(ok_idx) > limit:
+            ok_idx = ok_idx[: limit - total_ok]
+            a_end = int(aoff[ok_idx[-1] + 1]) if len(ok_idx) else 0
+            b_end = int(boff[ok_idx[-1] + 1]) if len(ok_idx) else 0
+            atom_type, pos = atom_type[:a_end], pos[:a_end]
+            bond_index = bond_index[:, :b_end]
+        atom_chunks.append(atom_type)
+        pos_chunks.append(pos)
+        bond_chunks.append(bond_index)
+        len_chunks.append(lens[ok_idx])
+        bond_len_chunks.append(blens[ok_idx])
+        y_chunks.append(prop_np[base + ok_idx])
+        base += len(ok)
+        total_ok += len(ok_idx)
+        if limit is not None and total_ok >= limit:
+            break
+    lens = np.concatenate(len_chunks)
+    offsets = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    bond_lens = np.concatenate(bond_len_chunks)
+    bond_offsets = np.zeros(len(bond_lens) + 1, np.int64)
+    np.cumsum(bond_lens, out=bond_offsets[1:])
+    atom_type = np.concatenate(atom_chunks)
+    return MolStore(
+        atom_type=atom_type,
+        positions=np.concatenate(pos_chunks),
+        offsets=offsets,
+        chirality=np.zeros_like(atom_type),  # no-RDKit path: unspecified
+        bond_index=np.concatenate(bond_chunks, axis=1),
+        bond_offsets=bond_offsets,
+        y=np.concatenate(y_chunks),
+    )
+
+
 def build_molecule3d(root: str, limit: Optional[int] = None) -> MolStore:
     import pandas as pd
 
     raw = os.path.join(root, "raw")
     props = pd.read_csv(os.path.join(raw, "properties.csv"))
     prop_np = props.to_numpy(dtype=np.float32)
+
+    # Without RDKit the per-block featurization is exactly what the C++
+    # scanner computes — use the one-pass native build when available
+    # (~100x the pure-Python rate; see docs/PERF.md).
+    try:
+        import rdkit  # noqa: F401
+    except ImportError:
+        from geossl_tpu.native import packing
+
+        if packing.available():
+            return _build_molecule3d_native(raw, prop_np, limit)
 
     records: List[MolRecord] = []
     idx = 0
@@ -90,13 +162,15 @@ def load_molecule3d(
     subset: Optional[int] = 1_000_000,
     synthetic: bool = False,
     synthetic_size: int = 512,
+    synthetic_max_atoms: int = 29,
 ) -> MolStore:
     """Load the (optionally size-limited) corpus; e.g. subset=1_000_000
     reproduces ``Molecule3D_1000000``."""
     if synthetic:
         from geossl_tpu.data.synthetic import synthetic_molecule3d
 
-        return synthetic_molecule3d(synthetic_size)
+        return synthetic_molecule3d(synthetic_size,
+                                    max_atoms=synthetic_max_atoms)
     tag = f"_{subset}" if subset else ""
     cache = os.path.join(root, "processed", f"molecule3d{tag}_store.npz")
     if os.path.exists(cache):

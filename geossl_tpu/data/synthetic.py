@@ -72,6 +72,61 @@ def synthetic_qm9(
     return MolStore.from_records(records)
 
 
+_INDEX_TO_SYMBOL = ["H", "C", "N", "O", "F", "P", "S", "Cl", "Zn"]
+
+
+def write_synthetic_molecule3d_raw(
+    root: str, num_molecules: int, seed: int = 0,
+    min_atoms: int = 4, max_atoms: int = 50, num_props: int = 8,
+    bad_every: int = 0,
+) -> None:
+    """Write a synthetic Molecule3D RAW tree (four V2000 SDF shards +
+    ``properties.csv``) under ``root/raw`` — the corpus-scale ingestion
+    rehearsal input for ``build_molecule3d`` (real downloads are impossible
+    here). Molecules are split across the four shard files like the real
+    corpus; ``bad_every`` > 0 injects an unparseable block every that many
+    molecules (property-row alignment exercise). Index 8 atoms are written
+    as Zn (a not-in-vocab element, round-tripping to the unknown token)."""
+    import os
+
+    from geossl_tpu.data.molecule3d import SDF_SHARDS
+
+    rng = np.random.default_rng(seed)
+    raw = os.path.join(root, "raw")
+    os.makedirs(raw, exist_ok=True)
+    per_shard = [num_molecules // 4] * 4
+    per_shard[3] += num_molecules - sum(per_shard)
+    props = []
+    mol_id = 0
+    for shard, count in zip(SDF_SHARDS, per_shard):
+        with open(os.path.join(raw, shard), "w") as f:
+            for _ in range(count):
+                props.append(rng.normal(size=num_props).astype(np.float32))
+                if bad_every and mol_id % bad_every == bad_every - 1:
+                    f.write("malformed block\n$$$$\n")
+                    mol_id += 1
+                    continue
+                n = int(rng.integers(min_atoms, max_atoms + 1))
+                rec = _random_molecule(rng, n)
+                f.write(f"mol{mol_id}\n  synthetic\n\n")
+                n_bonds = rec.bond_index.shape[1] // 2
+                f.write(f"{n:3d}{n_bonds:3d}  0  0  0  0  0  0  0  0999 "
+                        "V2000\n")
+                for t, (x, y, z) in zip(rec.atom_type, rec.positions):
+                    f.write(f"{x:10.4f}{y:10.4f}{z:10.4f} "
+                            f"{_INDEX_TO_SYMBOL[t]:<3s} 0  0  0  0  0  0\n")
+                for e in range(0, rec.bond_index.shape[1], 2):
+                    i, j = rec.bond_index[0, e], rec.bond_index[1, e]
+                    order = int(rng.integers(1, 4))
+                    f.write(f"{i + 1:3d}{j + 1:3d}{order:3d}  0\n")
+                f.write("M  END\n$$$$\n")
+                mol_id += 1
+    with open(os.path.join(raw, "properties.csv"), "w") as f:
+        f.write(",".join(f"p{i}" for i in range(num_props)) + "\n")
+        for row in props:
+            f.write(",".join(f"{v:.6f}" for v in row) + "\n")
+
+
 def synthetic_md17(
     num_frames: int = 128, n_atoms: int = 21, seed: int = 0
 ) -> MolStore:
@@ -109,10 +164,14 @@ def synthetic_md17(
     return MolStore.from_records(records)
 
 
-def synthetic_molecule3d(num_molecules: int = 512, seed: int = 1) -> MolStore:
+def synthetic_molecule3d(
+    num_molecules: int = 512, seed: int = 1, max_atoms: int = 29
+) -> MolStore:
     """Molecule3D pretraining-corpus stand-in (one property column set,
-    task_id=6 used by pretrain_Supervised)."""
-    return synthetic_qm9(num_molecules, seed=seed, num_targets=8)
+    task_id=6 used by pretrain_Supervised). ``max_atoms`` > 32 makes the
+    corpus span multiple padding buckets (the real Molecule3D does)."""
+    return synthetic_qm9(num_molecules, seed=seed, num_targets=8,
+                         max_atoms=max_atoms)
 
 
 def synthetic_lba(num_complexes: int = 64, seed: int = 2, max_atoms: int = 400) -> MolStore:

@@ -154,6 +154,9 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic stand-in dataset (no downloads)")
     p.add_argument("--synthetic_size", type=int, default=256)
+    p.add_argument("--synthetic_max_atoms", type=int, default=29,
+                   help="largest synthetic molecule; >32 spans multiple "
+                        "padding buckets (pretrain corpora only)")
     p.add_argument("--output_model_dir", default="")
     p.add_argument("--input_model_file", default="")
     p.add_argument("--num_devices", type=int, default=None,

@@ -66,6 +66,7 @@ def _run(args, objective: str):
     store = load_molecule3d(
         args.data_root, subset=subset, synthetic=args.synthetic,
         synthetic_size=args.synthetic_size,
+        synthetic_max_atoms=args.synthetic_max_atoms,
     )
     mesh = pmesh.make_mesh(args.num_devices)
     cfg = common.model_config_from_args(args)

@@ -99,6 +99,7 @@ def main(argv=None):
     store = load_molecule3d(
         args.data_root, subset=subset, synthetic=args.synthetic,
         synthetic_size=args.synthetic_size,
+        synthetic_max_atoms=args.synthetic_max_atoms,
     )
 
     # SM_noise_type -> pair option (pretrain_GeoSSL.py:289-295)
