@@ -69,6 +69,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.bfs_subgraph.restype = i64
         lib.radius_edges.argtypes = [P(f32), i64, dbl, P(i32), P(i32), i64]
         lib.radius_edges.restype = i64
+        lib.scan_sdf_file.argtypes = [
+            ctypes.c_char_p, P(i32), P(f32), i64, P(i32), P(i32), P(i32),
+            i64, P(i64), P(i64), P(u8), i64,
+        ]
+        lib.scan_sdf_file.restype = i64
         _lib = lib
         return _lib
 
@@ -180,6 +185,56 @@ def radius_edges(positions: np.ndarray, r: float) -> np.ndarray:
         _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32), cap,
     )
     return np.stack([src[:cnt], dst[:cnt]], axis=1).astype(np.int64)
+
+
+def scan_sdf_file(path: str):
+    """Scan a whole V2000 SDF shard in one native call (the offline
+    Molecule3D featurizer hot path — see geossl_native.cpp scan_sdf_file).
+
+    Returns ``(ok [M] bool, atom_type_flat, pos_flat [sumN,3],
+    atom_offsets [M+1], bond_index [2, sumE], bond_type_flat [sumE],
+    bond_offsets [M+1])`` with per-block spans empty where ``ok`` is False
+    (unparseable / V3000 blocks — the caller may re-parse those in Python).
+    Arrays match ``featurize.sdf_block_to_arrays`` exactly for ok blocks.
+    """
+    lib = _load()
+    assert lib is not None
+    size = os.path.getsize(path)
+    # Generous structural upper bounds from the file size: an atom line is
+    # >= 34 bytes + newline, a bond line >= 9 + newline, a block >= ~40 bytes.
+    atom_cap = size // 34 + 64
+    bond_cap = 2 * (size // 10) + 64
+    max_mols = size // 40 + 64
+    atom_type = np.empty(atom_cap, np.int32)
+    pos = np.empty((atom_cap, 3), np.float32)
+    bond_src = np.empty(bond_cap, np.int32)
+    bond_dst = np.empty(bond_cap, np.int32)
+    bond_type = np.empty(bond_cap, np.int32)
+    atom_offsets = np.empty(max_mols + 1, np.int64)
+    bond_offsets = np.empty(max_mols + 1, np.int64)
+    ok = np.empty(max_mols, np.uint8)
+    n = lib.scan_sdf_file(
+        path.encode(), _ptr(atom_type, ctypes.c_int32),
+        _ptr(pos, ctypes.c_float), atom_cap,
+        _ptr(bond_src, ctypes.c_int32), _ptr(bond_dst, ctypes.c_int32),
+        _ptr(bond_type, ctypes.c_int32), bond_cap,
+        _ptr(atom_offsets, ctypes.c_int64), _ptr(bond_offsets, ctypes.c_int64),
+        _ptr(ok, ctypes.c_uint8), max_mols,
+    )
+    if n < 0:
+        raise OSError(f"scan_sdf_file({path!r}) failed with code {n}")
+    n_atoms = int(atom_offsets[n])
+    n_bonds = int(bond_offsets[n])
+    bond_index = np.stack([bond_src[:n_bonds], bond_dst[:n_bonds]])
+    return (
+        ok[:n].astype(bool),
+        atom_type[:n_atoms].copy(),
+        pos[:n_atoms].copy(),
+        atom_offsets[: n + 1].copy(),
+        bond_index.copy(),
+        bond_type[:n_bonds].copy(),
+        bond_offsets[: n + 1].copy(),
+    )
 
 
 # The record-list pack used by bucketing.pack_batch's generic path is NOT

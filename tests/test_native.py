@@ -150,3 +150,81 @@ def test_native_bfs_distribution_matches_numpy(edges, n, ratio):
     assert p > 1e-4, (
         f"kept-set distributions diverge: chi2={stat:.1f} df={df} p={p:.2e}"
     )
+
+
+# ------------------------------------------------------ SDF shard scanner
+
+
+def _mol_block(elements, coords, bonds, name="mol"):
+    lines = [name, "  synthetic", ""]
+    lines.append(f"{len(elements):3d}{len(bonds):3d}  0  0  0  0  0  0  0  "
+                 "0999 V2000")
+    for el, (x, y, z) in zip(elements, coords):
+        lines.append(f"{x:10.4f}{y:10.4f}{z:10.4f} {el:<3s} 0  0  0  0  0  0")
+    for i, j, order in bonds:
+        lines.append(f"{i + 1:3d}{j + 1:3d}{order:3d}  0")
+    lines.append("M  END")
+    return "\n".join(lines)
+
+
+def _fixture_blocks():
+    make_mol_block = _mol_block
+    return [
+        make_mol_block(["C", "O", "H"], [(0, 0, 1), (0.5, -1.25, 2), (0, 0, 3)],
+                       [(0, 1, 1), (1, 2, 2)]),
+        make_mol_block(["N", "Cl"], [(1, 2, 3), (-4.5, 0.001, 9)], [(0, 1, 3)]),
+        "garbage\nnot\nan\nsdf",  # malformed -> ok=False, empty span
+        make_mol_block(["Zn", "C"], [(0, 0, 0), (1, 1, 1)], [(0, 1, 9)]),
+    ]
+
+
+def test_scan_sdf_file_matches_python_featurizer(tmp_path):
+    from geossl_tpu.data.featurize import sdf_block_to_arrays
+
+    blocks = _fixture_blocks()
+    path = tmp_path / "shard.sdf"
+    path.write_text("".join(b.rstrip("\n") + "\n$$$$\n" for b in blocks))
+    ok, at, pos, aoff, bidx, btype, boff = native.scan_sdf_file(str(path))
+    assert list(ok) == [True, True, False, True]
+    for k, block in enumerate(blocks):
+        if not ok[k]:
+            assert aoff[k + 1] == aoff[k] and boff[k + 1] == boff[k]
+            continue
+        ref, _ = sdf_block_to_arrays(block)
+        s, e = aoff[k], aoff[k + 1]
+        bs, be = boff[k], boff[k + 1]
+        np.testing.assert_array_equal(at[s:e], ref["atom_type"])
+        np.testing.assert_allclose(pos[s:e], ref["positions"])
+        np.testing.assert_array_equal(bidx[:, bs:be], ref["bond_index"])
+        np.testing.assert_array_equal(btype[bs:be], ref["bond_attr"][:, 0])
+
+
+def test_native_corpus_build_equals_python(tmp_path, monkeypatch):
+    """The one-pass C++ corpus build must produce the exact store the
+    per-block Python path does, including property-row alignment across
+    malformed blocks and the subset-limit truncation."""
+    import pandas as pd
+
+    from geossl_tpu.data import molecule3d as m3d
+    from geossl_tpu.data.synthetic import write_synthetic_molecule3d_raw
+
+    root = str(tmp_path)
+    write_synthetic_molecule3d_raw(root, 400, seed=3, bad_every=17)
+    prop = pd.read_csv(tmp_path / "raw" / "properties.csv").to_numpy(np.float32)
+
+    for limit in (None, 150):
+        s_nat = m3d._build_molecule3d_native(str(tmp_path / "raw"), prop, limit)
+        monkeypatch.setenv("GEOSSL_NO_NATIVE", "1")
+        native._lib = None
+        native._tried = False
+        s_py = m3d.build_molecule3d(root, limit=limit)
+        monkeypatch.delenv("GEOSSL_NO_NATIVE")
+        native._lib = None
+        native._tried = False
+        assert len(s_nat) == len(s_py)
+        np.testing.assert_array_equal(s_nat.atom_type, s_py.atom_type)
+        np.testing.assert_allclose(s_nat.positions, s_py.positions)
+        np.testing.assert_array_equal(s_nat.offsets, s_py.offsets)
+        np.testing.assert_array_equal(s_nat.bond_index, s_py.bond_index)
+        np.testing.assert_array_equal(s_nat.bond_offsets, s_py.bond_offsets)
+        np.testing.assert_allclose(s_nat.y, s_py.y)
