@@ -104,6 +104,26 @@ def _time_steps(step, state, args, steps=50, windows=5, key_fn=None):
     return float(np.median(rates))
 
 
+
+def _mfu_fields(flop_count, step_seconds):
+    """Absolute-utilization fields for a bench line (utils/flops.py):
+    analytic model FLOPs per step -> achieved TFLOP/s and % of v5e peaks.
+    TPU matmuls run bf16 operands at default precision (which is why the
+    explicit bf16 knob measured neutral), so pct_bf16_peak is the operative
+    MFU; pct_f32_peak bounds the hypothetical multi-pass-f32 ceiling.
+    Useful-FLOP rates above the nominal peak are possible where the
+    symmetric tile-skipping kernel computes fewer hardware FLOPs than the
+    model math counts (docs/PERF.md MFU table)."""
+    from geossl_tpu.utils import flops as F
+
+    tf, frac16 = F.mfu(flop_count.total, step_seconds)
+    _, frac32 = F.mfu(flop_count.total, step_seconds, F.V5E_PEAK_F32)
+    return {"gflop_per_step": round(flop_count.total / 1e9, 1),
+            "tflops": round(tf, 1),
+            "pct_f32_peak": round(frac32 * 100, 1),
+            "pct_bf16_peak": round(frac16 * 100, 1)}
+
+
 def bench_schnet_qm9(use_pallas):
     import jax
     import jax.numpy as jnp
@@ -132,7 +152,9 @@ def bench_schnet_qm9(use_pallas):
         return common.apply_updates(state, grads, tx), loss
 
     sps = _time_steps(step, state, (z, pos, mask, y))
+    from geossl_tpu.utils import flops as F
     return {"metric": "schnet_qm9_throughput", "value": round(batch * sps, 1),
+            **_mfu_fields(F.finetune_step(batch, n_max), 1 / sps),
             "unit": "mol/s/chip", "vs_baseline": None}
 
 
@@ -168,7 +190,9 @@ def bench_painn_qm9(use_pallas):
         return common.apply_updates(state, grads, tx), loss
 
     sps = _time_steps(step, state, (z, pos, mask, pair_mask, y))
+    from geossl_tpu.utils import flops as F
     return {"metric": "painn_qm9_throughput", "value": round(batch * sps, 1),
+            **_mfu_fields(F.finetune_step(batch, n_max, model="painn"), 1 / sps),
             "unit": "mol/s/chip", "vs_baseline": None}
 
 
@@ -211,7 +235,9 @@ def bench_md17_force(use_pallas=False):
         return common.apply_updates(state, grads, tx), loss
 
     sps = _time_steps(step, state, (z, pos, mask, y, forces))
+    from geossl_tpu.utils import flops as F
     return {"metric": "md17_force_step_time", "value": round(1e3 / sps, 3),
+            **_mfu_fields(F.finetune_step(batch, n_max, forces=True), 1 / sps),
             "unit": "ms/step", "vs_baseline": None}
 
 
@@ -244,7 +270,9 @@ def bench_lba(use_pallas):
         return common.apply_updates(state, grads, tx), loss
 
     sps = _time_steps(step, state, (z, pos, mask, y), steps=10, windows=3)
+    from geossl_tpu.utils import flops as F
     return {"metric": "lba_schnet_throughput", "value": round(batch * sps, 1),
+            **_mfu_fields(F.finetune_step(batch, n_max), 1 / sps),
             "unit": "complex/s/chip", "vs_baseline": None}
 
 
@@ -288,7 +316,9 @@ def bench_lep(use_pallas):
 
     sps = _time_steps(step, state, (za, pa, ma, zi, pi, mi, y),
                       steps=10, windows=3)
+    from geossl_tpu.utils import flops as F
     return {"metric": "lep_schnet_throughput", "value": round(batch * sps, 1),
+            **_mfu_fields(F.finetune_step(batch, n_max).scale(2), 1 / sps),
             "unit": "pair/s/chip", "vs_baseline": None}
 
 
@@ -349,9 +379,11 @@ def bench_ddm(use_pallas, model_3d="schnet"):
 
     sps = _time_steps(step, state, (z, pos, mask, jax.random.PRNGKey(1)))
     mols = batch * sps
+    from geossl_tpu.utils import flops as F
+    mfu = _mfu_fields(F.ddm_step(batch, n_max, model=model_3d), 1 / sps)
     name = ("geossl_ddm_pretrain_throughput" if model_3d == "schnet"
             else f"geossl_ddm_{model_3d}_throughput")
-    return {"metric": name, "value": round(mols, 1),
+    return {"metric": name, "value": round(mols, 1), **mfu,
             "unit": "mol/s/chip",
             "vs_baseline": round(mols / BASELINE_MOLS_PER_SEC, 2)}
 
@@ -393,7 +425,9 @@ def bench_lba_painn(use_pallas):
 
     sps = _time_steps(step, state, (z, pos, mask, pair_mask, y),
                       steps=10, windows=3)
+    from geossl_tpu.utils import flops as F
     return {"metric": "lba_painn_throughput", "value": round(batch * sps, 1),
+            **_mfu_fields(F.finetune_step(batch, n_max, model="painn"), 1 / sps),
             "unit": "complex/s/chip", "vs_baseline": None}
 
 
@@ -441,7 +475,10 @@ def bench_lep_painn(use_pallas):
 
     sps = _time_steps(step, state, (za, pa, ma, pma, zi, pi, mi, pmi, y),
                       steps=10, windows=3)
+    from geossl_tpu.utils import flops as F
     return {"metric": "lep_painn_throughput", "value": round(batch * sps, 1),
+            **_mfu_fields(F.finetune_step(batch, n_max, model="painn").scale(2),
+                          1 / sps),
             "unit": "pair/s/chip", "vs_baseline": None}
 
 

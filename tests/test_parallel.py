@@ -123,3 +123,84 @@ def test_prefetch_producer_stops_when_consumer_abandons():
     _time.sleep(0.5)
     assert threading.active_count() <= before  # producer thread exited
     assert len(produced) < 100  # it did not drain the whole iterator
+
+
+# ----------------------------------------- multi-device trajectory equality
+
+
+def _run_ddm(tmp_path, tag, ndev, epochs, resume=False, seed=7):
+    """Drive the real pretrain_geossl DDM driver (mixed 32/64 buckets,
+    BFS masking on) and return the final backbone params."""
+    import contextlib
+    import io
+
+    from geossl_tpu.train import checkpoints, pretrain_geossl
+
+    out = str(tmp_path / tag)
+    argv = [
+        "--synthetic", "--synthetic_size", "64", "--synthetic_max_atoms", "40",
+        "--bucket", "32", "64", "--batch_size", "16", "--epochs", str(epochs),
+        "--num_devices", str(ndev), "--GeoSSL_option", "DDM",
+        "--GeoSSL_atom_masking_ratio", "0.3", "--lr", "5e-4",
+        "--seed", str(seed), "--emb_dim", "16", "--num_filters", "16",
+        "--num_interactions", "2", "--num_gaussians", "9",
+        "--SM_num_noise_level", "5", "--output_model_dir", out,
+    ]
+    if resume:
+        argv.append("--resume")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pretrain_geossl.main(argv)
+    ckpt = checkpoints.load_checkpoint(out + "/model_final.ckpt")
+    return ckpt["model"], buf.getvalue()
+
+
+def test_ddm_trajectory_matches_across_mesh_sizes(tmp_path):
+    """A 3-epoch DDM trajectory (mixed buckets, BFS masking, resumable
+    driver loop) must match the single-device trajectory across mesh sizes
+    {1, 2, 4, 8} — the global batch is identical, only its sharding differs,
+    so divergence is bounded by reduction-order float drift."""
+    import jax
+
+    ref, ref_log = _run_ddm(tmp_path, "dev1", 1, 3)
+    for ndev in (2, 4, 8):
+        got, log = _run_ddm(tmp_path, f"dev{ndev}", ndev, 3)
+        for a, b in zip(jax.tree_util.tree_leaves(ref),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(
+                a, b, rtol=2e-3, atol=1e-6,
+                err_msg=f"params diverge at mesh size {ndev}")
+
+
+def test_ddm_resume_reproduces_straight_run(tmp_path, monkeypatch):
+    """Interrupt-and-resume under a 4-device mesh must reproduce the
+    uninterrupted trajectory EXACTLY: the loader is deterministic per
+    (seed, epoch), the step RNG is fold_in(epoch_key, state.step), and the
+    full optimizer state (including the cosine-schedule step count) round-
+    trips through state.ckpt. The interruption is a real mid-run crash —
+    same --epochs as the straight run (launching the first leg with fewer
+    epochs would silently change the LR schedule), killed right after the
+    epoch-2 state checkpoint lands."""
+    import jax
+
+    from geossl_tpu.train import checkpoints
+
+    straight, _ = _run_ddm(tmp_path, "straight", 4, 3)
+
+    real_save = checkpoints.save_train_state
+
+    def crash_after_epoch_2(path, state, epoch, best):
+        real_save(path, state, epoch, best)
+        if epoch == 2:
+            raise KeyboardInterrupt("simulated interruption")
+
+    monkeypatch.setattr(checkpoints, "save_train_state", crash_after_epoch_2)
+    with pytest.raises(KeyboardInterrupt):
+        _run_ddm(tmp_path, "resumed", 4, 3)
+    monkeypatch.setattr(checkpoints, "save_train_state", real_save)
+
+    resumed, log = _run_ddm(tmp_path, "resumed", 4, 3, resume=True)
+    assert "Resumed from" in log
+    for a, b in zip(jax.tree_util.tree_leaves(straight),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(a, b)
