@@ -72,13 +72,19 @@ class BestModelSaver:
         self.final_name = final_name
         self.best_metric = float("inf")
 
-    def maybe_save_best(self, metric: float, tree: Dict[str, Any]) -> bool:
+    def maybe_save_best(self, metric: float, tree) -> bool:
         # NaN-safe: only a STRICTLY smaller finite metric counts as a new
-        # best (``metric >= best`` is False for NaN, which must not win)
+        # best (``metric >= best`` is False for NaN, which must not win).
+        # ``tree`` may be a zero-arg callable: drivers pass a thunk wrapping
+        # ``jax.device_get`` so non-improving epochs never pay the device->
+        # host parameter fetch (~0.5 s for the published model through the
+        # remote-TPU tunnel).
         is_better = metric < self.best_metric
         if not self.output_dir or not is_better:
             return False
         self.best_metric = metric
+        if callable(tree):
+            tree = tree()
         save_checkpoint(os.path.join(self.output_dir, self.best_name), tree)
         return True
 

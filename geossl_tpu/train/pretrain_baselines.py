@@ -202,7 +202,8 @@ def _run(args, objective: str):
         mean_loss = float(jnp.mean(jnp.stack(losses)))
         mean_acc = float(jnp.mean(jnp.stack(accs)))
         saved = saver.maybe_save_best(
-            mean_loss, {"model": jax.device_get(state.params["model"])}
+            mean_loss,
+            lambda: {"model": jax.device_get(state.params["model"])},
         )
         print(
             f"Epoch: {epoch}\tLoss: {mean_loss:.5f}\tAcc: {mean_acc:.5f}"

@@ -337,7 +337,8 @@ def main(argv=None):
         mean_loss = float(jnp.mean(jnp.concatenate(losses)))
         mean_acc = float(jnp.mean(jnp.concatenate(accs)))
         saved = saver.maybe_save_best(
-            mean_loss, {"model": jax.device_get(state.params[0]["model"])}
+            mean_loss,
+            lambda: {"model": jax.device_get(state.params[0]["model"])},
         )
         print(
             f"Epoch: {epoch}\tSSL Loss: {mean_loss:.5f}\tSSL Acc: {mean_acc:.5f}"

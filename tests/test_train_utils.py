@@ -148,3 +148,19 @@ def test_max_num_neighbors_cli_plumbing():
     assert cfg.max_neighbors is None
     module, _ = tc.make_backbone(cfg)
     assert module.max_neighbors is None
+
+
+def test_best_model_saver_thunk_not_called_when_worse(tmp_path):
+    from geossl_tpu.train.checkpoints import BestModelSaver
+
+    saver = BestModelSaver(str(tmp_path))
+    calls = []
+
+    def thunk():
+        calls.append(1)
+        import numpy as np
+        return {"model": {"w": np.zeros(2, np.float32)}}
+
+    assert saver.maybe_save_best(1.0, thunk)
+    assert not saver.maybe_save_best(2.0, thunk)  # worse: thunk NOT evaluated
+    assert len(calls) == 1
