@@ -241,85 +241,104 @@ def bench_md17_force(use_pallas=False):
             "unit": "ms/step", "vs_baseline": None}
 
 
-def bench_lba(use_pallas):
-    import jax
-    import jax.numpy as jnp
-
-    from geossl_tpu.models import SchNet
-    from geossl_tpu.train import common, optim
-
-    batch, n_max = 64, 512  # protocol batch 64; complexes capped at 500 atoms
-    model = SchNet(use_pallas=use_pallas)
-    z, pos, mask, y, _ = _example(batch, n_max, seed=4, n_min=300, spread=2.0)
-    key = jax.random.PRNGKey(0)
-    bp = model.init(key, z, pos, mask)["params"]
-    params = {"model": bp,
-              "head": {"w": jax.random.normal(key, (128, 1)) * 0.01,
-                       "b": jnp.zeros((1,))}}
-    tx = optim.make_optimizer(1e-4, epochs=300, steps_per_epoch=50)
-    state = common.TrainState.create(params, tx)
-
-    def loss_fn(p, z, pos, mask, y):
-        g, _ = model.apply({"params": p["model"]}, z, pos, mask)
-        pred = (g @ p["head"]["w"] + p["head"]["b"])[:, 0]
-        return jnp.mean((pred - y[:, 0]) ** 2)  # mse (finetune_lba.py:244)
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state, z, pos, mask, y):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, z, pos, mask, y)
-        return common.apply_updates(state, grads, tx), loss
-
-    sps = _time_steps(step, state, (z, pos, mask, y), steps=10, windows=3)
-    from geossl_tpu.utils import flops as F
-    return {"metric": "lba_schnet_throughput", "value": round(batch * sps, 1),
-            **_mfu_fields(F.finetune_step(batch, n_max), 1 / sps),
-            "unit": "complex/s/chip", "vs_baseline": None}
-
-
-def bench_lep(use_pallas):
+def _bench_atom3d(metric, unit, model_3d, use_pallas, batch, n_max,
+                  seeds, dual):
+    """Shared Atom3D bench body: SchNet/PaiNN x LBA(single-tower MSE,
+    finetune_lba.py:244) / LEP(dual-tower BCE, finetune_lep.py). PaiNN gets
+    its clean-geometry radius adjacency precomputed per tower (the driver
+    pathway); all four configs keep their original seeds/shapes so numbers
+    stay comparable across rounds."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from geossl_tpu.models import SchNet
+    from geossl_tpu.models import PaiNN, SchNet
+    from geossl_tpu.ops import geometry
     from geossl_tpu.train import common, optim
+    from geossl_tpu.utils import flops as F
 
-    # protocol batch 16 (submit_finetune_lba_lep:28-33); towers bucketed at
-    # 448 (maxnum=400 + headroom, finetune_lep.py) — dual tower: shared
-    # backbone over active+inactive, concat -> Linear(2emb->1) -> BCE
-    batch, n_max = 16, 448
-    model = SchNet(use_pallas=use_pallas)
-    za, pa, ma, _, _ = _example(batch, n_max, seed=5, n_min=250, spread=2.0)
-    zi, pi, mi, _, _ = _example(batch, n_max, seed=6, n_min=250, spread=2.0)
-    y = (np.random.default_rng(7).random(batch) > 0.5).astype(np.float32)
-    y = jnp.asarray(y)
+    is_painn = model_3d == "painn"
+    model = (PaiNN if is_painn else SchNet)(use_pallas=use_pallas)
+    emb = 128
+
+    def tower_inputs(seed):
+        z, pos, mask, y, _ = _example(batch, n_max, seed=seed, n_min=250 if dual
+                                      else 300, spread=2.0)
+        extra = ()
+        if is_painn:
+            dist, pm = geometry.pairwise_distances(pos, mask)
+            extra = (geometry.radius_adjacency(dist, pm, 5.0),)
+        return (z, pos, mask) + extra, y
+
+    towers = [tower_inputs(s) for s in seeds]
     key = jax.random.PRNGKey(0)
-    bp = model.init(key, za, pa, ma)["params"]
+    bp = model.init(key, *towers[0][0])["params"]
+    head_in = emb * (2 if dual else 1)
     params = {"model": bp,
-              "head": {"w": jax.random.normal(key, (256, 1)) * 0.01,
+              "head": {"w": jax.random.normal(key, (head_in, 1)) * 0.01,
                        "b": jnp.zeros((1,))}}
     tx = optim.make_optimizer(1e-4, epochs=300, steps_per_epoch=50)
     state = common.TrainState.create(params, tx)
+    n_tower_args = len(towers[0][0])
 
-    def loss_fn(p, za, pa, ma, zi, pi, mi, y):
-        ga, _ = model.apply({"params": p["model"]}, za, pa, ma)
-        gi, _ = model.apply({"params": p["model"]}, zi, pi, mi)
-        logit = (jnp.concatenate([ga, gi], -1) @ p["head"]["w"]
-                 + p["head"]["b"])[:, 0]
-        return jnp.mean(optax.sigmoid_binary_cross_entropy(logit, y))
+    if dual:
+        y = jnp.asarray((np.random.default_rng(seeds[-1] + 1).random(batch)
+                         > 0.5).astype(np.float32))
+        flat_args = towers[0][0] + towers[1][0] + (y,)
+
+        def loss_fn(p, *args):
+            a, i, y = (args[:n_tower_args], args[n_tower_args:-1], args[-1])
+            ga, _ = model.apply({"params": p["model"]}, *a)
+            gi, _ = model.apply({"params": p["model"]}, *i)
+            logit = (jnp.concatenate([ga, gi], -1) @ p["head"]["w"]
+                     + p["head"]["b"])[:, 0]
+            return jnp.mean(optax.sigmoid_binary_cross_entropy(logit, y))
+    else:
+        flat_args = towers[0][0] + (towers[0][1],)
+
+        def loss_fn(p, *args):
+            g, _ = model.apply({"params": p["model"]}, *args[:-1])
+            pred = (g @ p["head"]["w"] + p["head"]["b"])[:, 0]
+            return jnp.mean((pred - args[-1][:, 0]) ** 2)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state, za, pa, ma, zi, pi, mi, y):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, za, pa, ma, zi, pi, mi, y)
+    def step(state, *args):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, *args)
         return common.apply_updates(state, grads, tx), loss
 
-    sps = _time_steps(step, state, (za, pa, ma, zi, pi, mi, y),
-                      steps=10, windows=3)
-    from geossl_tpu.utils import flops as F
-    return {"metric": "lep_schnet_throughput", "value": round(batch * sps, 1),
-            **_mfu_fields(F.finetune_step(batch, n_max).scale(2), 1 / sps),
-            "unit": "pair/s/chip", "vs_baseline": None}
+    sps = _time_steps(step, state, flat_args, steps=10, windows=3)
+    fc = F.finetune_step(batch, n_max, model=model_3d)
+    if dual:
+        fc = fc.scale(2)
+    return {"metric": metric, "value": round(batch * sps, 1),
+            **_mfu_fields(fc, 1 / sps), "unit": unit, "vs_baseline": None}
+
+
+def bench_lba(use_pallas):
+    # protocol batch 64; complexes capped at 500 atoms -> bucket 512
+    return _bench_atom3d("lba_schnet_throughput", "complex/s/chip", "schnet",
+                         use_pallas, 64, 512, (4,), dual=False)
+
+
+def bench_lep(use_pallas):
+    # protocol batch 16 (submit_finetune_lba_lep:28-33); towers bucketed at
+    # 448 (maxnum=400 + headroom, finetune_lep.py) — dual tower: shared
+    # backbone over active+inactive, concat -> Linear(2emb->1) -> BCE
+    return _bench_atom3d("lep_schnet_throughput", "pair/s/chip", "schnet",
+                         use_pallas, 16, 448, (5, 6), dual=True)
+
+
+def bench_lba_painn(use_pallas):
+    """PaiNN at the Atom3D LBA shape (B=64, N=512) — the shape that exposed
+    the scoped-VMEM compile failure (docs/PERF.md); benched so a regression
+    there is caught by the harness."""
+    return _bench_atom3d("lba_painn_throughput", "complex/s/chip", "painn",
+                         use_pallas, 64, 512, (8,), dual=False)
+
+
+def bench_lep_painn(use_pallas):
+    return _bench_atom3d("lep_painn_throughput", "pair/s/chip", "painn",
+                         use_pallas, 16, 448, (9, 10), dual=True)
 
 
 def bench_ddm(use_pallas, model_3d="schnet"):
@@ -388,100 +407,6 @@ def bench_ddm(use_pallas, model_3d="schnet"):
             "vs_baseline": round(mols / BASELINE_MOLS_PER_SEC, 2)}
 
 
-def bench_lba_painn(use_pallas):
-    """PaiNN at the Atom3D LBA protocol shape (B=64, N=512) — the shape that
-    exposed the scoped-VMEM compile failure (docs/PERF.md); benched so a
-    regression there is caught by the harness."""
-    import jax
-    import jax.numpy as jnp
-
-    from geossl_tpu.models import PaiNN
-    from geossl_tpu.ops import geometry
-    from geossl_tpu.train import common, optim
-
-    batch, n_max = 64, 512
-    model = PaiNN(use_pallas=use_pallas)
-    z, pos, mask, y, _ = _example(batch, n_max, seed=8, n_min=300, spread=2.0)
-    key = jax.random.PRNGKey(0)
-    dist, pm = geometry.pairwise_distances(pos, mask)
-    pair_mask = geometry.radius_adjacency(dist, pm, 5.0)
-    bp = model.init(key, z, pos, mask, pair_mask)["params"]
-    params = {"model": bp,
-              "head": {"w": jax.random.normal(key, (128, 1)) * 0.01,
-                       "b": jnp.zeros((1,))}}
-    tx = optim.make_optimizer(1e-4, epochs=300, steps_per_epoch=50)
-    state = common.TrainState.create(params, tx)
-
-    def loss_fn(p, z, pos, mask, pair_mask, y):
-        g, _ = model.apply({"params": p["model"]}, z, pos, mask, pair_mask)
-        pred = (g @ p["head"]["w"] + p["head"]["b"])[:, 0]
-        return jnp.mean((pred - y[:, 0]) ** 2)
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state, z, pos, mask, pair_mask, y):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, z, pos, mask, pair_mask, y)
-        return common.apply_updates(state, grads, tx), loss
-
-    sps = _time_steps(step, state, (z, pos, mask, pair_mask, y),
-                      steps=10, windows=3)
-    from geossl_tpu.utils import flops as F
-    return {"metric": "lba_painn_throughput", "value": round(batch * sps, 1),
-            **_mfu_fields(F.finetune_step(batch, n_max, model="painn"), 1 / sps),
-            "unit": "complex/s/chip", "vs_baseline": None}
-
-
-def bench_lep_painn(use_pallas):
-    """PaiNN dual-tower at the LEP protocol (B=16, N=448)."""
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    from geossl_tpu.models import PaiNN
-    from geossl_tpu.ops import geometry
-    from geossl_tpu.train import common, optim
-
-    batch, n_max = 16, 448
-    model = PaiNN(use_pallas=use_pallas)
-    za, pa, ma, _, _ = _example(batch, n_max, seed=9, n_min=250, spread=2.0)
-    zi, pi, mi, _, _ = _example(batch, n_max, seed=10, n_min=250, spread=2.0)
-    y = jnp.asarray((np.random.default_rng(11).random(batch) > 0.5)
-                    .astype(np.float32))
-    key = jax.random.PRNGKey(0)
-
-    def adj(pos, mask):
-        dist, pm = geometry.pairwise_distances(pos, mask)
-        return geometry.radius_adjacency(dist, pm, 5.0)
-
-    pma, pmi = adj(pa, ma), adj(pi, mi)
-    bp = model.init(key, za, pa, ma, pma)["params"]
-    params = {"model": bp,
-              "head": {"w": jax.random.normal(key, (256, 1)) * 0.01,
-                       "b": jnp.zeros((1,))}}
-    tx = optim.make_optimizer(1e-4, epochs=300, steps_per_epoch=50)
-    state = common.TrainState.create(params, tx)
-
-    def loss_fn(p, za, pa, ma, pma, zi, pi, mi, pmi, y):
-        ga, _ = model.apply({"params": p["model"]}, za, pa, ma, pma)
-        gi, _ = model.apply({"params": p["model"]}, zi, pi, mi, pmi)
-        logit = (jnp.concatenate([ga, gi], -1) @ p["head"]["w"]
-                 + p["head"]["b"])[:, 0]
-        return jnp.mean(optax.sigmoid_binary_cross_entropy(logit, y))
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state, *args):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, *args)
-        return common.apply_updates(state, grads, tx), loss
-
-    sps = _time_steps(step, state, (za, pa, ma, pma, zi, pi, mi, pmi, y),
-                      steps=10, windows=3)
-    from geossl_tpu.utils import flops as F
-    return {"metric": "lep_painn_throughput", "value": round(batch * sps, 1),
-            **_mfu_fields(F.finetune_step(batch, n_max, model="painn").scale(2),
-                          1 / sps),
-            "unit": "pair/s/chip", "vs_baseline": None}
-
-
 def bench_ddm_e2e():
     """END-TO-END DDM driver wall-clock: loader + native BFS masking (0.3) +
     prefetch + train over a synthetic corpus spanning the 32/64 buckets —
@@ -495,7 +420,7 @@ def bench_ddm_e2e():
 
     from geossl_tpu.train import pretrain_geossl
 
-    corpus, epochs = 16384, 4
+    corpus, epochs = 16384, 5  # epoch 1 pays compiles; min over 4 steady
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         pretrain_geossl.main([

@@ -80,6 +80,9 @@ class ModelConfig:
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"compute_dtype must be 'float32' or 'bfloat16', "
                              f"got {self.compute_dtype!r}")
+        if self.max_neighbors is not None and self.max_neighbors <= 0:
+            raise ValueError(f"max_neighbors must be positive or None "
+                             f"('no cap' is None), got {self.max_neighbors}")
 
     @property
     def backbone(self):

@@ -56,6 +56,7 @@ def _build_molecule3d_native(raw: str, prop_np: np.ndarray,
     unparseable blocks are skipped with their properties row, exactly like
     the reference's ``mol is None`` skip (``datasets_Molecule3D.py:66-70``).
     """
+    from geossl_tpu.data.featurize import sdf_block_to_arrays
     from geossl_tpu.native import packing
 
     atom_chunks, pos_chunks, bond_chunks = [], [], []
@@ -69,9 +70,57 @@ def _build_molecule3d_native(raw: str, prop_np: np.ndarray,
                 f"Molecule3D shard {shard} missing under {raw}; all shards "
                 "are required to keep property rows aligned"
             )
-        ok, atom_type, pos, aoff, bond_index, _btype, boff = (
+        ok, atom_type, pos, aoff, bond_index, _btype, boff, byte_off = (
             packing.scan_sdf_file(path)
         )
+        # Blocks the fast scanner rejected may still be Python-parseable
+        # (V3000, exponent-format coordinates, ...): re-parse exactly those
+        # from their byte spans so the native build keeps every molecule the
+        # per-block Python path keeps.
+        rescued = {}
+        bad_idx = np.flatnonzero(~ok)
+        if len(bad_idx):
+            with open(path, "rb") as f:  # byte offsets need binary seeks
+                for k in bad_idx:
+                    f.seek(byte_off[k])
+                    text = f.read(byte_off[k + 1] - byte_off[k]).decode(
+                        errors="replace")
+                    block = "".join(
+                        line for line in text.splitlines(keepends=True)
+                        if not line.startswith("$$$$")
+                    )
+                    try:
+                        rescued[int(k)] = sdf_block_to_arrays(block)[0]
+                    except (ValueError, IndexError):
+                        pass
+        if rescued:
+            # splice the rescued arrays into the shard-local flat layout
+            ok = ok.copy()
+            parts_a, parts_p, parts_b = [], [], []
+            new_lens = np.diff(aoff).copy()
+            new_blens = np.diff(boff).copy()
+            for k in sorted(rescued):
+                ok[k] = True
+                new_lens[k] = rescued[k]["atom_type"].shape[0]
+                new_blens[k] = rescued[k]["bond_index"].shape[1]
+            for k in range(len(ok)):
+                if k in rescued:
+                    parts_a.append(rescued[k]["atom_type"])
+                    parts_p.append(rescued[k]["positions"])
+                    parts_b.append(rescued[k]["bond_index"])
+                else:
+                    s, e = aoff[k], aoff[k + 1]
+                    bs, be = boff[k], boff[k + 1]
+                    parts_a.append(atom_type[s:e])
+                    parts_p.append(pos[s:e])
+                    parts_b.append(bond_index[:, bs:be])
+            atom_type = np.concatenate(parts_a)
+            pos = np.concatenate(parts_p)
+            bond_index = np.concatenate(parts_b, axis=1)
+            aoff = np.zeros(len(ok) + 1, np.int64)
+            np.cumsum(new_lens, out=aoff[1:])
+            boff = np.zeros(len(ok) + 1, np.int64)
+            np.cumsum(new_blens, out=boff[1:])
         lens = np.diff(aoff)
         blens = np.diff(boff)
         ok_idx = np.flatnonzero(ok)

@@ -252,7 +252,14 @@ def parse_sdf_mol(
     bonds = np.zeros((n_bonds, 3), np.int32)
     for e in range(n_bonds):
         line = lines[4 + n_atoms + e].ljust(12)
-        bonds[e] = (int(line[0:3]) - 1, int(line[3:6]) - 1, int(line[6:9]))
+        i, j = int(line[0:3]) - 1, int(line[3:6]) - 1
+        if not (0 <= i < n_atoms and 0 <= j < n_atoms):
+            # out-of-range bond endpoints would poison every downstream
+            # consumer of the topology (native BFS builds CSR by index)
+            raise ValueError(
+                f"SDF bond {e} references atom {max(i, j) + 1} "
+                f"of {n_atoms}")
+        bonds[e] = (i, j, int(line[6:9]))
     return elements, coords, bonds
 
 

@@ -266,8 +266,11 @@ inline int32_t symbol_to_index(const char* s, const char* e) {
 // [atom_offsets[i], atom_offsets[i+1]) of atom_type_flat/pos_flat, bonds
 // (both directions, matching featurize.mol_to_arrays' (i,j),(j,i) order) at
 // [bond_offsets[i], bond_offsets[i+1]) of bond_src/dst/type. ok[i]=0 marks
-// an unparseable block (empty span) — the caller skips it but keeps the
-// index advancing, preserving properties.csv row alignment.
+// an unparseable block (empty span) — the caller may re-parse it in Python
+// via byte_offsets[i]..byte_offsets[i+1] (the block's file-byte span) while
+// the index keeps advancing, preserving properties.csv row alignment. A
+// trailing whitespace-only segment after the last $$$$ is NOT a block
+// (matching structio.iter_sdf_blocks' any-content check).
 // Returns #blocks, or -1 on IO error, -2 if a cap would overflow.
 int64_t scan_sdf_file(const char* path,
                       int32_t* atom_type_flat, float* pos_flat,
@@ -275,7 +278,11 @@ int64_t scan_sdf_file(const char* path,
                       int32_t* bond_src, int32_t* bond_dst,
                       int32_t* bond_type, int64_t bond_cap,
                       int64_t* atom_offsets, int64_t* bond_offsets,
+                      int64_t* byte_offsets,
                       uint8_t* ok, int64_t max_mols) {
+    atom_offsets[0] = 0;
+    bond_offsets[0] = 0;
+    byte_offsets[0] = 0;
     const int fd = open(path, O_RDONLY);
     if (fd < 0) return -1;
     struct stat st;
@@ -288,9 +295,8 @@ int64_t scan_sdf_file(const char* path,
     madvise(map, size, MADV_SEQUENTIAL);
 
     Cursor cur{(const char*)map, (const char*)map + size};
+    const char* base = (const char*)map;
     int64_t n_mols = 0, n_atoms = 0, n_bonds = 0;
-    atom_offsets[0] = 0;
-    bond_offsets[0] = 0;
     const char *ls, *le;
     bool in_file = true;
     while (in_file) {
@@ -300,6 +306,11 @@ int64_t scan_sdf_file(const char* path,
         const int64_t a0 = n_atoms, b0 = n_bonds;
         bool good = true;
         bool saw_end = false;
+        bool any_content = false;
+        auto note_content = [&](const char* s, const char* e) {
+            for (; s < e && !any_content; ++s)
+                if (*s != ' ' && *s != '\t') any_content = true;
+        };
         // a $$$$ anywhere terminates the current block (malformed blocks may
         // be shorter than their declared/structural line count)
         auto get_line = [&](const char*& gls, const char*& gle) -> bool {
@@ -308,6 +319,7 @@ int64_t scan_sdf_file(const char* path,
                 saw_end = true;
                 return false;
             }
+            note_content(gls, gle);
             return true;
         };
         // three header lines + counts line
@@ -337,7 +349,7 @@ int64_t scan_sdf_file(const char* path,
                 if (!get_line(ls, le)) { good = false; break; }
                 const size_t len = (size_t)(le - ls);
                 float x, y, z;
-                if (len < 32 ||
+                if (len < 30 ||
                     !parse_fixed(ls, ls + 10, &x) ||
                     !parse_fixed(ls + 10, ls + 20, &y) ||
                     !parse_fixed(ls + 20, ls + 30, &z)) { good = false; break; }
@@ -373,12 +385,17 @@ int64_t scan_sdf_file(const char* path,
         // skip to the $$$$ terminator (or EOF)
         while (!saw_end && next_line(cur, ls, le)) {
             if (le - ls >= 4 && memcmp(ls, "$$$$", 4) == 0) { saw_end = true; break; }
+            note_content(ls, le);
+        }
+        if (!saw_end) {
+            in_file = false;  // trailing segment without terminator
+            if (!any_content) break;  // whitespace-only tail: not a block
         }
         ok[n_mols] = good ? 1 : 0;
         ++n_mols;
         atom_offsets[n_mols] = n_atoms;
         bond_offsets[n_mols] = n_bonds;
-        if (!saw_end) in_file = false;  // trailing block without terminator
+        byte_offsets[n_mols] = (int64_t)(cur.p - base);
     }
     munmap(map, size);
     return n_mols;

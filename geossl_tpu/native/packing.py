@@ -71,7 +71,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.radius_edges.restype = i64
         lib.scan_sdf_file.argtypes = [
             ctypes.c_char_p, P(i32), P(f32), i64, P(i32), P(i32), P(i32),
-            i64, P(i64), P(i64), P(u8), i64,
+            i64, P(i64), P(i64), P(i64), P(u8), i64,
         ]
         lib.scan_sdf_file.restype = i64
         _lib = lib
@@ -193,34 +193,47 @@ def scan_sdf_file(path: str):
 
     Returns ``(ok [M] bool, atom_type_flat, pos_flat [sumN,3],
     atom_offsets [M+1], bond_index [2, sumE], bond_type_flat [sumE],
-    bond_offsets [M+1])`` with per-block spans empty where ``ok`` is False
-    (unparseable / V3000 blocks — the caller may re-parse those in Python).
-    Arrays match ``featurize.sdf_block_to_arrays`` exactly for ok blocks.
+    bond_offsets [M+1], byte_offsets [M+1])`` with per-block spans empty
+    where ``ok`` is False (unparseable / V3000 blocks — callers re-parse
+    those in Python from the ``byte_offsets`` span, see
+    ``molecule3d._build_molecule3d_native``). Arrays match
+    ``featurize.sdf_block_to_arrays`` exactly for ok blocks. The size-
+    derived buffer caps are retried geometrically if a pathological file
+    (e.g. thousands of tiny malformed blocks) overflows them.
     """
     lib = _load()
     assert lib is not None
     size = os.path.getsize(path)
-    # Generous structural upper bounds from the file size: an atom line is
-    # >= 34 bytes + newline, a bond line >= 9 + newline, a block >= ~40 bytes.
-    atom_cap = size // 34 + 64
+    # Structural bounds from the file size: an atom line is >= 30 bytes +
+    # newline, a bond line >= 9 + newline, a normal block >= ~40 bytes.
+    atom_cap = size // 30 + 64
     bond_cap = 2 * (size // 10) + 64
     max_mols = size // 40 + 64
-    atom_type = np.empty(atom_cap, np.int32)
-    pos = np.empty((atom_cap, 3), np.float32)
-    bond_src = np.empty(bond_cap, np.int32)
-    bond_dst = np.empty(bond_cap, np.int32)
-    bond_type = np.empty(bond_cap, np.int32)
-    atom_offsets = np.empty(max_mols + 1, np.int64)
-    bond_offsets = np.empty(max_mols + 1, np.int64)
-    ok = np.empty(max_mols, np.uint8)
-    n = lib.scan_sdf_file(
-        path.encode(), _ptr(atom_type, ctypes.c_int32),
-        _ptr(pos, ctypes.c_float), atom_cap,
-        _ptr(bond_src, ctypes.c_int32), _ptr(bond_dst, ctypes.c_int32),
-        _ptr(bond_type, ctypes.c_int32), bond_cap,
-        _ptr(atom_offsets, ctypes.c_int64), _ptr(bond_offsets, ctypes.c_int64),
-        _ptr(ok, ctypes.c_uint8), max_mols,
-    )
+    for _attempt in range(8):
+        atom_type = np.empty(atom_cap, np.int32)
+        pos = np.empty((atom_cap, 3), np.float32)
+        bond_src = np.empty(bond_cap, np.int32)
+        bond_dst = np.empty(bond_cap, np.int32)
+        bond_type = np.empty(bond_cap, np.int32)
+        atom_offsets = np.empty(max_mols + 1, np.int64)
+        bond_offsets = np.empty(max_mols + 1, np.int64)
+        byte_offsets = np.empty(max_mols + 1, np.int64)
+        ok = np.empty(max_mols, np.uint8)
+        n = lib.scan_sdf_file(
+            path.encode(), _ptr(atom_type, ctypes.c_int32),
+            _ptr(pos, ctypes.c_float), atom_cap,
+            _ptr(bond_src, ctypes.c_int32), _ptr(bond_dst, ctypes.c_int32),
+            _ptr(bond_type, ctypes.c_int32), bond_cap,
+            _ptr(atom_offsets, ctypes.c_int64),
+            _ptr(bond_offsets, ctypes.c_int64),
+            _ptr(byte_offsets, ctypes.c_int64),
+            _ptr(ok, ctypes.c_uint8), max_mols,
+        )
+        if n != -2:
+            break
+        atom_cap *= 4
+        bond_cap *= 4
+        max_mols *= 4
     if n < 0:
         raise OSError(f"scan_sdf_file({path!r}) failed with code {n}")
     n_atoms = int(atom_offsets[n])
@@ -234,6 +247,7 @@ def scan_sdf_file(path: str):
         bond_index.copy(),
         bond_type[:n_bonds].copy(),
         bond_offsets[: n + 1].copy(),
+        byte_offsets[: n + 1].copy(),
     )
 
 

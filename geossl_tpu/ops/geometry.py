@@ -85,6 +85,11 @@ def radius_adjacency(
     adj = pair_mask & (dist < cutoff)
     if max_neighbors is None or max_neighbors >= adj.shape[-1]:
         return adj
+    if max_neighbors <= 0:
+        # a 0/negative cap would silently produce edgeless graphs ("no cap"
+        # is spelled None); fail loudly instead
+        raise ValueError(
+            f"max_neighbors must be positive or None, got {max_neighbors}")
     masked = jnp.where(adj, dist, jnp.inf)
     order = jnp.argsort(masked, axis=-1)  # ascending, stable
     ranks = jnp.argsort(order, axis=-1)  # rank of j among i's neighbors

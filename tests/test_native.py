@@ -184,7 +184,8 @@ def test_scan_sdf_file_matches_python_featurizer(tmp_path):
     blocks = _fixture_blocks()
     path = tmp_path / "shard.sdf"
     path.write_text("".join(b.rstrip("\n") + "\n$$$$\n" for b in blocks))
-    ok, at, pos, aoff, bidx, btype, boff = native.scan_sdf_file(str(path))
+    ok, at, pos, aoff, bidx, btype, boff, byte_off = native.scan_sdf_file(
+        str(path))
     assert list(ok) == [True, True, False, True]
     for k, block in enumerate(blocks):
         if not ok[k]:
@@ -228,3 +229,120 @@ def test_native_corpus_build_equals_python(tmp_path, monkeypatch):
         np.testing.assert_array_equal(s_nat.bond_index, s_py.bond_index)
         np.testing.assert_array_equal(s_nat.bond_offsets, s_py.bond_offsets)
         np.testing.assert_allclose(s_nat.y, s_py.y)
+
+
+def test_scan_sdf_trailing_whitespace_not_a_block(tmp_path):
+    """A trailing whitespace-only segment after the last $$$$ must NOT count
+    as a block (iter_sdf_blocks parity) — a phantom block would shift every
+    later properties.csv row in the corpus build."""
+    path = tmp_path / "shard.sdf"
+    path.write_text(_mol_block(["C"], [(0, 0, 0)], []) + "\n$$$$\n\n   \n")
+    ok, *_ = native.scan_sdf_file(str(path))
+    assert list(ok) == [True]
+
+
+def test_scan_sdf_empty_file(tmp_path):
+    path = tmp_path / "empty.sdf"
+    path.write_text("")
+    ok, at, pos, aoff, bidx, btype, boff, byte_off = native.scan_sdf_file(
+        str(path))
+    assert len(ok) == 0 and len(at) == 0 and aoff.tolist() == [0]
+
+
+def test_scan_sdf_cap_retry_on_tiny_malformed_blocks(tmp_path):
+    """Thousands of tiny malformed blocks exceed the size-derived max_mols
+    estimate; the wrapper must retry with larger caps, not raise."""
+    path = tmp_path / "bad.sdf"
+    path.write_text("x\n$$$$\n" * 3000)
+    ok, *_ = native.scan_sdf_file(str(path))
+    assert len(ok) == 3000 and not ok.any()
+
+
+def test_native_corpus_build_rescues_python_parseable_blocks(tmp_path):
+    """Blocks the C scanner rejects but Python parses (V3000, exponent
+    coords) must be rescued via the byte-offset re-parse so the native
+    build equals the Python build exactly."""
+    import pandas as pd
+
+    from geossl_tpu.data import molecule3d as m3d
+
+    v3000 = "\n".join([
+        "v3k", "  synthetic", "", "  0  0  0     0  0            999 V3000",
+        "M  V30 BEGIN CTAB", "M  V30 COUNTS 2 0 0 0 0",
+        "M  V30 BEGIN ATOM",
+        "M  V30 1 C 0.0 0.0 0.0 0",
+        "M  V30 2 O 1.2 0.0 0.0 0",
+        "M  V30 END ATOM", "M  V30 END CTAB", "M  END",
+    ])
+    expo = "\n".join([
+        "expo", "  synthetic", "",
+        "  1  0  0  0  0  0  0  0  0  0999 V2000",
+        "   1.2e-03  -4.0e+00    0.5000 N   0  0  0  0  0  0",
+        "M  END",
+    ])
+    blocks = [
+        _mol_block(["C", "O"], [(0, 0, 0), (1.2, 0, 0)], [(0, 1, 1)]),
+        v3000,
+        expo,
+        "garbage",
+        _mol_block(["N"], [(3, 2, 1)], []),
+    ]
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / m3d.SDF_SHARDS[0]).write_text(
+        "".join(b.rstrip("\n") + "\n$$$$\n" for b in blocks))
+    for shard in m3d.SDF_SHARDS[1:]:
+        (raw / shard).write_text("")
+    with open(raw / "properties.csv", "w") as f:
+        f.write("p0\n")
+        for i in range(len(blocks)):
+            f.write(f"{i}.25\n")
+    prop = pd.read_csv(raw / "properties.csv").to_numpy(np.float32)
+
+    s_nat = m3d._build_molecule3d_native(str(raw), prop, None)
+    import os
+
+    os.environ["GEOSSL_NO_NATIVE"] = "1"
+    native._lib = None
+    native._tried = False
+    try:
+        s_py = m3d.build_molecule3d(str(tmp_path))
+    finally:
+        del os.environ["GEOSSL_NO_NATIVE"]
+        native._lib = None
+        native._tried = False
+    assert len(s_nat) == len(s_py) == 4  # V3000 + expo rescued, garbage not
+    np.testing.assert_array_equal(s_nat.atom_type, s_py.atom_type)
+    np.testing.assert_allclose(s_nat.positions, s_py.positions)
+    np.testing.assert_array_equal(s_nat.offsets, s_py.offsets)
+    np.testing.assert_array_equal(s_nat.bond_index, s_py.bond_index)
+    np.testing.assert_allclose(s_nat.y, s_py.y)  # rows 0,1,2,4 — aligned
+
+
+def test_parse_sdf_mol_rejects_out_of_range_bonds():
+    from geossl_tpu.data.structio import parse_sdf_mol
+
+    block = "\n".join([
+        "bad", "  synthetic", "",
+        "  2  1  0  0  0  0  0  0  0  0999 V2000",
+        "    0.0000    0.0000    0.0000 C   0  0  0  0  0  0",
+        "    1.0000    0.0000    0.0000 C   0  0  0  0  0  0",
+        "  1  9  1  0",  # atom 9 of 2
+        "M  END",
+    ])
+    with pytest.raises(ValueError, match="references atom"):
+        parse_sdf_mol(block)
+
+
+def test_radius_adjacency_rejects_nonpositive_cap():
+    import jax.numpy as jnp
+
+    from geossl_tpu.config import ModelConfig
+    from geossl_tpu.ops import geometry
+
+    dist = jnp.ones((1, 4, 4))
+    pm = jnp.ones((1, 4, 4), bool)
+    with pytest.raises(ValueError, match="max_neighbors"):
+        geometry.radius_adjacency(dist, pm, 5.0, 0)
+    with pytest.raises(ValueError, match="max_neighbors"):
+        ModelConfig(max_neighbors=-3)
