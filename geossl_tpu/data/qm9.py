@@ -51,11 +51,94 @@ def _read_thermo(path: str):
     return therm
 
 
+def _corrected_target(y, atom_count, therm, calculate_thermo):
+    """Thermochemical subtraction + hartree->eV (``datasets_QM9.py:180-214``).
+    ``atom_count`` maps TRUE atomic number -> count; non-HCNOF entries are
+    ignored exactly like the reference."""
+    y = y.copy()
+    if calculate_thermo:
+        for atom, count in atom_count.items():
+            if atom not in ATOM_DICT.values():
+                continue
+            for tid, sub in therm.items():
+                y[tid] -= sub[atom] * count
+    for k, col in enumerate(TARGET_FIELDS):
+        y[k] *= CONVERSION[col]
+    return y
+
+
+def _iter_qm9_arrays(raw: str):
+    """Yield ``(arrays, atom_count_by_z)`` per gdb9.sdf molecule. RDKit when
+    available (the reference's ``sanitize=False`` supplier); otherwise the
+    native shard scanner / per-block parser — QM9 is pure HCNOF, all inside
+    the 9-way vocab, so the index code inverts losslessly to atomic numbers
+    for the thermo correction."""
+    from geossl_tpu.data.featurize import ATOMIC_NUM_LIST
+
+    path = os.path.join(raw, "gdb9.sdf")
+    try:
+        from rdkit import Chem
+    except ImportError:
+        pass
+    else:
+        suppl = Chem.SDMolSupplier(path, removeHs=False, sanitize=False)
+        for mol in suppl:
+            yield (None, None) if mol is None else mol_to_arrays(mol)
+        return
+
+    from geossl_tpu.native import packing
+
+    def counts_from_indices(atom_type):
+        bc = np.bincount(atom_type, minlength=9)
+        return {ATOMIC_NUM_LIST[i]: int(c)
+                for i, c in enumerate(bc[:8]) if c}
+
+    if packing.available():
+        ok, at, pos, aoff, bidx, _bt, boff, _ = packing.scan_sdf_file(path)
+        for k in range(len(ok)):
+            if not ok[k]:
+                yield None, None
+                continue
+            s, e = aoff[k], aoff[k + 1]
+            bs, be = boff[k], boff[k + 1]
+            atom_type = at[s:e]
+            yield (
+                dict(
+                    atom_type=atom_type,
+                    positions=pos[s:e],
+                    chirality=np.zeros(e - s, np.int32),
+                    bond_index=np.ascontiguousarray(bidx[:, bs:be]),
+                ),
+                counts_from_indices(atom_type),
+            )
+        return
+
+    from geossl_tpu.data.featurize import sdf_block_to_arrays
+    from geossl_tpu.data.structio import iter_sdf_blocks
+
+    for block in iter_sdf_blocks(path):
+        try:
+            arrays, _ = sdf_block_to_arrays(block)
+        except (ValueError, IndexError):
+            yield None, None
+            continue
+        yield arrays, counts_from_indices(arrays["atom_type"])
+
+
 def build_qm9(root: str, calculate_thermo: bool = True) -> MolStore:
-    """Featurize raw QM9 into a MolStore (one-time, CPU, rdkit)."""
+    """Featurize raw QM9 into a MolStore (one-time, CPU).
+
+    Without RDKit the invalid-SMILES row filter
+    (``AllChem.MolFromSmiles(...) is None``, ``datasets_QM9.py:225``) cannot
+    run — the handful of molecules it would drop are kept (documented
+    delta); the uncharacterized-3054 skip list, thermo corrections and unit
+    conversions apply identically on both paths."""
     import pandas as pd
-    from rdkit import Chem
-    from rdkit.Chem import AllChem
+
+    try:
+        from rdkit.Chem import AllChem
+    except ImportError:
+        AllChem = None
 
     raw = os.path.join(root, "raw")
     therm = _read_thermo(os.path.join(raw, "atomref.txt"))
@@ -69,25 +152,13 @@ def build_qm9(root: str, calculate_thermo: bool = True) -> MolStore:
         skip = set(int(x.split()[0]) - 1 for x in f.read().split("\n")[9:-2])
 
     smiles_list = pd.read_csv(os.path.join(raw, "qm9.csv"))["smiles"].tolist()
-    suppl = Chem.SDMolSupplier(
-        os.path.join(raw, "gdb9.sdf"), removeHs=False, sanitize=False
-    )
 
     records = []
-    for i, mol in enumerate(suppl):
-        if i in skip:
+    for i, (arrays, atom_count) in enumerate(_iter_qm9_arrays(raw)):
+        if i in skip or arrays is None:
             continue
-        arrays, atom_count = mol_to_arrays(mol)
-        y = target[i].copy()
-        if calculate_thermo:
-            for atom, count in atom_count.items():
-                if atom not in ATOM_DICT.values():
-                    continue
-                for tid, sub in therm.items():
-                    y[tid] -= sub[atom] * count
-        for k, col in enumerate(TARGET_FIELDS):
-            y[k] *= CONVERSION[col]
-        if AllChem.MolFromSmiles(smiles_list[i]) is None:
+        y = _corrected_target(target[i], atom_count, therm, calculate_thermo)
+        if AllChem is not None and AllChem.MolFromSmiles(smiles_list[i]) is None:
             continue
         records.append(
             MolRecord(

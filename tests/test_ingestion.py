@@ -411,3 +411,83 @@ def test_parse_sdf_truncated_raises_catchable():
     ])
     with _pytest.raises((ValueError, IndexError)):
         parse_sdf(text)
+
+
+def _write_qm9_raw(tmp_path, mols, skip_1based=(), n_props=12):
+    """Synthesize the five QM9 raw files for build_qm9 (no RDKit here, so
+    this exercises the scanner / per-block path)."""
+    from geossl_tpu.data.qm9 import TARGET_FIELDS
+
+    raw = tmp_path / "raw"
+    raw.mkdir(exist_ok=True)
+    (raw / "gdb9.sdf").write_text(
+        "".join(m.rstrip("\n") + "\n$$$$\n" for m in mols))
+    cols = TARGET_FIELDS[:-1]
+    with open(raw / "gdb9.sdf.csv", "w") as f:
+        f.write(",".join(cols) + "\n")
+        for i in range(len(mols)):
+            f.write(",".join(f"{(i + 1) * 0.1 * (k + 1):.6f}"
+                             for k in range(len(cols))) + "\n")
+    lines = [f"header{i}" for i in range(9)]
+    lines += [f"{idx}   1.0   extra" for idx in skip_1based]
+    lines += ["footer", ""]
+    (raw / "uncharacterized.txt").write_text("\n".join(lines))
+    with open(raw / "qm9.csv", "w") as f:
+        f.write("smiles\n" + "C\n" * len(mols))
+    with open(raw / "atomref.txt", "w") as f:
+        f.write("# ZPVE U0 U298 H298 G298 CV\n")
+        for sym, base in [("H", 0.1), ("C", 0.2), ("N", 0.3), ("O", 0.4),
+                          ("F", 0.5)]:
+            f.write(sym + " " + " ".join(f"{base + 0.01 * t:.4f}"
+                                         for t in range(6)) + "\n")
+
+
+def test_build_qm9_without_rdkit(tmp_path):
+    """QM9 builds from raw files with no RDKit: skip list applied, thermo
+    subtraction + hartree->eV conversions match a hand computation, native
+    scanner and per-block Python paths agree."""
+    import os
+
+    from geossl_tpu.data.qm9 import (
+        CONVERSION, HARTREE2EV, TARGET_FIELDS, build_qm9,
+    )
+    from geossl_tpu.native import packing
+
+    mols = [
+        make_mol_block(["C", "H", "H"], [(0, 0, 0), (1, 0, 0), (0, 1, 0)],
+                       [(0, 1, 1), (0, 2, 1)]),
+        make_mol_block(["O", "O"], [(0, 0, 0), (1.2, 0, 0)], [(0, 1, 2)]),
+        make_mol_block(["N", "F"], [(0, 0, 0), (1.4, 0, 0)], [(0, 1, 1)]),
+    ]
+    _write_qm9_raw(tmp_path, mols, skip_1based=(2,))
+    store = build_qm9(str(tmp_path))
+    assert len(store) == 2  # molecule 2 skipped (uncharacterized)
+    assert list(store.get(0).atom_type) == [1, 0, 0]  # C H H
+    assert list(store.get(1).atom_type) == [2, 4]  # N F
+
+    # row 0: homo (col 2, raw 0.1*3) converts by hartree2ev, no thermo
+    np.testing.assert_allclose(
+        store.get(0).y[2], 0.1 * 3 * HARTREE2EV, rtol=1e-6)
+    # row 0 u0 (col 7, raw 0.1*8): minus C+2H thermo then hartree2ev
+    exp_u0 = (0.1 * 8 - (0.2 + 0.01) - 2 * (0.1 + 0.01)) * HARTREE2EV
+    np.testing.assert_allclose(store.get(0).y[7], exp_u0, rtol=1e-6)
+    # cv (col 11): thermo-subtracted but NOT hartree-converted
+    assert CONVERSION[TARGET_FIELDS[11]] == 1.0
+    exp_cv = 0.1 * 12 - (0.2 + 0.05) - 2 * (0.1 + 0.05)
+    np.testing.assert_allclose(store.get(0).y[11], exp_cv, rtol=1e-6)
+
+    # per-block Python path builds the identical store
+    os.environ["GEOSSL_NO_NATIVE"] = "1"
+    packing._lib = None
+    packing._tried = False
+    try:
+        store_py = build_qm9(str(tmp_path))
+    finally:
+        del os.environ["GEOSSL_NO_NATIVE"]
+        packing._lib = None
+        packing._tried = False
+    assert len(store_py) == len(store)
+    np.testing.assert_array_equal(store.atom_type, store_py.atom_type)
+    np.testing.assert_allclose(store.positions, store_py.positions)
+    np.testing.assert_allclose(store.y, store_py.y)
+    np.testing.assert_array_equal(store.bond_index, store_py.bond_index)
