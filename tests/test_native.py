@@ -346,3 +346,63 @@ def test_radius_adjacency_rejects_nonpositive_cap():
         geometry.radius_adjacency(dist, pm, 5.0, 0)
     with pytest.raises(ValueError, match="max_neighbors"):
         ModelConfig(max_neighbors=-3)
+
+
+def test_scan_sdf_fuzz_corrupted_files(tmp_path):
+    """Random byte-level corruption of a valid corpus: the scanner must
+    never crash, offsets must stay consistent, and every block it marks ok
+    must re-parse identically through the Python featurizer from its byte
+    span (the property the corpus builder's rescue path relies on)."""
+    from geossl_tpu.data.featurize import sdf_block_to_arrays
+
+    rng = np.random.default_rng(0)
+    base_blocks = []
+    for i in range(12):
+        n = int(rng.integers(1, 9))
+        els = [["H", "C", "N", "O", "F", "S", "Cl", "Zn"][j % 8]
+               for j in rng.integers(0, 8, n)]
+        coords = rng.normal(size=(n, 3)).round(4)
+        bonds = [(j, int(rng.integers(0, j + 1)), int(rng.integers(1, 4)))
+                 for j in range(1, n)]
+        base_blocks.append(_mol_block(els, coords.tolist(), bonds, f"m{i}"))
+    base = "".join(b.rstrip("\n") + "\n$$$$\n" for b in base_blocks)
+    raw = base.encode()
+
+    for trial in range(25):
+        data = bytearray(raw)
+        for _ in range(int(rng.integers(1, 6))):
+            kind = rng.integers(0, 3)
+            pos = int(rng.integers(0, len(data)))
+            if kind == 0 and len(data) > 10:  # delete a span
+                del data[pos:pos + int(rng.integers(1, 40))]
+            elif kind == 1:  # insert noise
+                data[pos:pos] = bytes(rng.integers(32, 127, 8).tolist())
+            else:  # flip bytes
+                end = min(len(data), pos + int(rng.integers(1, 10)))
+                data[pos:end] = bytes(rng.integers(32, 127, end - pos).tolist())
+        path = tmp_path / f"fuzz{trial}.sdf"
+        path.write_bytes(bytes(data))
+
+        ok, at, pos_a, aoff, bidx, btype, boff, byte_off = (
+            native.scan_sdf_file(str(path)))
+        n = len(ok)
+        assert aoff[0] == 0 and boff[0] == 0
+        assert np.all(np.diff(aoff) >= 0) and np.all(np.diff(boff) >= 0)
+        assert aoff[n] == len(at) and boff[n] == bidx.shape[1]
+        assert np.all(np.diff(byte_off) >= 0) and byte_off[n] <= len(data)
+        with open(path, "rb") as f:
+            for k in np.flatnonzero(ok):
+                f.seek(byte_off[k])
+                text = f.read(byte_off[k + 1] - byte_off[k]).decode(
+                    errors="replace")
+                block = "".join(
+                    line for line in text.splitlines(keepends=True)
+                    if not line.startswith("$$$$"))
+                ref, _ = sdf_block_to_arrays(block)
+                s, e = aoff[k], aoff[k + 1]
+                bs, be = boff[k], boff[k + 1]
+                np.testing.assert_array_equal(at[s:e], ref["atom_type"])
+                np.testing.assert_allclose(pos_a[s:e], ref["positions"],
+                                           atol=1e-5)
+                np.testing.assert_array_equal(bidx[:, bs:be],
+                                              ref["bond_index"])
