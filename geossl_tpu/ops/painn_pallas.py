@@ -64,9 +64,37 @@ def _gated_filters(d2, gate2, wk_ref, bk_ref, cutoff, num_r, coeff, ti, tj):
     return phi, w3
 
 
+def _gated_filters_blocked(d3, gate3, wk_ref, bk_ref, cutoff, num_r, coeff,
+                           bb, ti, tj):
+    """[bb,ti,tj] dist/gate -> (phi [bb*ti*tj, R], gated w4 [bb,ti,tj,3F])."""
+    off = _offsets(cutoff, num_r)
+    diff = d3[:, :, :, None] - off.reshape(1, 1, 1, num_r)
+    phi4 = jnp.exp(coeff * diff * diff)
+    phi = phi4.reshape(bb * ti * tj, num_r)
+    w = jnp.dot(phi, wk_ref[...], preferred_element_type=jnp.float32) + bk_ref[0]
+    w4 = w.reshape(bb, ti, tj, -1) * gate3[:, :, :, None]
+    return phi, w4
+
+
+def _batch_block(b, ti, tj, budget):
+    """Graphs per kernel program. The round-2 kernels ran per-graph grids
+    ((b, i, j) — 128 programs per call at the N=32 flagship); blocking bb
+    graphs per program mirrors ``cfconv_pallas._batch_block``. Measured
+    effect (round-3 interleaved A/B, bitwise-identical outputs): ~1.02x on
+    a 3-layer chained grad — the kernel is bound by the in-kernel VPU
+    reductions, not per-program overhead — kept for the tighter variance
+    and structural consistency with the CFConv kernels. Keeps
+    bb*ti*tj <= budget so live [bb*ti*tj, 3F] tensors stay a few MB;
+    large-N shapes (ti*tj >= budget) degrade to bb=1, the old per-graph
+    behavior."""
+    from geossl_tpu.ops.pallas_utils import _largest_legal_divisor
+
+    return _largest_legal_divisor(b, max(1, budget // (ti * tj)), 1)
+
+
 def _fwd_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
                 wk_ref, bk_ref, dq_ref, dmu_ref,
-                *, cutoff, num_r, coeff, ti, tj, f):
+                *, cutoff, num_r, coeff, bb, ti, tj, f):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -74,23 +102,24 @@ def _fwd_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
         dq_ref[...] = jnp.zeros_like(dq_ref)
         dmu_ref[...] = jnp.zeros_like(dmu_ref)
 
-    _, w3 = _gated_filters(
-        dist_ref[0], gate_ref[0], wk_ref, bk_ref, cutoff, num_r, coeff, ti, tj
+    _, w4 = _gated_filters_blocked(
+        dist_ref[...], gate_ref[...], wk_ref, bk_ref, cutoff, num_r, coeff,
+        bb, ti, tj,
     )
-    wq, wr, wm = jnp.split(w3, 3, axis=-1)
-    xq, xr, xm = jnp.split(x_ref[0], 3, axis=-1)  # [tj, F] each
-    mu_c_list = jnp.split(mu_ref[0], 3, axis=-1)  # [tj, F] each
+    wq, wr, wm = jnp.split(w4, 3, axis=-1)
+    xq, xr, xm = jnp.split(x_ref[...], 3, axis=-1)  # [bb, tj, F] each
+    mu_c_list = jnp.split(mu_ref[...], 3, axis=-1)  # [bb, tj, F] each
 
-    dq_ref[0] += jnp.sum(wq * xq[None, :, :], axis=1)
-    m_r = wr * xr[None, :, :]  # [ti,tj,f]
-    m_m = wm * xm[None, :, :]
-    dirs = (dx_ref[0], dy_ref[0], dz_ref[0])
+    dq_ref[...] += jnp.sum(wq * xq[:, None, :, :], axis=2)
+    m_r = wr * xr[:, None, :, :]  # [bb,ti,tj,f]
+    m_m = wm * xm[:, None, :, :]
+    dirs = (dx_ref[...], dy_ref[...], dz_ref[...])
     parts = []
     for c in range(3):
-        dmu_c = jnp.sum(m_r * dirs[c][:, :, None], axis=1)
-        dmu_c += jnp.sum(m_m * mu_c_list[c][None, :, :], axis=1)
+        dmu_c = jnp.sum(m_r * dirs[c][:, :, :, None], axis=2)
+        dmu_c += jnp.sum(m_m * mu_c_list[c][:, None, :, :], axis=2)
         parts.append(dmu_c)
-    dmu_ref[0] += jnp.concatenate(parts, axis=-1)
+    dmu_ref[...] += jnp.concatenate(parts, axis=-1)
 
 
 def _pair_spec(ti, tj):
@@ -103,24 +132,25 @@ def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
     f = f3 // 3
     num_r = wk.shape[0]
     ti, tj = pair_tiles(n, 2048)
+    bb = _batch_block(b, ti, tj, budget=4096)
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
     kernel = partial(_fwd_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,
-                     ti=ti, tj=tj, f=f)
+                     bb=bb, ti=ti, tj=tj, f=f)
+    pair = pl.BlockSpec((bb, ti, tj), lambda b, i, j: (b, i, j))
     return pl.pallas_call(
         kernel,
-        grid=(b, n // ti, n // tj),
+        grid=(b // bb, n // ti, n // tj),
         in_specs=[
-            _pair_spec(ti, tj), _pair_spec(ti, tj), _pair_spec(ti, tj),
-            _pair_spec(ti, tj), _pair_spec(ti, tj),
-            pl.BlockSpec((1, tj, f3), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, tj, f3), lambda b, i, j: (b, j, 0)),
+            pair, pair, pair, pair, pair,
+            pl.BlockSpec((bb, tj, f3), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((bb, tj, f3), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec(wk.shape, lambda b, i, j: (0, 0)),
             pl.BlockSpec((1,) + bk.shape, lambda b, i, j: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, ti, f), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, ti, f3), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((bb, ti, f), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((bb, ti, f3), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, f), jnp.float32),
@@ -136,7 +166,7 @@ def _bwd_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
                 wk_ref, bk_ref, gq_ref, gmu_ref,
                 dxn_ref, dmu_in_ref, dwk_ref, dbk_ref,
                 ddist_ref, dgate_ref, ddx_ref, ddy_ref, ddz_ref,
-                *, cutoff, num_r, coeff, ti, tj, f):
+                *, cutoff, num_r, coeff, bb, ti, tj, f):
     # grid = (b, j_tile, i_tile): i innermost so j-indexed outputs accumulate
     bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -150,56 +180,59 @@ def _bwd_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
         dwk_ref[...] = jnp.zeros_like(dwk_ref)
         dbk_ref[...] = jnp.zeros_like(dbk_ref)
 
-    d2, gate2 = dist_ref[0], gate_ref[0]
-    phi, w3 = _gated_filters(d2, gate2, wk_ref, bk_ref, cutoff, num_r, coeff, ti, tj)
-    wq, wr, wm = jnp.split(w3, 3, axis=-1)
-    xq, xr, xm = jnp.split(x_ref[0], 3, axis=-1)
-    mu_c_list = jnp.split(mu_ref[0], 3, axis=-1)  # [tj, F] each
-    gq = gq_ref[0]  # [ti, F]
-    gmu_c_list = jnp.split(gmu_ref[0], 3, axis=-1)  # [ti, F] each
-    dirs = (dx_ref[0], dy_ref[0], dz_ref[0])
+    d3, gate3 = dist_ref[...], gate_ref[...]
+    phi, w4 = _gated_filters_blocked(
+        d3, gate3, wk_ref, bk_ref, cutoff, num_r, coeff, bb, ti, tj)
+    wq, wr, wm = jnp.split(w4, 3, axis=-1)
+    xq, xr, xm = jnp.split(x_ref[...], 3, axis=-1)  # [bb, tj, F]
+    mu_c_list = jnp.split(mu_ref[...], 3, axis=-1)  # [bb, tj, F] each
+    gq = gq_ref[...]  # [bb, ti, F]
+    gmu_c_list = jnp.split(gmu_ref[...], 3, axis=-1)  # [bb, ti, F] each
+    dirs = (dx_ref[...], dy_ref[...], dz_ref[...])
 
-    # D[i,j,f] := Σ_c dir_c[i,j] * gmu_c[i,f];  M[i,j,f] := Σ_c mu_c[j,f]*gmu_c[i,f]
-    D = jnp.zeros((ti, tj, f), jnp.float32)
-    M = jnp.zeros((ti, tj, f), jnp.float32)
+    # D[b,i,j,f] := Σ_c dir_c[b,i,j]·gmu_c[b,i,f];
+    # M[b,i,j,f] := Σ_c mu_c[b,j,f]·gmu_c[b,i,f]
+    D = jnp.zeros((bb, ti, tj, f), jnp.float32)
+    M = jnp.zeros((bb, ti, tj, f), jnp.float32)
     dmu_parts = []
     for c in range(3):
         gmu_c = gmu_c_list[c]
         mu_c = mu_c_list[c]
-        D += dirs[c][:, :, None] * gmu_c[:, None, :]
-        M += mu_c[None, :, :] * gmu_c[:, None, :]
-        s_c = jnp.sum(wm * gmu_c[:, None, :], axis=0)  # [tj, f]
+        D += dirs[c][:, :, :, None] * gmu_c[:, :, None, :]
+        M += mu_c[:, None, :, :] * gmu_c[:, :, None, :]
+        s_c = jnp.sum(wm * gmu_c[:, :, None, :], axis=1)  # [bb, tj, f]
         dmu_parts.append(s_c * xm)
-        # ddir_c[i,j] = Σ_f wr·xr_j·gmu_c[i,f]
-        ddir_c = jnp.sum(wr * xr[None, :, :] * gmu_c[:, None, :], axis=2)
-        (ddx_ref, ddy_ref, ddz_ref)[c][0] = ddir_c
-    dmu_in_ref[0] += jnp.concatenate(dmu_parts, axis=-1)
+        # ddir_c[b,i,j] = Σ_f wr·xr_j·gmu_c[b,i,f]
+        ddir_c = jnp.sum(wr * xr[:, None, :, :] * gmu_c[:, :, None, :], axis=3)
+        (ddx_ref, ddy_ref, ddz_ref)[c][...] = ddir_c
+    dmu_in_ref[...] += jnp.concatenate(dmu_parts, axis=-1)
 
     # dx parts (accumulate over i)
-    dxq = jnp.sum(wq * gq[:, None, :], axis=0)  # [tj, f]
-    dxr = jnp.sum(wr * D, axis=0)
-    dxm = jnp.sum(wm * M, axis=0)
-    dxn_ref[0] += jnp.concatenate([dxq, dxr, dxm], axis=-1)
+    dxq = jnp.sum(wq * gq[:, :, None, :], axis=1)  # [bb, tj, f]
+    dxr = jnp.sum(wr * D, axis=1)
+    dxm = jnp.sum(wm * M, axis=1)
+    dxn_ref[...] += jnp.concatenate([dxq, dxr, dxm], axis=-1)
 
     # cotangent on gated filters
-    dw3 = jnp.concatenate(
-        [gq[:, None, :] * xq[None, :, :], D * xr[None, :, :], M * xm[None, :, :]],
-        axis=2,
-    )  # [ti, tj, 3F]
-    # dgate = Σ_t w_raw·dw3 where w3 = w_raw·gate -> w_raw = w3/gate (gate may
+    dw4 = jnp.concatenate(
+        [gq[:, :, None, :] * xq[:, None, :, :], D * xr[:, None, :, :],
+         M * xm[:, None, :, :]],
+        axis=3,
+    )  # [bb, ti, tj, 3F]
+    # dgate = Σ_t w_raw·dw4 where w4 = w_raw·gate -> w_raw = w4/gate (gate may
     # be 0; recompute w_raw instead)
     off = _offsets(cutoff, num_r)
-    diff3 = d2[:, :, None] - off
+    diff4 = d3[:, :, :, None] - off.reshape(1, 1, 1, num_r)
     w_raw = (
         jnp.dot(phi, wk_ref[...], preferred_element_type=jnp.float32) + bk_ref[0]
-    ).reshape(ti, tj, 3 * f)
-    dgate_ref[0] = jnp.sum(w_raw * dw3, axis=2)
-    dwg = (dw3 * gate2[:, :, None]).reshape(ti * tj, 3 * f)
+    ).reshape(bb, ti, tj, 3 * f)
+    dgate_ref[...] = jnp.sum(w_raw * dw4, axis=3)
+    dwg = (dw4 * gate3[:, :, :, None]).reshape(bb * ti * tj, 3 * f)
     dwk_ref[...] += jnp.dot(phi.T, dwg, preferred_element_type=jnp.float32)
     dbk_ref[0] += jnp.sum(dwg, axis=0)
     dphi = jnp.dot(dwg, wk_ref[...].T, preferred_element_type=jnp.float32)
-    chain3 = dphi.reshape(ti, tj, num_r) * jnp.exp(coeff * diff3 * diff3)
-    ddist_ref[0] = jnp.sum(chain3 * (2.0 * coeff) * diff3, axis=2)
+    chain4 = dphi.reshape(bb, ti, tj, num_r) * jnp.exp(coeff * diff4 * diff4)
+    ddist_ref[...] = jnp.sum(chain4 * (2.0 * coeff) * diff4, axis=3)
 
 
 def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu):
@@ -208,28 +241,29 @@ def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu):
     f = f3 // 3
     num_r = wk.shape[0]
     ti, tj = pair_tiles(n, 2048)
+    bb = _batch_block(b, ti, tj, budget=2048)
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
     kernel = partial(_bwd_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,
-                     ti=ti, tj=tj, f=f)
+                     bb=bb, ti=ti, tj=tj, f=f)
     # grid (b, jt, it): pair blocks live at (i, j) => index_map (b, i, j)
-    pair = pl.BlockSpec((1, ti, tj), lambda b, j, i: (b, i, j))
+    pair = pl.BlockSpec((bb, ti, tj), lambda b, j, i: (b, i, j))
     acc = lambda shape: pl.BlockSpec(shape, lambda b, j, i: tuple(0 for _ in shape))
     return pl.pallas_call(
         kernel,
-        grid=(b, n // tj, n // ti),
+        grid=(b // bb, n // tj, n // ti),
         in_specs=[
             pair, pair, pair, pair, pair,
-            pl.BlockSpec((1, tj, f3), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, tj, f3), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((bb, tj, f3), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((bb, tj, f3), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec(wk.shape, lambda b, j, i: (0, 0)),
             pl.BlockSpec((1,) + bk.shape, lambda b, j, i: (0, 0)),
-            pl.BlockSpec((1, ti, f), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, ti, f3), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((bb, ti, f), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((bb, ti, f3), lambda b, j, i: (b, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tj, f3), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, tj, f3), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((bb, tj, f3), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((bb, tj, f3), lambda b, j, i: (b, j, 0)),
             acc(wk.shape),
             acc((1,) + bk.shape),
             pair, pair, pair, pair, pair,
