@@ -28,6 +28,13 @@ def save_checkpoint(path: str, tree: Dict[str, Any]) -> None:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a checkpoint tree. ``.pth``/``.pt`` files are imported from the
+    reference's torch state_dict format (released GeoSSL checkpoints drop
+    straight into ``--input_model_file`` — utils/torch_import.py)."""
+    if path.endswith((".pth", ".pt")):
+        from geossl_tpu.utils.torch_import import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 

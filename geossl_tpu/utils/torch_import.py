@@ -1,0 +1,146 @@
+"""Import the reference's released torch checkpoints into geossl_tpu trees.
+
+The reference saves backbones with ``torch.save(model.state_dict(), ...)``
+(``examples/pretrain_GeoSSL.py:48-65``); its published GeoSSL-DDM weights
+are such ``.pth`` state_dicts for ``Geom3D/models/schnet.py`` /
+``painn.py`` modules. These converters map them onto this framework's flax
+param trees so a reference user can drop a released checkpoint straight
+into ``--input_model_file model.pth``.
+
+Mapping notes:
+* torch ``Linear.weight`` is ``[out, in]`` -> transposed to flax ``[in,
+  out]`` kernels.
+* SchNet (``schnet.py:16-216``): ``interactions.{k}.mlp.{0,2}`` is the
+  filter MLP (-> ``filter_w1/b1/w2/b2``), ``conv.lin1`` (no bias) ->
+  ``Dense_0``, ``conv.lin2`` -> ``Dense_1``, block ``lin`` -> ``Dense_2``,
+  top ``lin1/lin2`` -> ``Dense_0/Dense_1``. Buffers (``atomic_mass``,
+  ``distance_expansion.offset``, ``initial_atomref``) are derived
+  constants here, not parameters.
+* PaiNN (``painn.py:117-269``): ``filter_net`` -> the per-layer-sliced
+  ``filter_kernel/filter_bias`` (slice order matches ``torch.split(...,
+  3F, dim=-1)``), ``interactions.{k}.interatomic_context_net.{0,1}`` ->
+  ``PaiNNInteraction_k/Dense_{0,1}``, ``mixing.{k}`` ->
+  ``PaiNNMixing_k`` (``mu_channel_mix`` has no bias).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+__all__ = [
+    "schnet_params_from_torch",
+    "painn_params_from_torch",
+    "backbone_params_from_torch",
+    "load_torch_checkpoint",
+]
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):  # torch tensor without importing torch
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _clean(sd: Dict) -> Dict[str, np.ndarray]:
+    sd = dict(sd)
+    # unwrap common containers: {'model': sd}, {'state_dict': sd}
+    for key in ("state_dict", "model"):
+        if key in sd and isinstance(sd[key], dict):
+            sd = dict(sd[key])
+    # strip DataParallel / wrapper prefixes
+    for pre in ("module.", "molecule_model_3D."):
+        if sd and all(k.startswith(pre) for k in sd):
+            sd = {k[len(pre):]: v for k, v in sd.items()}
+    return {k: _np(v) for k, v in sd.items()}
+
+
+def _n_layers(sd, prefix):
+    ks = [k for k in sd if k.startswith(prefix)]
+    if not ks:
+        raise KeyError(
+            f"no '{prefix}*' keys in state_dict — not a checkpoint of this "
+            f"backbone (keys: {sorted(sd)[:8]}...)"
+        )
+    return 1 + max(int(k.split(".")[1]) for k in ks)
+
+
+def schnet_params_from_torch(state_dict) -> dict:
+    """Reference ``SchNet.state_dict()`` -> params for ``models.SchNet``."""
+    sd = _clean(state_dict)
+    n = _n_layers(sd, "interactions.")
+    params = {"Embed_0": {"embedding": sd["embedding.weight"]}}
+    for k in range(n):
+        p = f"interactions.{k}."
+        params[f"InteractionBlock_{k}"] = {
+            "filter_w1": sd[p + "mlp.0.weight"].T,
+            "filter_b1": sd[p + "mlp.0.bias"],
+            "filter_w2": sd[p + "mlp.2.weight"].T,
+            "filter_b2": sd[p + "mlp.2.bias"],
+            "Dense_0": {"Dense_0": {"kernel": sd[p + "conv.lin1.weight"].T}},
+            "Dense_1": {"Dense_0": {"kernel": sd[p + "conv.lin2.weight"].T,
+                                    "bias": sd[p + "conv.lin2.bias"]}},
+            "Dense_2": {"Dense_0": {"kernel": sd[p + "lin.weight"].T,
+                                    "bias": sd[p + "lin.bias"]}},
+        }
+    params["Dense_0"] = {"Dense_0": {"kernel": sd["lin1.weight"].T,
+                                     "bias": sd["lin1.bias"]}}
+    params["Dense_1"] = {"Dense_0": {"kernel": sd["lin2.weight"].T,
+                                     "bias": sd["lin2.bias"]}}
+    if "atomref.weight" in sd:
+        params["atomref"] = sd["atomref.weight"]
+    return params
+
+
+def painn_params_from_torch(state_dict) -> dict:
+    """Reference ``PaiNN.state_dict()`` -> params for ``models.PaiNN``."""
+    sd = _clean(state_dict)
+    n = _n_layers(sd, "interactions.")
+    params = {
+        "embedding": sd["embedding.weight"],
+        "filter_kernel": sd["filter_net.weight"].T,
+        "filter_bias": sd["filter_net.bias"],
+    }
+    for k in range(n):
+        i = f"interactions.{k}.interatomic_context_net."
+        m = f"mixing.{k}."
+        params[f"PaiNNInteraction_{k}"] = {
+            "Dense_0": {"Dense_0": {"kernel": sd[i + "0.weight"].T,
+                                    "bias": sd[i + "0.bias"]}},
+            "Dense_1": {"Dense_0": {"kernel": sd[i + "1.weight"].T,
+                                    "bias": sd[i + "1.bias"]}},
+        }
+        params[f"PaiNNMixing_{k}"] = {
+            "mu_channel_mix": {"Dense_0": {
+                "kernel": sd[m + "mu_channel_mix.weight"].T}},
+            "Dense_0": {"Dense_0": {
+                "kernel": sd[m + "intraatomic_context_net.0.weight"].T,
+                "bias": sd[m + "intraatomic_context_net.0.bias"]}},
+            "Dense_1": {"Dense_0": {
+                "kernel": sd[m + "intraatomic_context_net.1.weight"].T,
+                "bias": sd[m + "intraatomic_context_net.1.bias"]}},
+        }
+    return params
+
+
+def backbone_params_from_torch(state_dict) -> dict:
+    """Auto-detect the backbone family from the state_dict's key set."""
+    sd = _clean(state_dict)
+    if any(k.startswith("filter_net.") for k in sd):
+        return painn_params_from_torch(sd)
+    if any(k.startswith("interactions.0.mlp.") for k in sd):
+        return schnet_params_from_torch(sd)
+    raise ValueError(
+        "state_dict matches neither the reference SchNet nor PaiNN "
+        f"(keys: {sorted(sd)[:8]}...)"
+    )
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a reference ``.pth``/``.pt`` checkpoint file ->
+    ``{"model": params}`` (this framework's transfer contract)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {"model": backbone_params_from_torch(sd)}
