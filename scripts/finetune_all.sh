@@ -65,7 +65,8 @@ for dir in $RUNS_GLOB; do
     *painn*) model=painn ;;
     *) model=schnet ;;
   esac
-  tag=$(echo "$dir" | sed 's|^runs/||; s|/|__|g')
+  # tag = path under the runs root (works for absolute RUNS_GLOB too)
+  tag=$(echo "$dir" | sed 's|.*/runs/||; s|^runs/||; s|/|__|g')
   echo "== $tag (model=$model ckpt=$ckpt)"
   run_matrix "$model" "$ckpt" "$tag"
 done
