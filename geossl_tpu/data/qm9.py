@@ -67,13 +67,16 @@ def _corrected_target(y, atom_count, therm, calculate_thermo):
     return y
 
 
-def _iter_qm9_arrays(raw: str):
-    """Yield ``(arrays, atom_count_by_z)`` per gdb9.sdf molecule. RDKit when
-    available (the reference's ``sanitize=False`` supplier); otherwise the
-    native shard scanner / per-block parser — QM9 is pure HCNOF, all inside
-    the 9-way vocab, so the index code inverts losslessly to atomic numbers
-    for the thermo correction."""
-    from geossl_tpu.data.featurize import ATOMIC_NUM_LIST
+def _iter_qm9_arrays(raw: str, skip=frozenset()):
+    """Yield ``(arrays, atom_count_by_z)`` per gdb9.sdf molecule (``(None,
+    None)`` for indices in ``skip`` and unparseable entries, keeping the
+    index aligned with the target CSV). RDKit when available (the
+    reference's ``sanitize=False`` supplier); otherwise the native shard
+    scanner — with byte-span re-parse of any block it rejects, exactly like
+    ``molecule3d._build_molecule3d_native`` — or the per-block parser. QM9
+    is pure HCNOF, all inside the 9-way vocab, so the index code inverts
+    losslessly to atomic numbers for the thermo correction."""
+    from geossl_tpu.data.featurize import ATOMIC_NUM_LIST, sdf_block_to_arrays
 
     path = os.path.join(raw, "gdb9.sdf")
     try:
@@ -82,8 +85,11 @@ def _iter_qm9_arrays(raw: str):
         pass
     else:
         suppl = Chem.SDMolSupplier(path, removeHs=False, sanitize=False)
-        for mol in suppl:
-            yield (None, None) if mol is None else mol_to_arrays(mol)
+        for i, mol in enumerate(suppl):
+            if i in skip or mol is None:  # don't featurize skipped rows
+                yield None, None
+                continue
+            yield mol_to_arrays(mol)
         return
 
     from geossl_tpu.native import packing
@@ -93,36 +99,53 @@ def _iter_qm9_arrays(raw: str):
         return {ATOMIC_NUM_LIST[i]: int(c)
                 for i, c in enumerate(bc[:8]) if c}
 
-    if packing.available():
-        ok, at, pos, aoff, bidx, _bt, boff, _ = packing.scan_sdf_file(path)
-        for k in range(len(ok)):
-            if not ok[k]:
-                yield None, None
-                continue
-            s, e = aoff[k], aoff[k + 1]
-            bs, be = boff[k], boff[k + 1]
-            atom_type = at[s:e]
-            yield (
-                dict(
-                    atom_type=atom_type,
-                    positions=pos[s:e],
-                    chirality=np.zeros(e - s, np.int32),
-                    bond_index=np.ascontiguousarray(bidx[:, bs:be]),
-                ),
-                counts_from_indices(atom_type),
-            )
-        return
-
-    from geossl_tpu.data.featurize import sdf_block_to_arrays
-    from geossl_tpu.data.structio import iter_sdf_blocks
-
-    for block in iter_sdf_blocks(path):
+    def parse_block(block):
         try:
             arrays, _ = sdf_block_to_arrays(block)
         except (ValueError, IndexError):
+            return None, None
+        return arrays, counts_from_indices(arrays["atom_type"])
+
+    if packing.available():
+        ok, at, pos, aoff, bidx, _bt, boff, byte_off = (
+            packing.scan_sdf_file(path))
+        with open(path, "rb") as fh:
+            for k in range(len(ok)):
+                if k in skip:
+                    yield None, None
+                    continue
+                if not ok[k]:
+                    # rescue Python-parseable blocks the fast scanner
+                    # rejected (V3000, exponent coords, ...)
+                    fh.seek(byte_off[k])
+                    text = fh.read(byte_off[k + 1] - byte_off[k]).decode(
+                        errors="replace")
+                    block = "".join(
+                        line for line in text.splitlines(keepends=True)
+                        if not line.startswith("$$$$"))
+                    yield parse_block(block)
+                    continue
+                s, e = aoff[k], aoff[k + 1]
+                bs, be = boff[k], boff[k + 1]
+                atom_type = at[s:e]
+                yield (
+                    dict(
+                        atom_type=atom_type,
+                        positions=pos[s:e],
+                        chirality=np.zeros(e - s, np.int32),
+                        bond_index=np.ascontiguousarray(bidx[:, bs:be]),
+                    ),
+                    counts_from_indices(atom_type),
+                )
+        return
+
+    from geossl_tpu.data.structio import iter_sdf_blocks
+
+    for i, block in enumerate(iter_sdf_blocks(path)):
+        if i in skip:
             yield None, None
             continue
-        yield arrays, counts_from_indices(arrays["atom_type"])
+        yield parse_block(block)
 
 
 def build_qm9(root: str, calculate_thermo: bool = True) -> MolStore:
@@ -154,8 +177,8 @@ def build_qm9(root: str, calculate_thermo: bool = True) -> MolStore:
     smiles_list = pd.read_csv(os.path.join(raw, "qm9.csv"))["smiles"].tolist()
 
     records = []
-    for i, (arrays, atom_count) in enumerate(_iter_qm9_arrays(raw)):
-        if i in skip or arrays is None:
+    for i, (arrays, atom_count) in enumerate(_iter_qm9_arrays(raw, skip)):
+        if arrays is None:
             continue
         y = _corrected_target(target[i], atom_count, therm, calculate_thermo)
         if AllChem is not None and AllChem.MolFromSmiles(smiles_list[i]) is None:

@@ -122,10 +122,6 @@ def _fwd_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
     dmu_ref[...] += jnp.concatenate(parts, axis=-1)
 
 
-def _pair_spec(ti, tj):
-    return pl.BlockSpec((1, ti, tj), lambda b, i, j: (b, i, j))
-
-
 def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
     b, n, _ = dist.shape
     f3 = x.shape[-1]

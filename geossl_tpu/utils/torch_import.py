@@ -44,10 +44,22 @@ def _np(t) -> np.ndarray:
 
 
 def _clean(sd: Dict) -> Dict[str, np.ndarray]:
+    import warnings
+
     sd = dict(sd)
-    # unwrap common containers: {'model': sd}, {'state_dict': sd}
+    # unwrap common containers: {'model': sd}, {'state_dict': sd}. Reference
+    # FINETUNE checkpoints also carry sibling trees (graph_pred_linear, ...)
+    # that have no generic mapping here — warn loudly instead of silently
+    # importing a backbone and re-initializing the trained head.
     for key in ("state_dict", "model"):
         if key in sd and isinstance(sd[key], dict):
+            extras = sorted(k for k in sd if k != key)
+            if extras:
+                warnings.warn(
+                    f"torch checkpoint carries {extras} beside {key!r}; only "
+                    "the backbone is imported — downstream heads are freshly "
+                    "initialized (re-finetune to reproduce reference "
+                    "finetuned metrics)", stacklevel=3)
             sd = dict(sd[key])
     # strip DataParallel / wrapper prefixes
     for pre in ("module.", "molecule_model_3D."):
@@ -97,6 +109,15 @@ def painn_params_from_torch(state_dict) -> dict:
     """Reference ``PaiNN.state_dict()`` -> params for ``models.PaiNN``."""
     sd = _clean(state_dict)
     n = _n_layers(sd, "interactions.")
+    f = sd["embedding.weight"].shape[1]
+    width = sd["filter_net.weight"].shape[0]
+    if width not in (3 * f, n * 3 * f):
+        raise ValueError(
+            f"filter_net width {width} matches neither shared (3F={3 * f}) "
+            f"nor per-layer ({n}*3F={n * 3 * f}) filters — unsupported "
+            "PaiNN variant")
+    # width == 3F with n > 1 is a shared_filters checkpoint: construct
+    # PaiNN(shared_filters=True) to consume it
     params = {
         "embedding": sd["embedding.weight"],
         "filter_kernel": sd["filter_net.weight"].T,

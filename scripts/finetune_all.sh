@@ -19,6 +19,7 @@ cd "$(dirname "$0")/.."
 DATA_ROOT=${DATA_ROOT:-data}
 TASKS=${TASKS:-"qm9 md17 lba lep"}
 RUNS_GLOB=${RUNS_GLOB:-"runs/*/*"}
+OUT_ROOT=${OUT_ROOT:-runs/finetune}
 SCRATCH=${SCRATCH:-0}
 EXTRA=${EXTRA:-}
 
@@ -28,18 +29,18 @@ run_matrix() {  # $1=model  $2=ckpt(or empty)  $3=tag
     case $task in
       qm9)
         MODEL=$model CKPT=$ckpt DATA_ROOT=$DATA_ROOT EXTRA="$EXTRA" \
-          OUT_PREFIX="runs/finetune/${tag}/qm9_${model}" \
+          OUT_PREFIX="${OUT_ROOT}/${tag}/qm9_${model}" \
           bash scripts/finetune_qm9.sh ;;
       md17)
         MODEL=$model CKPT=$ckpt DATA_ROOT=$DATA_ROOT EXTRA="$EXTRA" \
-          OUT_PREFIX="runs/finetune/${tag}/md17_${model}" \
+          OUT_PREFIX="${OUT_ROOT}/${tag}/md17_${model}" \
           bash scripts/finetune_md17.sh ;;
       lba|lep)
         # finetune_lba_lep.sh drives both; run it once per tag
         [ "$task" = lep ] && continue
         MODEL=$model CKPT=$ckpt DATA_ROOT=$DATA_ROOT EXTRA="$EXTRA" \
-          OUT_PREFIX_LBA="runs/finetune/${tag}/lba_${model}" \
-          OUT_PREFIX_LEP="runs/finetune/${tag}/lep_${model}" \
+          OUT_PREFIX_LBA="${OUT_ROOT}/${tag}/lba_${model}" \
+          OUT_PREFIX_LEP="${OUT_ROOT}/${tag}/lep_${model}" \
           bash scripts/finetune_lba_lep.sh ;;
       *) echo "unknown task: $task" >&2; exit 1 ;;
     esac
@@ -57,7 +58,7 @@ found=0
 for dir in $RUNS_GLOB; do
   ckpt="$dir/model_final.ckpt"
   [ -f "$ckpt" ] || continue
-  case $dir in runs/finetune/*) continue ;; esac   # don't walk our own output
+  case $dir in runs/finetune/*|*/runs/finetune/*|"$OUT_ROOT"/*) continue ;; esac   # don't walk our own output
   found=1
   # model arch is recoverable from the pretrain dir naming convention
   # (runs/GeoSSL_DDM/painn_mask0.3_..., runs/baseline_charge/schnet, ...)

@@ -491,3 +491,47 @@ def test_build_qm9_without_rdkit(tmp_path):
     np.testing.assert_allclose(store.positions, store_py.positions)
     np.testing.assert_allclose(store.y, store_py.y)
     np.testing.assert_array_equal(store.bond_index, store_py.bond_index)
+
+
+def test_build_qm9_native_rescues_scanner_rejected_blocks(tmp_path):
+    """A gdb9.sdf block the C scanner rejects but Python parses (exponent
+    coordinates) must be rescued via the byte-span re-parse, so native and
+    per-block builds produce identical stores."""
+    from geossl_tpu.data.qm9 import build_qm9
+    from geossl_tpu.native import packing
+
+    if not packing.available():
+        pytest.skip("native library unavailable")
+    expo = "\n".join([
+        "expo", "  synthetic", "",
+        "  1  0  0  0  0  0  0  0  0  0999 V2000",
+        "   1.2e-03  -4.0e+00    0.5000 N   0  0  0  0  0  0",
+        "M  END",
+    ])
+    mols = [
+        make_mol_block(["C", "H"], [(0, 0, 0), (1, 0, 0)], [(0, 1, 1)]),
+        expo,
+        make_mol_block(["O"], [(3, 2, 1)], []),
+    ]
+    _write_qm9_raw(tmp_path, mols)
+    store = build_qm9(str(tmp_path))
+    assert len(store) == 3  # exponent block rescued
+    assert list(store.get(1).atom_type) == [2]  # N
+    np.testing.assert_allclose(store.get(1).positions[0],
+                               [1.2e-3, -4.0, 0.5], rtol=1e-6)
+
+    import os
+
+    os.environ["GEOSSL_NO_NATIVE"] = "1"
+    packing._lib = None
+    packing._tried = False
+    try:
+        store_py = build_qm9(str(tmp_path))
+    finally:
+        del os.environ["GEOSSL_NO_NATIVE"]
+        packing._lib = None
+        packing._tried = False
+    assert len(store_py) == len(store)
+    np.testing.assert_array_equal(store.atom_type, store_py.atom_type)
+    np.testing.assert_allclose(store.positions, store_py.positions)
+    np.testing.assert_allclose(store.y, store_py.y)

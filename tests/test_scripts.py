@@ -21,6 +21,8 @@ def _run_walker(tmp_path, env_extra):
     py.chmod(py.stat().st_mode | stat.S_IEXEC)
     env = dict(os.environ)
     env["PATH"] = f"{shim}:{env['PATH']}"
+    # isolate outputs (and the idempotence skip-check) from the real repo
+    env["OUT_ROOT"] = str(tmp_path / "out" / "runs" / "finetune")
     env.update(env_extra)
     out = subprocess.run(["bash", WALKER], env=env, capture_output=True,
                         text=True, timeout=120)

@@ -240,3 +240,28 @@ def test_wrapped_and_prefixed_state_dicts():
                                sd["embedding.weight"], rtol=1e-6)
     with pytest.raises(ValueError, match="neither"):
         backbone_params_from_torch({"foo.weight": np.zeros((2, 2))})
+
+
+def test_painn_import_validates_filter_width():
+    rng = np.random.default_rng(5)
+    sd = make_painn_sd(rng)
+    sd["filter_net.weight"] = sd["filter_net.weight"][: 3 * EMB + 1]
+    with pytest.raises(ValueError, match="filter_net width"):
+        painn_params_from_torch(sd)
+    # shared-filters width (3F) is accepted
+    sd["filter_net.weight"] = rng.normal(size=(3 * EMB, NG))
+    sd["filter_net.bias"] = rng.normal(size=3 * EMB)
+    out = painn_params_from_torch(sd)
+    assert out["filter_kernel"].shape == (NG, 3 * EMB)
+
+
+def test_finetune_checkpoint_head_drop_warns():
+    import warnings
+
+    rng = np.random.default_rng(6)
+    wrapped = {"model": make_schnet_sd(rng),
+               "graph_pred_linear": {"weight": np.zeros((1, EMB))}}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        schnet_params_from_torch(wrapped)
+    assert any("graph_pred_linear" in str(x.message) for x in w)
