@@ -165,3 +165,85 @@ def load_torch_checkpoint(path: str) -> dict:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return {"model": backbone_params_from_torch(sd)}
+
+
+# --------------------------------------------------------------- export
+# The reverse direction: our pretrained backbones as reference-format torch
+# state_dicts, so checkpoints trained here drop into the reference's own
+# eval/finetune harness (load_model, examples/finetune_qm9.py:524-539).
+
+
+def schnet_params_to_torch(params) -> Dict[str, np.ndarray]:
+    """``models.SchNet`` params -> reference ``SchNet.state_dict()`` arrays
+    (exact inverse of ``schnet_params_from_torch``)."""
+    params = {k: v for k, v in params.items()}
+    sd = {"embedding.weight": _np(params["Embed_0"]["embedding"])}
+    n = sum(1 for k in params if k.startswith("InteractionBlock_"))
+    for k in range(n):
+        blk = params[f"InteractionBlock_{k}"]
+        p = f"interactions.{k}."
+        sd[p + "mlp.0.weight"] = _np(blk["filter_w1"]).T
+        sd[p + "mlp.0.bias"] = _np(blk["filter_b1"])
+        sd[p + "mlp.2.weight"] = _np(blk["filter_w2"]).T
+        sd[p + "mlp.2.bias"] = _np(blk["filter_b2"])
+        sd[p + "conv.lin1.weight"] = _np(blk["Dense_0"]["Dense_0"]["kernel"]).T
+        sd[p + "conv.lin2.weight"] = _np(blk["Dense_1"]["Dense_0"]["kernel"]).T
+        sd[p + "conv.lin2.bias"] = _np(blk["Dense_1"]["Dense_0"]["bias"])
+        sd[p + "lin.weight"] = _np(blk["Dense_2"]["Dense_0"]["kernel"]).T
+        sd[p + "lin.bias"] = _np(blk["Dense_2"]["Dense_0"]["bias"])
+    sd["lin1.weight"] = _np(params["Dense_0"]["Dense_0"]["kernel"]).T
+    sd["lin1.bias"] = _np(params["Dense_0"]["Dense_0"]["bias"])
+    sd["lin2.weight"] = _np(params["Dense_1"]["Dense_0"]["kernel"]).T
+    sd["lin2.bias"] = _np(params["Dense_1"]["Dense_0"]["bias"])
+    if "atomref" in params:
+        sd["atomref.weight"] = _np(params["atomref"])
+    return sd
+
+
+def painn_params_to_torch(params) -> Dict[str, np.ndarray]:
+    """``models.PaiNN`` params -> reference ``PaiNN.state_dict()`` arrays
+    (exact inverse of ``painn_params_from_torch``)."""
+    sd = {
+        "embedding.weight": _np(params["embedding"]),
+        "filter_net.weight": _np(params["filter_kernel"]).T,
+        "filter_net.bias": _np(params["filter_bias"]),
+    }
+    n = sum(1 for k in params if k.startswith("PaiNNInteraction_"))
+    for k in range(n):
+        blk = params[f"PaiNNInteraction_{k}"]
+        mix = params[f"PaiNNMixing_{k}"]
+        i = f"interactions.{k}.interatomic_context_net."
+        m = f"mixing.{k}."
+        sd[i + "0.weight"] = _np(blk["Dense_0"]["Dense_0"]["kernel"]).T
+        sd[i + "0.bias"] = _np(blk["Dense_0"]["Dense_0"]["bias"])
+        sd[i + "1.weight"] = _np(blk["Dense_1"]["Dense_0"]["kernel"]).T
+        sd[i + "1.bias"] = _np(blk["Dense_1"]["Dense_0"]["bias"])
+        sd[m + "mu_channel_mix.weight"] = _np(
+            mix["mu_channel_mix"]["Dense_0"]["kernel"]).T
+        sd[m + "intraatomic_context_net.0.weight"] = _np(
+            mix["Dense_0"]["Dense_0"]["kernel"]).T
+        sd[m + "intraatomic_context_net.0.bias"] = _np(
+            mix["Dense_0"]["Dense_0"]["bias"])
+        sd[m + "intraatomic_context_net.1.weight"] = _np(
+            mix["Dense_1"]["Dense_0"]["kernel"]).T
+        sd[m + "intraatomic_context_net.1.bias"] = _np(
+            mix["Dense_1"]["Dense_0"]["bias"])
+    return sd
+
+
+def save_torch_checkpoint(path: str, tree: dict) -> None:
+    """Write ``{"model": params}`` (or bare backbone params) as a reference-
+    format torch ``.pth`` state_dict; the backbone family is auto-detected
+    from the tree's key set."""
+    import torch
+
+    params = tree.get("model", tree) if isinstance(tree, dict) else tree
+    if "filter_kernel" in params:
+        sd = painn_params_to_torch(params)
+    elif "Embed_0" in params:
+        sd = schnet_params_to_torch(params)
+    else:
+        raise ValueError(
+            f"param tree matches neither backbone (keys: {sorted(params)[:6]})"
+        )
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)

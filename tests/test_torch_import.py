@@ -265,3 +265,25 @@ def test_finetune_checkpoint_head_drop_warns():
         warnings.simplefilter("always")
         schnet_params_from_torch(wrapped)
     assert any("graph_pred_linear" in str(x.message) for x in w)
+
+
+def test_export_roundtrip_both_backbones(tmp_path):
+    """params -> reference state_dict -> params is the identity, and the
+    exported .pth reloads through the normal checkpoint path."""
+    from geossl_tpu.utils.torch_import import save_torch_checkpoint
+    from geossl_tpu.train import checkpoints
+
+    rng = np.random.default_rng(7)
+    for maker, from_torch in ((make_schnet_sd, schnet_params_from_torch),
+                              (make_painn_sd, painn_params_from_torch)):
+        params = from_torch(maker(rng))
+        path = str(tmp_path / "export.pth")
+        save_torch_checkpoint(path, {"model": params})
+        back = checkpoints.load_checkpoint(path)["model"]
+        la = jax.tree_util.tree_leaves_with_path(params)
+        lb = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(back)}
+        assert len(la) == len(lb)
+        for k, v in la:
+            np.testing.assert_array_equal(np.asarray(v, np.float32),
+                                          lb[jax.tree_util.keystr(k)])
