@@ -40,16 +40,19 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
 
 def save_train_state(path: str, state, epoch: int,
-                     best_metric: float = float("inf")) -> None:
+                     best_metric: float = float("inf"),
+                     extra: Dict[str, float] | None = None) -> None:
     """Full-state checkpoint (params + optimizer state + step + epoch +
     best-so-far metric) for mid-training resume. The reference restarts
     killed jobs from scratch (SURVEY.md §5.3); this is the elastic-recovery
-    extension."""
+    extension. ``extra`` carries driver-specific scalars that must survive
+    the restart (e.g. the fine-tuners' test-at-best metrics)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {
         "state": serialization.to_state_dict(jax.device_get(state)),
         "epoch": epoch,
         "best_metric": float(best_metric),
+        "extra": {k: float(v) for k, v in (extra or {}).items()},
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -60,13 +63,15 @@ def save_train_state(path: str, state, epoch: int,
 
 
 def load_train_state(path: str, state_template):
-    """Restore (state, epoch, best_metric) from ``save_train_state`` output;
-    the template provides the pytree structure (freshly created TrainState)."""
+    """Restore (state, epoch, best_metric, extra) from ``save_train_state``
+    output; the template provides the pytree structure (freshly created
+    TrainState)."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     state = serialization.from_state_dict(state_template, payload["state"])
     best = float(payload.get("best_metric", float("inf")))
-    return state, int(payload["epoch"]), best
+    extra = {k: float(v) for k, v in payload.get("extra", {}).items()}
+    return state, int(payload["epoch"]), best, extra
 
 
 class BestModelSaver:

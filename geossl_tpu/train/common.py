@@ -196,7 +196,57 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--use_pallas", default="auto", choices=["auto", "on", "off"],
                    help="fused Pallas kernels (auto: on for TPU backends; "
                         "both support second-order AD for MD17 forces)")
+    p.add_argument("--ckpt_every", type=int, default=1,
+                   help="write the full resume state (params + optimizer + "
+                        "epoch + best metrics) every k epochs; the state "
+                        "fetch costs ~0.2 s through a remote-TPU tunnel — "
+                        "negligible at corpus scale. Best-model saves are "
+                        "unaffected")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <output_model_dir>/state.ckpt if present "
+                        "(the reference restarts killed jobs from scratch)")
     return p
+
+
+def try_resume(args, state, mesh, higher_is_better: bool = False):
+    """Shared --resume wiring for every driver.
+
+    Returns ``(state, start_epoch, best_metric, extra, state_path)`` —
+    ``state_path`` is empty when no --output_model_dir was given (state
+    checkpointing disabled), ``best_metric``/``extra`` come from the resume
+    file or are the fresh-start defaults.
+    """
+    import os
+
+    from geossl_tpu.parallel import mesh as pmesh
+    from geossl_tpu.train import checkpoints
+
+    state_path = (
+        os.path.join(args.output_model_dir, "state.ckpt")
+        if args.output_model_dir else ""
+    )
+    best = -float("inf") if higher_is_better else float("inf")
+    start_epoch, extra = 1, {}
+    if getattr(args, "resume", False) and state_path and os.path.exists(state_path):
+        state, last_epoch, best, extra = checkpoints.load_train_state(
+            state_path, state)
+        state = jax.device_put(state, pmesh.replicated(mesh))
+        start_epoch = last_epoch + 1
+        print(f"Resumed from {state_path} at epoch {last_epoch} "
+              f"(best {best:.5f})")
+    return state, start_epoch, best, extra, state_path
+
+
+def maybe_save_state(args, state_path, state, epoch, best_metric,
+                     extra=None) -> None:
+    """Write the resume state on the --ckpt_every cadence (and always on the
+    final epoch)."""
+    from geossl_tpu.train import checkpoints
+
+    if state_path and (epoch % max(getattr(args, "ckpt_every", 1), 1) == 0
+                       or epoch == args.epochs):
+        checkpoints.save_train_state(state_path, state, epoch, best_metric,
+                                     extra)
 
 
 def buckets(args) -> tuple:

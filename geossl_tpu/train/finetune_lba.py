@@ -116,8 +116,11 @@ def main(argv=None):
             "spearman": metrics.spearman(t, p),
         }
 
-    best_val_mse, best_epoch, best_test = float("inf"), -1, {}
-    for epoch in range(1, args.epochs + 1):
+    state, start_epoch, best_val_mse, extra, state_path = common.try_resume(
+        args, state, mesh)
+    best_epoch = int(extra.pop("best_epoch", -1))
+    best_test = extra  # remaining keys are the test metrics at best
+    for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
         losses = []
         for b in pmesh.prefetch(train_loader.epoch(epoch), mesh):
@@ -141,6 +144,10 @@ def main(argv=None):
                     os.path.join(args.output_model_dir, "model.ckpt"),
                     jax.device_get(state.params),
                 )
+        common.maybe_save_state(
+            args, state_path, state, epoch, best_val_mse,
+            {"best_epoch": best_epoch, **best_test},
+        )
     print(
         f"best val MSE: {best_val_mse:.5f} (epoch {best_epoch})\ttest @ best: "
         f"RMSE {best_test.get('rmse', float('nan')):.5f} "

@@ -188,8 +188,12 @@ def main(argv=None):
         s, t = np.concatenate(scores), np.concatenate(trues)
         return {"roc": metrics.roc_auc(t, s), "pr": metrics.pr_auc(t, s)}
 
-    best_val_roc, best_epoch, best_test = -1.0, -1, {}
-    for epoch in range(1, args.epochs + 1):
+    state, start_epoch, best_val_roc, extra, state_path = common.try_resume(
+        args, state, mesh, higher_is_better=True)
+    best_val_roc = max(best_val_roc, -1.0)  # fresh start: -inf -> -1.0
+    best_epoch = int(extra.pop("best_epoch", -1))
+    best_test = extra  # remaining keys are the test metrics at best
+    for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
         losses = []
         for d in pmesh.prefetch(loaders["train"].epoch(epoch), mesh):
@@ -213,6 +217,10 @@ def main(argv=None):
                     os.path.join(args.output_model_dir, "model.ckpt"),
                     jax.device_get(state.params),
                 )
+        common.maybe_save_state(
+            args, state_path, state, epoch, best_val_roc,
+            {"best_epoch": best_epoch, **best_test},
+        )
     print(
         f"best val ROC: {best_val_roc:.4f} (epoch {best_epoch})\ttest @ best: "
         f"ROC {best_test.get('roc', float('nan')):.4f} "

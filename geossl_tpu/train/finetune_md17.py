@@ -162,8 +162,12 @@ def main(argv=None):
     )
     ef_jit = jax.jit(energy_and_force)
 
-    best_val_force, best_epoch, test_at_best = float("inf"), -1, (float("nan"),) * 2
-    for epoch in range(1, args.epochs + 1):
+    state, start_epoch, best_val_force, extra, state_path = common.try_resume(
+        args, state, mesh)
+    best_epoch = int(extra.get("best_epoch", -1))
+    test_at_best = (extra.get("test_e", float("nan")),
+                    extra.get("test_f", float("nan")))
+    for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
         losses = []
         for b in pmesh.prefetch(train_loader.epoch(epoch), mesh):
@@ -188,6 +192,11 @@ def main(argv=None):
                     os.path.join(args.output_model_dir, "model.ckpt"),
                     jax.device_get(state.params),
                 )
+        common.maybe_save_state(
+            args, state_path, state, epoch, best_val_force,
+            {"best_epoch": best_epoch,
+             "test_e": test_at_best[0], "test_f": test_at_best[1]},
+        )
     print(
         f"best val force MAE: {best_val_force:.5f} (epoch {best_epoch})\t"
         f"test E/F MAE @ best: {test_at_best[0]:.5f}/{test_at_best[1]:.5f}"

@@ -149,9 +149,11 @@ def main(argv=None):
     train_step = make_train_step(backbone_apply, head, tx, args.loss)
     eval_step = make_eval_step(backbone_apply, head)
 
-    saver = checkpoints.BestModelSaver(args.output_model_dir)
-    best_val, best_epoch, test_at_best = float("inf"), -1, float("nan")
-    for epoch in range(1, args.epochs + 1):
+    state, start_epoch, best_val, extra, state_path = common.try_resume(
+        args, state, mesh)
+    best_epoch = int(extra.get("best_epoch", -1))
+    test_at_best = extra.get("test_at_best", float("nan"))
+    for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
         losses = []
         for b in pmesh.prefetch(train_loader.epoch(epoch), mesh):
@@ -178,6 +180,10 @@ def main(argv=None):
                     os.path.join(args.output_model_dir, "evaluation_best.npz"),
                     val_target=vt, val_pred=vp, test_target=tt, test_pred=tp,
                 )
+        common.maybe_save_state(
+            args, state_path, state, epoch, best_val,
+            {"best_epoch": best_epoch, "test_at_best": test_at_best},
+        )
     print(f"best val MAE: {best_val:.5f} (epoch {best_epoch})\t"
           f"test MAE @ best: {test_at_best:.5f}")
     if args.output_model_dir:

@@ -189,7 +189,9 @@ def _run(args, objective: str):
         return common.apply_updates(state, grads, tx), loss, acc
 
     saver = checkpoints.BestModelSaver(args.output_model_dir)
-    for epoch in range(1, args.epochs + 1):
+    state, start_epoch, best, _, state_path = common.try_resume(args, state, mesh)
+    saver.best_metric = best  # don't let a worse epoch overwrite model.ckpt
+    for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
         epoch_key = jax.random.PRNGKey(hash((args.seed + 1, epoch)) % (2**31))
         losses, accs = [], []
@@ -209,6 +211,8 @@ def _run(args, objective: str):
             f"Epoch: {epoch}\tLoss: {mean_loss:.5f}\tAcc: {mean_acc:.5f}"
             f"\tTime: {timer.elapsed():.3f}" + ("\t[saved best]" if saved else "")
         )
+        common.maybe_save_state(args, state_path, state, epoch,
+                                saver.best_metric)
     saver.save_final({"model": jax.device_get(state.params["model"])})
     return state
 

@@ -73,14 +73,6 @@ def build_parser():
                    action="store_true", default=True)
     p.add_argument("--no_detach_target", dest="detach_target",
                    action="store_false")
-    p.add_argument("--ckpt_every", type=int, default=1,
-                   help="write the full resume state every k epochs (the "
-                        "state fetch costs ~0.2 s through the remote-TPU "
-                        "tunnel — negligible at corpus scale, visible on "
-                        "small synthetic runs; best-model saves are "
-                        "unaffected)")
-    p.add_argument("--resume", action="store_true",
-                   help="resume from <output_model_dir>/state.ckpt if present")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="train steps fused into one dispatch via lax.scan; "
                         "useful when per-dispatch latency dominates (default "
@@ -279,17 +271,8 @@ def main(argv=None):
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
     saver = checkpoints.BestModelSaver(args.output_model_dir)
-    start_epoch = 1
-    state_path = (
-        os.path.join(args.output_model_dir, "state.ckpt")
-        if args.output_model_dir else ""
-    )
-    if args.resume and state_path and os.path.exists(state_path):
-        state, last_epoch, best = checkpoints.load_train_state(state_path, state)
-        state = jax.device_put(state, pmesh.replicated(mesh))
-        start_epoch = last_epoch + 1
-        saver.best_metric = best  # don't let a worse epoch overwrite model.ckpt
-        print(f"Resumed from {state_path} at epoch {last_epoch} (best {best:.5f})")
+    state, start_epoch, best, _, state_path = common.try_resume(args, state, mesh)
+    saver.best_metric = best  # don't let a worse epoch overwrite model.ckpt
     profiler_active = False
     for epoch in range(start_epoch, args.epochs + 1):
         if args.profile_dir and epoch == start_epoch:
@@ -350,9 +333,8 @@ def main(argv=None):
             _profiler.stop_trace()
             profiler_active = False
             print(f"profiler trace written to {args.profile_dir}")
-        if state_path and (epoch % max(args.ckpt_every, 1) == 0
-                           or epoch == args.epochs):
-            checkpoints.save_train_state(state_path, state, epoch, saver.best_metric)
+        common.maybe_save_state(args, state_path, state, epoch,
+                                saver.best_metric)
     saver.save_final({"model": jax.device_get(state.params[0]["model"])})
     return state
 

@@ -194,3 +194,45 @@ def test_supervised_constant_column_raises():
             )
     finally:
         pb.load_molecule3d = orig
+
+
+def test_finetune_resume_matches_straight_run(tmp_path, monkeypatch):
+    """--resume on the fine-tuners reproduces the uninterrupted run: final
+    params bit-for-bit, best-val bookkeeping (incl. test-at-best carried via
+    the state file's ``extra`` payload) identical. The interruption is a real
+    mid-run crash with the same --epochs (a shorter first leg would silently
+    change the cosine LR schedule)."""
+    import jax
+    import pytest
+
+    from geossl_tpu.train import checkpoints, finetune_qm9
+
+    def run(name, resume=False):
+        args = [
+            "--synthetic", "--synthetic_size", "96", "--epochs", "4",
+            "--batch_size", "16", "--num_devices", "1", "--task", "mu",
+            "--lr", "5e-4", "--output_model_dir", str(tmp_path / name),
+        ]
+        return finetune_qm9.main(args + (["--resume"] if resume else []))
+
+    straight_best, straight_test = run("straight")
+
+    real_save = checkpoints.save_train_state
+
+    def crash_after_epoch_2(path, state, epoch, best, extra=None):
+        real_save(path, state, epoch, best, extra)
+        if epoch == 2:
+            raise KeyboardInterrupt("simulated interruption")
+
+    monkeypatch.setattr(checkpoints, "save_train_state", crash_after_epoch_2)
+    with pytest.raises(KeyboardInterrupt):
+        run("resumed")
+    monkeypatch.setattr(checkpoints, "save_train_state", real_save)
+
+    resumed_best, resumed_test = run("resumed", resume=True)
+    assert resumed_best == straight_best
+    assert resumed_test == straight_test
+    a = checkpoints.load_checkpoint(str(tmp_path / "straight/model_final.ckpt"))
+    b = checkpoints.load_checkpoint(str(tmp_path / "resumed/model_final.ckpt"))
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(x, y)

@@ -189,8 +189,8 @@ def test_ddm_resume_reproduces_straight_run(tmp_path, monkeypatch):
 
     real_save = checkpoints.save_train_state
 
-    def crash_after_epoch_2(path, state, epoch, best):
-        real_save(path, state, epoch, best)
+    def crash_after_epoch_2(path, state, epoch, best, extra=None):
+        real_save(path, state, epoch, best, extra)
         if epoch == 2:
             raise KeyboardInterrupt("simulated interruption")
 

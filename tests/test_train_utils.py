@@ -101,13 +101,15 @@ def test_train_state_roundtrip(tmp_path):
     state = common.TrainState.create(params, tx)
     state = common.apply_updates(state, {"w": jnp.ones((2, 3))}, tx)
     path = str(tmp_path / "state.ckpt")
-    checkpoints.save_train_state(path, state, epoch=7, best_metric=0.25)
+    checkpoints.save_train_state(path, state, epoch=7, best_metric=0.25,
+                                 extra={"best_epoch": 3, "test_at_best": 0.5})
 
     template = common.TrainState.create(
         {"w": jnp.zeros((2, 3), jnp.float32)}, tx
     )
-    restored, epoch, best = checkpoints.load_train_state(path, template)
+    restored, epoch, best, extra = checkpoints.load_train_state(path, template)
     assert epoch == 7 and best == 0.25
+    assert extra == {"best_epoch": 3.0, "test_at_best": 0.5}
     np.testing.assert_allclose(
         np.asarray(restored.params["w"]), np.asarray(state.params["w"])
     )
