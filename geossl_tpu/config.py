@@ -66,6 +66,11 @@ class ModelConfig:
     # — the documented, strictly-more-informative delta; set 32 to match
     # released-checkpoint connectivity at LBA/LEP density.
     max_neighbors: Optional[int] = None
+    # Occupancy-gated ("block-sparse") pair tiles in the fused kernels: empty
+    # tiles (out-of-cutoff + padding; ~half of all tiles at Atom3D density)
+    # skip their whole compute body via scalar-prefetched flags. "auto"
+    # enables them at N>=256 pair grids; identical outputs either way.
+    sparse_tiles: str = "auto"  # {"auto", "on", "off"}
 
     def __post_init__(self):
         # argparse validates CLI input; this catches direct construction with
@@ -80,6 +85,9 @@ class ModelConfig:
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"compute_dtype must be 'float32' or 'bfloat16', "
                              f"got {self.compute_dtype!r}")
+        if self.sparse_tiles not in ("auto", "on", "off"):
+            raise ValueError(f"sparse_tiles must be 'auto', 'on' or 'off', "
+                             f"got {self.sparse_tiles!r}")
         if self.max_neighbors is not None and self.max_neighbors <= 0:
             raise ValueError(f"max_neighbors must be positive or None "
                              f"('no cap' is None), got {self.max_neighbors}")

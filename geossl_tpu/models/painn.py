@@ -31,7 +31,7 @@ Behavioral parity notes:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,9 @@ class PaiNNInteraction(nn.Module):
     cutoff: float = 5.0
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    # Occupancy-gated tiles ("auto"/True/False): skip pair tiles whose gate
+    # block is all-zero — see ops/painn_pallas.painn_message.
+    sparse: Any = "auto"
 
     @nn.compact
     def __call__(self, q, mu, dist, gate, direction, wk, bk):
@@ -85,7 +88,7 @@ class PaiNNInteraction(nn.Module):
                 x.astype(jnp.float32),
                 mu.astype(jnp.float32).reshape(b, n, 3 * f),
                 wk.astype(jnp.float32), bk.astype(jnp.float32), self.cutoff,
-                symmetric=False,
+                symmetric=False, sparse=self.sparse,
             )
             dmu = dmu_flat.reshape(b, n, 3, f)
             return q + dq.astype(q.dtype), mu + dmu.astype(mu.dtype)
@@ -161,6 +164,7 @@ class PaiNN(nn.Module):
     zero_pad_embedding: bool = True
     remat: bool = True
     use_pallas: bool = False
+    sparse: Any = "auto"  # occupancy-gated pair tiles (painn_message docstring)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -207,7 +211,7 @@ class PaiNN(nn.Module):
         )
         mk_inter = lambda name: interaction_cls(
             f, cutoff=self.cutoff, dtype=self.dtype,
-            use_pallas=self.use_pallas, name=name,
+            use_pallas=self.use_pallas, sparse=self.sparse, name=name,
         )
         if self.shared_interactions:
             interaction = mk_inter("PaiNNInteraction_shared")

@@ -31,7 +31,7 @@ Behavioral parity notes:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -65,6 +65,9 @@ class InteractionBlock(nn.Module):
     # (the plain radius adjacency is; a max_neighbors-truncated one is NOT) —
     # lets the fused kernel skip below-diagonal tiles.
     symmetric: bool = True
+    # Occupancy-gated tiles ("auto"/True/False): skip pair tiles whose env
+    # block is all-zero — see ops/cfconv_pallas.cfconv.
+    sparse: Any = "auto"
 
     @nn.compact
     def __call__(self, h, dist, adj):
@@ -95,6 +98,7 @@ class InteractionBlock(nn.Module):
             dist, env, x.astype(jnp.promote_types(jnp.float32, x.dtype)),
             w1, b1, w2, b2, 0.0, self.cutoff, self.num_gaussians, mxu,
             symmetric=self.symmetric, use_pallas=self.use_pallas,
+            sparse=self.sparse,
         )
         if self.dtype is not None:
             m = m.astype(self.dtype)
@@ -130,6 +134,7 @@ class SchNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     filter_mxu: str = "f32"
+    sparse: Any = "auto"  # occupancy-gated pair tiles (cfconv docstring)
 
     @nn.compact
     def __call__(self, atom_type, positions, node_mask):
@@ -162,6 +167,7 @@ class SchNet(nn.Module):
                 # k-nearest truncation breaks adjacency symmetry, so the
                 # tile-skipping kernel path must be disabled with it
                 symmetric=self.max_neighbors is None,
+                sparse=self.sparse,
             )(h, dist, adj)
 
         h = Dense(self.hidden_channels, dtype=self.dtype)(h)

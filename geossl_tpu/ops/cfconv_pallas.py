@@ -39,8 +39,12 @@ from jax.experimental import pallas as pl
 from geossl_tpu.ops.pallas_utils import interpret as _interpret
 from geossl_tpu.ops.pallas_utils import (
     mirror_skipped_mask as _mirror_skipped_mask,
+    occ_at,
+    pair_pallas_call,
     pair_tiles,
+    sparse_auto,
     sym_grid_info,
+    tile_occupancy,
     unplace_pair_cotangent,
 )
 
@@ -86,24 +90,37 @@ def _batch_block(b, ti, tj, budget=8192):
     return _largest_legal_divisor(b, max(1, budget // (ti * tj)), 1)
 
 
-def _fwd_kernel(dist_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                out_ref, *, start, delta, num_g, coeff, bb, ti, tj, mxu):
+def _fwd_kernel(*refs, start, delta, num_g, coeff, bb, ti, tj, mxu, sparse):
+    if sparse:
+        (occ_ref, dist_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = refs
+    else:
+        (dist_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = refs
     offsets = _offsets(start, delta, num_g)
-    j = pl.program_id(2)
+    bi, ii, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    rbf = _rbf_4d(dist_ref[...], offsets, coeff, bb, ti, tj, num_g)
-    h = _dot(rbf, w1_ref[...], mxu) + b1_ref[0]
-    h = _ssp(h)
-    w = _dot(h, w2_ref[...], mxu) + b2_ref[0]
-    w = w.reshape(bb, ti, tj, -1) * env_ref[...][:, :, :, None]
-    out_ref[...] += jnp.sum(w * x_ref[...][:, None, :, :], axis=2)
+    def body():
+        rbf = _rbf_4d(dist_ref[...], offsets, coeff, bb, ti, tj, num_g)
+        h = _dot(rbf, w1_ref[...], mxu) + b1_ref[0]
+        h = _ssp(h)
+        w = _dot(h, w2_ref[...], mxu) + b2_ref[0]
+        w = w.reshape(bb, ti, tj, -1) * env_ref[...][:, :, :, None]
+        out_ref[...] += jnp.sum(w * x_ref[...][:, None, :, :], axis=2)
+
+    if sparse:
+        pl.when(occ_at(occ_ref, bi, ii, j, pl.num_programs(1),
+                       pl.num_programs(2)) != 0)(body)
+    else:
+        body()
 
 
-def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
+def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32",
+                sparse=False):
     b, n, _ = dist.shape
     f = x.shape[-1]
     ti, tj = pair_tiles(n, 4096)
@@ -112,10 +129,10 @@ def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
     coeff = -0.5 / delta**2
     grid = (b // bb, n // ti, n // tj)
     kernel = partial(_fwd_kernel, start=start, delta=delta, num_g=num_g,
-                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu)
-    return pl.pallas_call(
+                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu, sparse=sparse)
+    return pair_pallas_call(
         kernel,
-        grid=grid,
+        grid,
         in_specs=[
             pl.BlockSpec((bb, ti, tj), lambda b, i, j: (b, i, j)),
             pl.BlockSpec((bb, ti, tj), lambda b, i, j: (b, i, j)),
@@ -127,16 +144,23 @@ def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
         ],
         out_specs=pl.BlockSpec((bb, ti, f), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+        args=(dist, env, x, w1, b1[None], w2, b2[None]),
+        occ=tile_occupancy(env, bb, ti, tj) if sparse else None,
         interpret=_interpret(),
-    )(dist, env, x, w1, b1[None], w2, b2[None])
+    )
 
 
-def _bwd_kernel(dist_ref, env_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, ddist_ref, denv_ref, dx_ref, dw1_ref, db1_ref,
-                dw2_ref, db2_ref,
-                *, start, delta, num_g, coeff, bb, ti, tj, mxu):
+def _bwd_kernel(*refs, start, delta, num_g, coeff, bb, ti, tj, mxu, sparse):
     # grid = (b, j_tile, i_tile): i innermost so the j-indexed dx output
     # accumulates over consecutive grid steps (same pattern as painn_pallas)
+    if sparse:
+        (occ_ref, dist_ref, env_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
+         b2_ref, ddist_ref, denv_ref, dx_ref, dw1_ref, db1_ref, dw2_ref,
+         db2_ref) = refs
+    else:
+        (dist_ref, env_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         ddist_ref, denv_ref, dx_ref, dw1_ref, db1_ref, dw2_ref,
+         db2_ref) = refs
     offsets = _offsets(start, delta, num_g)
     bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -151,38 +175,58 @@ def _bwd_kernel(dist_ref, env_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
         dw2_ref[...] = jnp.zeros_like(dw2_ref)
         db2_ref[...] = jnp.zeros_like(db2_ref)
 
-    d3 = dist_ref[...]  # [bb, ti, tj]
-    env4 = env_ref[...][:, :, :, None]  # [bb, ti, tj, 1]
-    rbf = _rbf_4d(d3, offsets, coeff, bb, ti, tj, num_g)
-    pre1 = _dot(rbf, w1_ref[...], mxu) + b1_ref[0]
-    s = _ssp(pre1)
-    w_raw = _dot(s, w2_ref[...], mxu) + b2_ref[0]
+    def body():
+        d3 = dist_ref[...]  # [bb, ti, tj]
+        env4 = env_ref[...][:, :, :, None]  # [bb, ti, tj, 1]
+        rbf = _rbf_4d(d3, offsets, coeff, bb, ti, tj, num_g)
+        pre1 = _dot(rbf, w1_ref[...], mxu) + b1_ref[0]
+        s = _ssp(pre1)
+        w_raw = _dot(s, w2_ref[...], mxu) + b2_ref[0]
 
-    # q[b,i,j,f] = g[b,i,f] * x[b,j,f]
-    f = x_ref.shape[-1]
-    w4 = w_raw.reshape(bb, ti, tj, f)
-    g4 = g_ref[...][:, :, None, :]  # [bb, ti, 1, F]
-    q4 = g4 * x_ref[...][:, None, :, :]  # [bb,ti,tj,F]
-    denv_ref[...] = jnp.sum(w4 * q4, axis=3)
-    # dx[b,j,f] = Σ_i env[i,j]·W[i,j,f]·g[i,f] — this tile already recomputed
-    # W, so emitting dx here replaces a second full forward-kernel launch
-    dx_ref[...] += jnp.sum(w4 * env4 * g4, axis=1)
-    qe = (q4 * env4).reshape(bb * ti * tj, f)
+        # q[b,i,j,f] = g[b,i,f] * x[b,j,f]
+        f = x_ref.shape[-1]
+        w4 = w_raw.reshape(bb, ti, tj, f)
+        g4 = g_ref[...][:, :, None, :]  # [bb, ti, 1, F]
+        q4 = g4 * x_ref[...][:, None, :, :]  # [bb,ti,tj,F]
+        denv_ref[...] = jnp.sum(w4 * q4, axis=3)
+        # dx[b,j,f] = Σ_i env[i,j]·W[i,j,f]·g[i,f] — this tile already
+        # recomputed W, so emitting dx here replaces a second full
+        # forward-kernel launch
+        dx_ref[...] += jnp.sum(w4 * env4 * g4, axis=1)
+        qe = (q4 * env4).reshape(bb * ti * tj, f)
 
-    dw2_ref[...] += _dot(s.T, qe, mxu)
-    db2_ref[0] += jnp.sum(qe, axis=0)
-    dh = _dot(qe, w2_ref[...].T, mxu)
-    dh = dh * jax.nn.sigmoid(pre1)  # ssp' = sigmoid
-    dw1_ref[...] += _dot(rbf.T, dh, mxu)
-    db1_ref[0] += jnp.sum(dh, axis=0)
-    # ddist via the RBF chain rule: drbf/dd = rbf * 2*coeff*(d - off)
-    drbf = _dot(dh, w1_ref[...].T, mxu)
-    diff4 = d3[:, :, :, None] - offsets.reshape(1, 1, 1, num_g)
-    chain4 = drbf.reshape(bb, ti, tj, num_g) * jnp.exp(coeff * diff4 * diff4)
-    ddist_ref[...] = jnp.sum(chain4 * (2.0 * coeff) * diff4, axis=3)
+        dw2_ref[...] += _dot(s.T, qe, mxu)
+        db2_ref[0] += jnp.sum(qe, axis=0)
+        dh = _dot(qe, w2_ref[...].T, mxu)
+        dh = dh * jax.nn.sigmoid(pre1)  # ssp' = sigmoid
+        dw1_ref[...] += _dot(rbf.T, dh, mxu)
+        db1_ref[0] += jnp.sum(dh, axis=0)
+        # ddist via the RBF chain rule: drbf/dd = rbf * 2*coeff*(d - off)
+        drbf = _dot(dh, w1_ref[...].T, mxu)
+        diff4 = d3[:, :, :, None] - offsets.reshape(1, 1, 1, num_g)
+        chain4 = drbf.reshape(bb, ti, tj, num_g) * jnp.exp(
+            coeff * diff4 * diff4
+        )
+        ddist_ref[...] = jnp.sum(chain4 * (2.0 * coeff) * diff4, axis=3)
+
+    if sparse:
+        occupied = occ_at(occ_ref, bi, ii, jj, pl.num_programs(2),
+                          pl.num_programs(1)) != 0
+        pl.when(occupied)(body)
+
+        @pl.when(jnp.logical_not(occupied))
+        def _():
+            # empty tile: ddist is exactly zero (every term carries an env
+            # factor); denv is zeroed by the occupancy-skip contract
+            # (pallas_utils.tile_occupancy docstring)
+            ddist_ref[...] = jnp.zeros_like(ddist_ref)
+            denv_ref[...] = jnp.zeros_like(denv_ref)
+    else:
+        body()
 
 
-def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
+def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g,
+                mxu="f32", sparse=False):
     b, n, _ = dist.shape
     f = x.shape[-1]
     f1 = w1.shape[1]
@@ -195,12 +239,12 @@ def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
     # grid (b, jt, it): i innermost; pair blocks live at (i, j)
     grid = (b // bb, n // tj, n // ti)
     kernel = partial(_bwd_kernel, start=start, delta=delta, num_g=num_g,
-                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu)
+                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu, sparse=sparse)
     pair = pl.BlockSpec((bb, ti, tj), lambda b, j, i: (b, i, j))
     acc = lambda shape: pl.BlockSpec(shape, lambda b, j, i: tuple(0 for _ in shape))
-    return pl.pallas_call(
+    return pair_pallas_call(
         kernel,
-        grid=grid,
+        grid,
         in_specs=[
             pair,
             pair,
@@ -229,44 +273,55 @@ def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
             jax.ShapeDtypeStruct((f1, f), jnp.float32),
             jax.ShapeDtypeStruct((1, f), jnp.float32),
         ],
+        args=(dist, env, x, g, w1, b1[None], w2, b2[None]),
+        occ=tile_occupancy(env, bb, ti, tj) if sparse else None,
         interpret=_interpret(),
-    )(dist, env, x, g, w1, b1[None], w2, b2[None])
+    )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32",
+                 sparse=False):
     """Fused CFConv: see module docstring. All inputs f32; returns [B,N,F].
     ``mxu='bf16'`` runs the filter matmuls (fwd AND grad) with bf16 operands
-    and f32 accumulation — full MXU rate, ~1e-3 relative drift."""
-    return _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu)
+    and f32 accumulation — full MXU rate, ~1e-3 relative drift.
+    ``sparse=True`` skips pair tiles whose env block is all-zero (scalar-
+    prefetched occupancy flags) — identical outputs; the denv cotangent is
+    zeroed on skipped tiles (exact: env is identically zero there)."""
+    return _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu,
+                       sparse)
 
 
-def _vjp_fwd(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
+def _vjp_fwd(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32",
+             sparse=False):
     # call the custom-vjp op (not the raw kernel) so that differentiating the
     # saved forward — which second-order AD does — hits this VJP again
     # instead of pallas_call's missing JVP rule
-    out = cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu)
+    out = cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu,
+                       sparse)
     return out, (dist, env, x, w1, b1, w2, b2)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def _cfconv_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g, mxu="f32"):
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _cfconv_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g,
+                mxu="f32", sparse=False):
     """Differentiable wrapper of the backward kernel: returns
     (ddist, denv, dx, dw1, db1, dw2, db2). Its own VJP (the second-order
     terms) runs through the XLA reference math."""
     ddist, denv, dx, dw1, db1, dw2, db2 = _bwd_pallas(
-        dist, env, x, g, w1, b1, w2, b2, start, stop, num_g, mxu
+        dist, env, x, g, w1, b1, w2, b2, start, stop, num_g, mxu, sparse
     )
     return ddist, denv, dx, dw1, db1[0], dw2, db2[0]
 
 
 def _cfconv_bwd_fwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g,
-                    mxu="f32"):
-    out = _cfconv_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g, mxu)
+                    mxu="f32", sparse=False):
+    out = _cfconv_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g,
+                      mxu, sparse)
     return out, (dist, env, x, w1, b1, w2, b2, g)
 
 
-def _cfconv_bwd_bwd(start, stop, num_g, mxu, res, cts):
+def _cfconv_bwd_bwd(start, stop, num_g, mxu, sparse, res, cts):
     dist, env, x, w1, b1, w2, b2, g = res
 
     def ref_grads(dist, env, x, w1, b1, w2, b2, g):
@@ -285,11 +340,11 @@ def _cfconv_bwd_bwd(start, stop, num_g, mxu, res, cts):
 _cfconv_bwd.defvjp(_cfconv_bwd_fwd, _cfconv_bwd_bwd)
 
 
-def _vjp_bwd(start, stop, num_g, mxu, res, g):
+def _vjp_bwd(start, stop, num_g, mxu, sparse, res, g):
     dist, env, x, w1, b1, w2, b2 = res
     return _cfconv_bwd(
         dist, env, x, w1, b1, w2, b2, g.astype(jnp.float32),
-        start, stop, num_g, mxu,
+        start, stop, num_g, mxu, sparse,
     )
 
 
@@ -330,16 +385,27 @@ def sym_profitable(n: int) -> bool:
     return _sym_grid_info(n)[2] > 0
 
 
-def _fwd_sym_kernel(dist_ref, env_ref, xj_ref, xi_ref, w1_ref, b1_ref,
-                    w2_ref, b2_ref, out1_ref, out2_ref,
-                    *, start, delta, num_g, coeff, bb, ti, tj, mxu):
+def _fwd_sym_kernel(*refs, start, delta, num_g, coeff, bb, ti, tj, mxu,
+                    sparse):
     # grid = (b, j_tile, i_tile), i innermost. The j-indexed out2 block stays
     # resident across the inner loop (consecutive accumulation — Mosaic does
     # not support accumulating into a block that is left and revisited); the
     # i-indexed A contributions go to per-tile slots summed outside.
+    if sparse:
+        (occ_ref, dist_ref, env_ref, xj_ref, xi_ref, w1_ref, b1_ref, w2_ref,
+         b2_ref, out1_ref, out2_ref) = refs
+    else:
+        (dist_ref, env_ref, xj_ref, xi_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out1_ref, out2_ref) = refs
     offsets = _offsets(start, delta, num_g)
-    jj, ii = pl.program_id(1), pl.program_id(2)
+    bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     skipped = (jj + 1) * tj <= ii * ti  # tile fully below the band
+    if sparse:
+        # empty tiles contribute nothing; their (symmetric) mirror tile is
+        # equally empty, so no mirror emission is lost either
+        skipped = skipped | (occ_at(occ_ref, bi, ii, jj,
+                            pl.num_programs(2),
+                            pl.num_programs(1)) == 0)
 
     @pl.when(ii == 0)
     def _():
@@ -366,7 +432,7 @@ def _fwd_sym_kernel(dist_ref, env_ref, xj_ref, xi_ref, w1_ref, b1_ref,
 
 
 def _fwd_sym_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
-                    mxu="f32"):
+                    mxu="f32", sparse=False):
     b, n, _ = dist.shape
     f = x.shape[-1]
     ti, tj, _ = _sym_grid_info(n)
@@ -374,10 +440,10 @@ def _fwd_sym_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
     delta = (stop - start) / (num_g - 1)
     coeff = -0.5 / delta**2
     kernel = partial(_fwd_sym_kernel, start=start, delta=delta, num_g=num_g,
-                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu)
-    out1, out2 = pl.pallas_call(
+                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu, sparse=sparse)
+    out1, out2 = pair_pallas_call(
         kernel,
-        grid=(b // bb, n // tj, n // ti),
+        (b // bb, n // tj, n // ti),
         in_specs=[
             pl.BlockSpec((bb, ti, tj), lambda b, j, i: (b, i, j)),
             pl.BlockSpec((bb, ti, tj), lambda b, j, i: (b, i, j)),
@@ -396,17 +462,26 @@ def _fwd_sym_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
             jax.ShapeDtypeStruct((b, n // tj, n, f), jnp.float32),
             jax.ShapeDtypeStruct((b, n, f), jnp.float32),
         ],
+        args=(dist, env, x, x, w1, b1[None], w2, b2[None]),
+        occ=tile_occupancy(env, bb, ti, tj) if sparse else None,
         interpret=_interpret(),
-    )(dist, env, x, x, w1, b1[None], w2, b2[None])
+    )
     return jnp.sum(out1, axis=1) + out2
 
 
-def _bwd_sym_kernel(dist_ref, env_ref, xj_ref, xi_ref, gi_ref, gj_ref,
-                    w1_ref, b1_ref, w2_ref, b2_ref,
-                    ddist_ref, denv_ref, dxj_ref, dxi_ref,
-                    dw1_ref, db1_ref, dw2_ref, db2_ref,
-                    *, start, delta, num_g, coeff, bb, ti, tj, mxu):
+def _bwd_sym_kernel(*refs, start, delta, num_g, coeff, bb, ti, tj, mxu,
+                    sparse):
     # grid = (b, j_tile, i_tile), i innermost (dxj accumulates consecutively)
+    if sparse:
+        (occ_ref, dist_ref, env_ref, xj_ref, xi_ref, gi_ref, gj_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref,
+         ddist_ref, denv_ref, dxj_ref, dxi_ref,
+         dw1_ref, db1_ref, dw2_ref, db2_ref) = refs
+    else:
+        (dist_ref, env_ref, xj_ref, xi_ref, gi_ref, gj_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref,
+         ddist_ref, denv_ref, dxj_ref, dxi_ref,
+         dw1_ref, db1_ref, dw2_ref, db2_ref) = refs
     offsets = _offsets(start, delta, num_g)
     bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -422,6 +497,10 @@ def _bwd_sym_kernel(dist_ref, env_ref, xj_ref, xi_ref, gi_ref, gj_ref,
         db2_ref[...] = jnp.zeros_like(db2_ref)
 
     skipped = (jj + 1) * tj <= ii * ti
+    if sparse:
+        skipped = skipped | (occ_at(occ_ref, bi, ii, jj,
+                            pl.num_programs(2),
+                            pl.num_programs(1)) == 0)
 
     @pl.when(skipped)
     def _():
@@ -470,7 +549,7 @@ def _bwd_sym_kernel(dist_ref, env_ref, xj_ref, xi_ref, gi_ref, gj_ref,
 
 
 def _bwd_sym_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g,
-                    mxu="f32"):
+                    mxu="f32", sparse=False):
     b, n, _ = dist.shape
     f = x.shape[-1]
     f1 = w1.shape[1]
@@ -479,12 +558,12 @@ def _bwd_sym_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g,
     delta = (stop - start) / (num_g - 1)
     coeff = -0.5 / delta**2
     kernel = partial(_bwd_sym_kernel, start=start, delta=delta, num_g=num_g,
-                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu)
+                     coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu, sparse=sparse)
     pair = pl.BlockSpec((bb, ti, tj), lambda b, j, i: (b, i, j))
     acc = lambda shape: pl.BlockSpec(shape, lambda b, j, i: tuple(0 for _ in shape))
-    return pl.pallas_call(
+    return pair_pallas_call(
         kernel,
-        grid=(b // bb, n // tj, n // ti),
+        (b // bb, n // tj, n // ti),
         in_specs=[
             pair,
             pair,
@@ -517,43 +596,48 @@ def _bwd_sym_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g,
             jax.ShapeDtypeStruct((f1, f), jnp.float32),
             jax.ShapeDtypeStruct((1, f), jnp.float32),
         ],
+        args=(dist, env, x, x, g, g, w1, b1[None], w2, b2[None]),
+        occ=tile_occupancy(env, bb, ti, tj) if sparse else None,
         interpret=_interpret(),
-    )(dist, env, x, x, g, g, w1, b1[None], w2, b2[None])
+    )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def cfconv_fused_sym(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
-                     mxu="f32"):
+                     mxu="f32", sparse=False):
     """Symmetric-input CFConv (see block comment above): identical output,
     37.5% less filter work at N=512; ddist/denv cotangents are placement-
-    symmetrized. Use ONLY with symmetric dist/env."""
+    symmetrized. Use ONLY with symmetric dist/env. ``sparse=True``
+    additionally skips tiles whose env block is all-zero (occupancy flags
+    via scalar prefetch; see pallas_utils.tile_occupancy)."""
     return _fwd_sym_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
-                           mxu)
+                           mxu, sparse)
 
 
-def _sym_vjp_fwd(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32"):
+def _sym_vjp_fwd(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32",
+                 sparse=False):
     out = cfconv_fused_sym(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
-                           mxu)
+                           mxu, sparse)
     return out, (dist, env, x, w1, b1, w2, b2)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _cfconv_sym_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g,
-                    mxu="f32"):
+                    mxu="f32", sparse=False):
     ddist, denv, dxj, dxi, dw1, db1, dw2, db2 = _bwd_sym_pallas(
-        dist, env, x, g, w1, b1, w2, b2, start, stop, num_g, mxu
+        dist, env, x, g, w1, b1, w2, b2, start, stop, num_g, mxu, sparse
     )
     return ddist, denv, dxj + jnp.sum(dxi, axis=1), dw1, db1[0], dw2, db2[0]
 
 
 def _cfconv_sym_bwd_fwd(dist, env, x, w1, b1, w2, b2, g, start, stop, num_g,
-                        mxu="f32"):
+                        mxu="f32", sparse=False):
     out = _cfconv_sym_bwd(dist, env, x, w1, b1, w2, b2, g, start, stop,
-                          num_g, mxu)
+                          num_g, mxu, sparse)
     return out, (dist, env, x, w1, b1, w2, b2, g)
 
 
-def _cfconv_sym_bwd_bwd(start, stop, num_g, mxu, res, cts):
+def _cfconv_sym_bwd_bwd(start, stop, num_g, mxu, sparse, res, cts):
     dist, env, x, w1, b1, w2, b2, g = res
     ti, tj, _ = _sym_grid_info(dist.shape[-1])
     c_dd, c_de, c_dx, c_w1, c_b1, c_w2, c_b2 = cts
@@ -579,11 +663,11 @@ def _cfconv_sym_bwd_bwd(start, stop, num_g, mxu, res, cts):
 _cfconv_sym_bwd.defvjp(_cfconv_sym_bwd_fwd, _cfconv_sym_bwd_bwd)
 
 
-def _sym_vjp_bwd(start, stop, num_g, mxu, res, g):
+def _sym_vjp_bwd(start, stop, num_g, mxu, sparse, res, g):
     dist, env, x, w1, b1, w2, b2 = res
     return _cfconv_sym_bwd(
         dist, env, x, w1, b1, w2, b2, g.astype(jnp.float32),
-        start, stop, num_g, mxu,
+        start, stop, num_g, mxu, sparse,
     )
 
 
@@ -591,16 +675,21 @@ cfconv_fused_sym.defvjp(_sym_vjp_fwd, _sym_vjp_bwd)
 
 
 def cfconv(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32",
-           symmetric=False, use_pallas=True):
+           symmetric=False, use_pallas=True, sparse="auto"):
     """Dispatcher: fused kernel (symmetric variant when the caller guarantees
-    symmetric dist/env AND the tiling can skip tiles) or the XLA reference."""
+    symmetric dist/env AND the tiling can skip tiles) or the XLA reference.
+    ``sparse``: True/False force occupancy-gated tiles on/off; "auto" enables
+    them at the Atom3D pair-grid sizes (N>=256) where cutoff+padding leave
+    ~half the tiles empty (docs/PERF.md)."""
     if not use_pallas:
         return cfconv_fused_reference(dist, env, x, w1, b1, w2, b2, start,
                                       stop, num_g, mxu)
+    sp = sparse_auto(dist.shape[-1], sparse)
     if symmetric and sym_profitable(dist.shape[-1]):
         return cfconv_fused_sym(dist, env, x, w1, b1, w2, b2, start, stop,
-                                num_g, mxu)
-    return cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu)
+                                num_g, mxu, sp)
+    return cfconv_fused(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
+                        mxu, sp)
 
 
 def cfconv_fused_reference(dist, env, x, w1, b1, w2, b2, start, stop, num_g,

@@ -42,8 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 from geossl_tpu.ops.pallas_utils import interpret as _interpret
 from geossl_tpu.ops.pallas_utils import (
     mirror_skipped_mask,
+    occ_at,
+    pair_pallas_call,
     pair_tiles,
     sym_grid_info,
+    tile_occupancy,
     unplace_pair_cotangent,
 )
 
@@ -92,37 +95,49 @@ def _batch_block(b, ti, tj, budget):
     return _largest_legal_divisor(b, max(1, budget // (ti * tj)), 1)
 
 
-def _fwd_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
-                wk_ref, bk_ref, dq_ref, dmu_ref,
-                *, cutoff, num_r, coeff, bb, ti, tj, f):
-    j = pl.program_id(2)
+def _fwd_kernel(*refs, cutoff, num_r, coeff, bb, ti, tj, f, sparse):
+    if sparse:
+        (occ_ref, dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
+         wk_ref, bk_ref, dq_ref, dmu_ref) = refs
+    else:
+        (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
+         wk_ref, bk_ref, dq_ref, dmu_ref) = refs
+    bi, ii, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
         dq_ref[...] = jnp.zeros_like(dq_ref)
         dmu_ref[...] = jnp.zeros_like(dmu_ref)
 
-    _, w4 = _gated_filters_blocked(
-        dist_ref[...], gate_ref[...], wk_ref, bk_ref, cutoff, num_r, coeff,
-        bb, ti, tj,
-    )
-    wq, wr, wm = jnp.split(w4, 3, axis=-1)
-    xq, xr, xm = jnp.split(x_ref[...], 3, axis=-1)  # [bb, tj, F] each
-    mu_c_list = jnp.split(mu_ref[...], 3, axis=-1)  # [bb, tj, F] each
+    def body():
+        _, w4 = _gated_filters_blocked(
+            dist_ref[...], gate_ref[...], wk_ref, bk_ref, cutoff, num_r,
+            coeff, bb, ti, tj,
+        )
+        wq, wr, wm = jnp.split(w4, 3, axis=-1)
+        xq, xr, xm = jnp.split(x_ref[...], 3, axis=-1)  # [bb, tj, F] each
+        mu_c_list = jnp.split(mu_ref[...], 3, axis=-1)  # [bb, tj, F] each
 
-    dq_ref[...] += jnp.sum(wq * xq[:, None, :, :], axis=2)
-    m_r = wr * xr[:, None, :, :]  # [bb,ti,tj,f]
-    m_m = wm * xm[:, None, :, :]
-    dirs = (dx_ref[...], dy_ref[...], dz_ref[...])
-    parts = []
-    for c in range(3):
-        dmu_c = jnp.sum(m_r * dirs[c][:, :, :, None], axis=2)
-        dmu_c += jnp.sum(m_m * mu_c_list[c][:, None, :, :], axis=2)
-        parts.append(dmu_c)
-    dmu_ref[...] += jnp.concatenate(parts, axis=-1)
+        dq_ref[...] += jnp.sum(wq * xq[:, None, :, :], axis=2)
+        m_r = wr * xr[:, None, :, :]  # [bb,ti,tj,f]
+        m_m = wm * xm[:, None, :, :]
+        dirs = (dx_ref[...], dy_ref[...], dz_ref[...])
+        parts = []
+        for c in range(3):
+            dmu_c = jnp.sum(m_r * dirs[c][:, :, :, None], axis=2)
+            dmu_c += jnp.sum(m_m * mu_c_list[c][:, None, :, :], axis=2)
+            parts.append(dmu_c)
+        dmu_ref[...] += jnp.concatenate(parts, axis=-1)
+
+    if sparse:
+        pl.when(occ_at(occ_ref, bi, ii, j, pl.num_programs(1),
+                       pl.num_programs(2)) != 0)(body)
+    else:
+        body()
 
 
-def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
+def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
+                sparse=False):
     b, n, _ = dist.shape
     f3 = x.shape[-1]
     f = f3 // 3
@@ -132,11 +147,11 @@ def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
     kernel = partial(_fwd_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,
-                     bb=bb, ti=ti, tj=tj, f=f)
+                     bb=bb, ti=ti, tj=tj, f=f, sparse=sparse)
     pair = pl.BlockSpec((bb, ti, tj), lambda b, i, j: (b, i, j))
-    return pl.pallas_call(
+    return pair_pallas_call(
         kernel,
-        grid=(b // bb, n // ti, n // tj),
+        (b // bb, n // ti, n // tj),
         in_specs=[
             pair, pair, pair, pair, pair,
             pl.BlockSpec((bb, tj, f3), lambda b, i, j: (b, j, 0)),
@@ -152,18 +167,26 @@ def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
             jax.ShapeDtypeStruct((b, n, f), jnp.float32),
             jax.ShapeDtypeStruct((b, n, f3), jnp.float32),
         ],
+        args=(dist, gate, dirx, diry, dirz, x, mu, wk, bk[None]),
+        occ=tile_occupancy(gate, bb, ti, tj) if sparse else None,
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20),
-    )(dist, gate, dirx, diry, dirz, x, mu, wk, bk[None])
+    )
 
 
-def _bwd_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
-                wk_ref, bk_ref, gq_ref, gmu_ref,
-                dxn_ref, dmu_in_ref, dwk_ref, dbk_ref,
-                ddist_ref, dgate_ref, ddx_ref, ddy_ref, ddz_ref,
-                *, cutoff, num_r, coeff, bb, ti, tj, f):
+def _bwd_kernel(*refs, cutoff, num_r, coeff, bb, ti, tj, f, sparse):
     # grid = (b, j_tile, i_tile): i innermost so j-indexed outputs accumulate
+    if sparse:
+        (occ_ref, dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
+         wk_ref, bk_ref, gq_ref, gmu_ref,
+         dxn_ref, dmu_in_ref, dwk_ref, dbk_ref,
+         ddist_ref, dgate_ref, ddx_ref, ddy_ref, ddz_ref) = refs
+    else:
+        (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
+         wk_ref, bk_ref, gq_ref, gmu_ref,
+         dxn_ref, dmu_in_ref, dwk_ref, dbk_ref,
+         ddist_ref, dgate_ref, ddx_ref, ddy_ref, ddz_ref) = refs
     bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(ii == 0)
@@ -176,62 +199,87 @@ def _bwd_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
         dwk_ref[...] = jnp.zeros_like(dwk_ref)
         dbk_ref[...] = jnp.zeros_like(dbk_ref)
 
-    d3, gate3 = dist_ref[...], gate_ref[...]
-    phi, w4 = _gated_filters_blocked(
-        d3, gate3, wk_ref, bk_ref, cutoff, num_r, coeff, bb, ti, tj)
-    wq, wr, wm = jnp.split(w4, 3, axis=-1)
-    xq, xr, xm = jnp.split(x_ref[...], 3, axis=-1)  # [bb, tj, F]
-    mu_c_list = jnp.split(mu_ref[...], 3, axis=-1)  # [bb, tj, F] each
-    gq = gq_ref[...]  # [bb, ti, F]
-    gmu_c_list = jnp.split(gmu_ref[...], 3, axis=-1)  # [bb, ti, F] each
-    dirs = (dx_ref[...], dy_ref[...], dz_ref[...])
+    def body():
+        d3, gate3 = dist_ref[...], gate_ref[...]
+        phi, w4 = _gated_filters_blocked(
+            d3, gate3, wk_ref, bk_ref, cutoff, num_r, coeff, bb, ti, tj)
+        wq, wr, wm = jnp.split(w4, 3, axis=-1)
+        xq, xr, xm = jnp.split(x_ref[...], 3, axis=-1)  # [bb, tj, F]
+        mu_c_list = jnp.split(mu_ref[...], 3, axis=-1)  # [bb, tj, F] each
+        gq = gq_ref[...]  # [bb, ti, F]
+        gmu_c_list = jnp.split(gmu_ref[...], 3, axis=-1)  # [bb, ti, F] each
+        dirs = (dx_ref[...], dy_ref[...], dz_ref[...])
 
-    # D[b,i,j,f] := Σ_c dir_c[b,i,j]·gmu_c[b,i,f];
-    # M[b,i,j,f] := Σ_c mu_c[b,j,f]·gmu_c[b,i,f]
-    D = jnp.zeros((bb, ti, tj, f), jnp.float32)
-    M = jnp.zeros((bb, ti, tj, f), jnp.float32)
-    dmu_parts = []
-    for c in range(3):
-        gmu_c = gmu_c_list[c]
-        mu_c = mu_c_list[c]
-        D += dirs[c][:, :, :, None] * gmu_c[:, :, None, :]
-        M += mu_c[:, None, :, :] * gmu_c[:, :, None, :]
-        s_c = jnp.sum(wm * gmu_c[:, :, None, :], axis=1)  # [bb, tj, f]
-        dmu_parts.append(s_c * xm)
-        # ddir_c[b,i,j] = Σ_f wr·xr_j·gmu_c[b,i,f]
-        ddir_c = jnp.sum(wr * xr[:, None, :, :] * gmu_c[:, :, None, :], axis=3)
-        (ddx_ref, ddy_ref, ddz_ref)[c][...] = ddir_c
-    dmu_in_ref[...] += jnp.concatenate(dmu_parts, axis=-1)
+        # D[b,i,j,f] := Σ_c dir_c[b,i,j]·gmu_c[b,i,f];
+        # M[b,i,j,f] := Σ_c mu_c[b,j,f]·gmu_c[b,i,f]
+        D = jnp.zeros((bb, ti, tj, f), jnp.float32)
+        M = jnp.zeros((bb, ti, tj, f), jnp.float32)
+        dmu_parts = []
+        for c in range(3):
+            gmu_c = gmu_c_list[c]
+            mu_c = mu_c_list[c]
+            D += dirs[c][:, :, :, None] * gmu_c[:, :, None, :]
+            M += mu_c[:, None, :, :] * gmu_c[:, :, None, :]
+            s_c = jnp.sum(wm * gmu_c[:, :, None, :], axis=1)  # [bb, tj, f]
+            dmu_parts.append(s_c * xm)
+            # ddir_c[b,i,j] = Σ_f wr·xr_j·gmu_c[b,i,f]
+            ddir_c = jnp.sum(
+                wr * xr[:, None, :, :] * gmu_c[:, :, None, :], axis=3
+            )
+            (ddx_ref, ddy_ref, ddz_ref)[c][...] = ddir_c
+        dmu_in_ref[...] += jnp.concatenate(dmu_parts, axis=-1)
 
-    # dx parts (accumulate over i)
-    dxq = jnp.sum(wq * gq[:, :, None, :], axis=1)  # [bb, tj, f]
-    dxr = jnp.sum(wr * D, axis=1)
-    dxm = jnp.sum(wm * M, axis=1)
-    dxn_ref[...] += jnp.concatenate([dxq, dxr, dxm], axis=-1)
+        # dx parts (accumulate over i)
+        dxq = jnp.sum(wq * gq[:, :, None, :], axis=1)  # [bb, tj, f]
+        dxr = jnp.sum(wr * D, axis=1)
+        dxm = jnp.sum(wm * M, axis=1)
+        dxn_ref[...] += jnp.concatenate([dxq, dxr, dxm], axis=-1)
 
-    # cotangent on gated filters
-    dw4 = jnp.concatenate(
-        [gq[:, :, None, :] * xq[:, None, :, :], D * xr[:, None, :, :],
-         M * xm[:, None, :, :]],
-        axis=3,
-    )  # [bb, ti, tj, 3F]
-    # dgate = Σ_t w_raw·dw4 where w4 = w_raw·gate -> w_raw = w4/gate (gate may
-    # be 0; recompute w_raw instead)
-    off = _offsets(cutoff, num_r)
-    diff4 = d3[:, :, :, None] - off.reshape(1, 1, 1, num_r)
-    w_raw = (
-        jnp.dot(phi, wk_ref[...], preferred_element_type=jnp.float32) + bk_ref[0]
-    ).reshape(bb, ti, tj, 3 * f)
-    dgate_ref[...] = jnp.sum(w_raw * dw4, axis=3)
-    dwg = (dw4 * gate3[:, :, :, None]).reshape(bb * ti * tj, 3 * f)
-    dwk_ref[...] += jnp.dot(phi.T, dwg, preferred_element_type=jnp.float32)
-    dbk_ref[0] += jnp.sum(dwg, axis=0)
-    dphi = jnp.dot(dwg, wk_ref[...].T, preferred_element_type=jnp.float32)
-    chain4 = dphi.reshape(bb, ti, tj, num_r) * jnp.exp(coeff * diff4 * diff4)
-    ddist_ref[...] = jnp.sum(chain4 * (2.0 * coeff) * diff4, axis=3)
+        # cotangent on gated filters
+        dw4 = jnp.concatenate(
+            [gq[:, :, None, :] * xq[:, None, :, :], D * xr[:, None, :, :],
+             M * xm[:, None, :, :]],
+            axis=3,
+        )  # [bb, ti, tj, 3F]
+        # dgate = Σ_t w_raw·dw4 where w4 = w_raw·gate -> w_raw = w4/gate
+        # (gate may be 0; recompute w_raw instead)
+        off = _offsets(cutoff, num_r)
+        diff4 = d3[:, :, :, None] - off.reshape(1, 1, 1, num_r)
+        w_raw = (
+            jnp.dot(phi, wk_ref[...], preferred_element_type=jnp.float32)
+            + bk_ref[0]
+        ).reshape(bb, ti, tj, 3 * f)
+        dgate_ref[...] = jnp.sum(w_raw * dw4, axis=3)
+        dwg = (dw4 * gate3[:, :, :, None]).reshape(bb * ti * tj, 3 * f)
+        dwk_ref[...] += jnp.dot(phi.T, dwg, preferred_element_type=jnp.float32)
+        dbk_ref[0] += jnp.sum(dwg, axis=0)
+        dphi = jnp.dot(dwg, wk_ref[...].T, preferred_element_type=jnp.float32)
+        chain4 = dphi.reshape(bb, ti, tj, num_r) * jnp.exp(
+            coeff * diff4 * diff4
+        )
+        ddist_ref[...] = jnp.sum(chain4 * (2.0 * coeff) * diff4, axis=3)
+
+    if sparse:
+        occupied = occ_at(occ_ref, bi, ii, jj, pl.num_programs(2),
+                          pl.num_programs(1)) != 0
+        pl.when(occupied)(body)
+
+        @pl.when(jnp.logical_not(occupied))
+        def _():
+            # gate==0 everywhere in this tile: ddist/ddir are exactly zero
+            # (every term carries a gate factor); dgate is zeroed by the
+            # occupancy-skip contract (pallas_utils.tile_occupancy)
+            ddist_ref[...] = jnp.zeros_like(ddist_ref)
+            dgate_ref[...] = jnp.zeros_like(dgate_ref)
+            ddx_ref[...] = jnp.zeros_like(ddx_ref)
+            ddy_ref[...] = jnp.zeros_like(ddy_ref)
+            ddz_ref[...] = jnp.zeros_like(ddz_ref)
+    else:
+        body()
 
 
-def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu):
+def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu,
+                sparse=False):
     b, n, _ = dist.shape
     f3 = x.shape[-1]
     f = f3 // 3
@@ -241,13 +289,13 @@ def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu):
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
     kernel = partial(_bwd_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,
-                     bb=bb, ti=ti, tj=tj, f=f)
+                     bb=bb, ti=ti, tj=tj, f=f, sparse=sparse)
     # grid (b, jt, it): pair blocks live at (i, j) => index_map (b, i, j)
     pair = pl.BlockSpec((bb, ti, tj), lambda b, j, i: (b, i, j))
     acc = lambda shape: pl.BlockSpec(shape, lambda b, j, i: tuple(0 for _ in shape))
-    return pl.pallas_call(
+    return pair_pallas_call(
         kernel,
-        grid=(b // bb, n // tj, n // ti),
+        (b // bb, n // tj, n // ti),
         in_specs=[
             pair, pair, pair, pair, pair,
             pl.BlockSpec((bb, tj, f3), lambda b, j, i: (b, j, 0)),
@@ -275,46 +323,58 @@ def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu):
             jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddiry
             jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddirz
         ],
+        args=(dist, gate, dirx, diry, dirz, x, mu, wk, bk[None], gq, gmu),
+        occ=tile_occupancy(gate, bb, ti, tj) if sparse else None,
         interpret=_interpret(),
         # B=64/N=512 (the LBA protocol with PaiNN) measures 16.21M scoped
         # VMEM — just over the 16M default soft limit (v5e has 128M)
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20),
-    )(dist, gate, dirx, diry, dirz, x, mu, wk, bk[None], gq, gmu)
+    )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9,))
-def painn_message_fused(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
-    """Fused PaiNN message pass. Returns (dq [B,N,F], dmu [B,N,3F])."""
-    return _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff)
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def painn_message_fused(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
+                        sparse=False):
+    """Fused PaiNN message pass. Returns (dq [B,N,F], dmu [B,N,3F]).
+    ``sparse=True`` skips pair tiles whose gate block is all-zero (scalar-
+    prefetched occupancy flags) — identical outputs; the dgate cotangent is
+    zeroed on skipped tiles (exact: gate is identically zero there)."""
+    return _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
+                       sparse)
 
 
-def _vjp_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
+def _vjp_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
+             sparse=False):
     # call the custom-vjp op (not the raw kernel) so that differentiating the
     # saved forward — which second-order AD does — hits this VJP again
     # instead of pallas_call's missing JVP rule
-    out = painn_message_fused(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff)
+    out = painn_message_fused(dist, gate, dirx, diry, dirz, x, mu, wk, bk,
+                              cutoff, sparse)
     return out, (dist, gate, dirx, diry, dirz, x, mu, wk, bk)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(11,))
-def _painn_bwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu, cutoff):
+@partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _painn_bwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu, cutoff,
+               sparse=False):
     """Differentiable wrapper of the backward kernel: returns the cotangents
     in the op's argument order (ddist, dgate, ddirx, ddiry, ddirz, dx, dmu,
     dwk, dbk). Its own VJP (the second-order terms) runs through the XLA
     reference math."""
     dx_in, dmu_in, dwk, dbk, ddist, dgate, ddx, ddy, ddz = _bwd_pallas(
-        dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu
+        dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu, sparse
     )
     return ddist, dgate, ddx, ddy, ddz, dx_in, dmu_in, dwk, dbk[0]
 
 
-def _painn_bwd_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu, cutoff):
-    out = _painn_bwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu, cutoff)
+def _painn_bwd_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu,
+                   cutoff, sparse=False):
+    out = _painn_bwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu,
+                     cutoff, sparse)
     return out, (dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu)
 
 
-def _painn_bwd_bwd(cutoff, res, cts):
+def _painn_bwd_bwd(cutoff, sparse, res, cts):
     dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu = res
 
     def ref_grads(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu):
@@ -334,12 +394,12 @@ def _painn_bwd_bwd(cutoff, res, cts):
 _painn_bwd.defvjp(_painn_bwd_fwd, _painn_bwd_bwd)
 
 
-def _vjp_bwd(cutoff, res, cots):
+def _vjp_bwd(cutoff, sparse, res, cots):
     dist, gate, dirx, diry, dirz, x, mu, wk, bk = res
     gq, gmu = cots
     return _painn_bwd(
         dist, gate, dirx, diry, dirz, x, mu, wk, bk,
-        gq.astype(jnp.float32), gmu.astype(jnp.float32), cutoff,
+        gq.astype(jnp.float32), gmu.astype(jnp.float32), cutoff, sparse,
     )
 
 
@@ -390,12 +450,23 @@ def painn_sym_profitable(n: int) -> bool:
     return sym_grid_info(n, _PAINN_BUDGET)[2] > 0
 
 
-def _fwd_sym_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
-                    xj_ref, xi_ref, muj_ref, mui_ref, wk_ref, bk_ref,
-                    dqb_ref, dmub_ref, dqa_ref, dmua_ref,
-                    *, cutoff, num_r, coeff, ti, tj, f):
-    jj, ii = pl.program_id(1), pl.program_id(2)
+def _fwd_sym_kernel(*refs, cutoff, num_r, coeff, ti, tj, f, sparse):
+    if sparse:
+        (occ_ref, dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
+         xj_ref, xi_ref, muj_ref, mui_ref, wk_ref, bk_ref,
+         dqb_ref, dmub_ref, dqa_ref, dmua_ref) = refs
+    else:
+        (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
+         xj_ref, xi_ref, muj_ref, mui_ref, wk_ref, bk_ref,
+         dqb_ref, dmub_ref, dqa_ref, dmua_ref) = refs
+    bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     skipped = (jj + 1) * tj <= ii * ti
+    if sparse:
+        # empty (gate==0) tiles contribute nothing; their symmetric mirror
+        # tile is equally empty, so no mirror emission is lost either
+        skipped = skipped | (occ_at(occ_ref, bi, ii, jj,
+                            pl.num_programs(2),
+                            pl.num_programs(1)) == 0)
 
     @pl.when(ii == 0)
     def _():
@@ -447,7 +518,8 @@ def _fwd_sym_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
         dmub_ref[0] += jnp.concatenate(partsb, axis=-1)
 
 
-def _fwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
+def _fwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
+                    sparse=False):
     b, n, _ = dist.shape
     f3 = x.shape[-1]
     f = f3 // 3
@@ -456,14 +528,14 @@ def _fwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
     kernel = partial(_fwd_sym_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,
-                     ti=ti, tj=tj, f=f)
+                     ti=ti, tj=tj, f=f, sparse=sparse)
     pair = pl.BlockSpec((1, ti, tj), lambda b, j, i: (b, i, j))
     jblk = lambda w: pl.BlockSpec((1, tj, w), lambda b, j, i: (b, j, 0))
     iblk = lambda w: pl.BlockSpec((1, ti, w), lambda b, j, i: (b, i, 0))
     islot = lambda w: pl.BlockSpec((1, 1, ti, w), lambda b, j, i: (b, j, i, 0))
-    dqb, dmub, dqa, dmua = pl.pallas_call(
+    dqb, dmub, dqa, dmua = pair_pallas_call(
         kernel,
-        grid=(b, n // tj, n // ti),
+        (b, n // tj, n // ti),
         in_specs=[
             pair, pair, pair, pair, pair,
             jblk(f3), iblk(f3), jblk(f3), iblk(f3),
@@ -477,22 +549,36 @@ def _fwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
             jax.ShapeDtypeStruct((b, n // tj, n, f), jnp.float32),
             jax.ShapeDtypeStruct((b, n // tj, n, f3), jnp.float32),
         ],
+        args=(dist, gate, dirx, diry, dirz, x, x, mu, mu, wk, bk[None]),
+        occ=tile_occupancy(gate, 1, ti, tj) if sparse else None,
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20),
-    )(dist, gate, dirx, diry, dirz, x, x, mu, mu, wk, bk[None])
+    )
     return dqb + jnp.sum(dqa, axis=1), dmub + jnp.sum(dmua, axis=1)
 
 
-def _bwd_sym_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
-                    xj_ref, xi_ref, muj_ref, mui_ref,
-                    wk_ref, bk_ref, gqi_ref, gqj_ref, gmui_ref, gmuj_ref,
-                    dxnj_ref, dmuj_ref, dxni_ref, dmui_out_ref,
-                    dwk_ref, dbk_ref, ddist_ref, dgate_ref,
-                    ddx_ref, ddy_ref, ddz_ref,
-                    *, cutoff, num_r, coeff, ti, tj, f):
+def _bwd_sym_kernel(*refs, cutoff, num_r, coeff, ti, tj, f, sparse):
+    if sparse:
+        (occ_ref, dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
+         xj_ref, xi_ref, muj_ref, mui_ref,
+         wk_ref, bk_ref, gqi_ref, gqj_ref, gmui_ref, gmuj_ref,
+         dxnj_ref, dmuj_ref, dxni_ref, dmui_out_ref,
+         dwk_ref, dbk_ref, ddist_ref, dgate_ref,
+         ddx_ref, ddy_ref, ddz_ref) = refs
+    else:
+        (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
+         xj_ref, xi_ref, muj_ref, mui_ref,
+         wk_ref, bk_ref, gqi_ref, gqj_ref, gmui_ref, gmuj_ref,
+         dxnj_ref, dmuj_ref, dxni_ref, dmui_out_ref,
+         dwk_ref, dbk_ref, ddist_ref, dgate_ref,
+         ddx_ref, ddy_ref, ddz_ref) = refs
     bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     skipped = (jj + 1) * tj <= ii * ti
+    if sparse:
+        skipped = skipped | (occ_at(occ_ref, bi, ii, jj,
+                            pl.num_programs(2),
+                            pl.num_programs(1)) == 0)
 
     @pl.when(ii == 0)
     def _():
@@ -600,7 +686,7 @@ def _bwd_sym_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
 
 
 def _bwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
-                    gq, gmu):
+                    gq, gmu, sparse=False):
     b, n, _ = dist.shape
     f3 = x.shape[-1]
     f = f3 // 3
@@ -609,15 +695,15 @@ def _bwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
     kernel = partial(_bwd_sym_kernel, cutoff=cutoff, num_r=num_r, coeff=coeff,
-                     ti=ti, tj=tj, f=f)
+                     ti=ti, tj=tj, f=f, sparse=sparse)
     pair = pl.BlockSpec((1, ti, tj), lambda b, j, i: (b, i, j))
     jblk = lambda w: pl.BlockSpec((1, tj, w), lambda b, j, i: (b, j, 0))
     iblk = lambda w: pl.BlockSpec((1, ti, w), lambda b, j, i: (b, i, 0))
     islot = lambda w: pl.BlockSpec((1, 1, ti, w), lambda b, j, i: (b, j, i, 0))
     acc = lambda shape: pl.BlockSpec(shape, lambda b, j, i: tuple(0 for _ in shape))
-    return pl.pallas_call(
+    return pair_pallas_call(
         kernel,
-        grid=(b, n // tj, n // ti),
+        (b, n // tj, n // ti),
         in_specs=[
             pair, pair, pair, pair, pair,
             jblk(f3), iblk(f3), jblk(f3), iblk(f3),
@@ -643,49 +729,54 @@ def _bwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
             jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddiry
             jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddirz
         ],
+        args=(dist, gate, dirx, diry, dirz, x, x, mu, mu, wk, bk[None],
+              gq, gq, gmu, gmu),
+        occ=tile_occupancy(gate, 1, ti, tj) if sparse else None,
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20),
-    )(dist, gate, dirx, diry, dirz, x, x, mu, mu, wk, bk[None],
-      gq, gq, gmu, gmu)
+    )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9,))
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def painn_message_fused_sym(dist, gate, dirx, diry, dirz, x, mu, wk, bk,
-                            cutoff):
+                            cutoff, sparse=False):
     """Symmetric-input PaiNN message pass (see block comment): identical
     output, skips below-diagonal tiles; pair-field cotangents are placement-
     symmetrized (ddir with the antisymmetric sign). Use ONLY with symmetric
-    dist/gate and antisymmetric directions."""
+    dist/gate and antisymmetric directions. ``sparse=True`` additionally
+    skips tiles whose gate block is all-zero (occupancy flags via scalar
+    prefetch; see pallas_utils.tile_occupancy)."""
     return _fwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk,
-                           cutoff)
+                           cutoff, sparse)
 
 
-def _sym_vjp_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff):
+def _sym_vjp_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
+                 sparse=False):
     out = painn_message_fused_sym(dist, gate, dirx, diry, dirz, x, mu, wk,
-                                  bk, cutoff)
+                                  bk, cutoff, sparse)
     return out, (dist, gate, dirx, diry, dirz, x, mu, wk, bk)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(11,))
+@partial(jax.custom_vjp, nondiff_argnums=(11, 12))
 def _painn_sym_bwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu,
-                   cutoff):
+                   cutoff, sparse=False):
     (dxj, dmuj, dxi, dmui, dwk, dbk, ddist, dgate, ddx, ddy, ddz
      ) = _bwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
-                         gq, gmu)
+                         gq, gmu, sparse)
     return (ddist, dgate, ddx, ddy, ddz,
             dxj + jnp.sum(dxi, axis=1), dmuj + jnp.sum(dmui, axis=1),
             dwk, dbk[0])
 
 
 def _painn_sym_bwd_fwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu,
-                       cutoff):
+                       cutoff, sparse=False):
     out = _painn_sym_bwd(dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq,
-                         gmu, cutoff)
+                         gmu, cutoff, sparse)
     return out, (dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu)
 
 
-def _painn_sym_bwd_bwd(cutoff, res, cts):
+def _painn_sym_bwd_bwd(cutoff, sparse, res, cts):
     dist, gate, dirx, diry, dirz, x, mu, wk, bk, gq, gmu = res
     ti, tj, _ = sym_grid_info(dist.shape[-1], _PAINN_BUDGET)
     c_dd, c_dg, c_dx, c_dy, c_dz, c_x, c_mu, c_wk, c_bk = cts
@@ -715,12 +806,12 @@ def _painn_sym_bwd_bwd(cutoff, res, cts):
 _painn_sym_bwd.defvjp(_painn_sym_bwd_fwd, _painn_sym_bwd_bwd)
 
 
-def _sym_vjp_bwd(cutoff, res, cots):
+def _sym_vjp_bwd(cutoff, sparse, res, cots):
     dist, gate, dirx, diry, dirz, x, mu, wk, bk = res
     gq, gmu = cots
     return _painn_sym_bwd(
         dist, gate, dirx, diry, dirz, x, mu, wk, bk,
-        gq.astype(jnp.float32), gmu.astype(jnp.float32), cutoff,
+        gq.astype(jnp.float32), gmu.astype(jnp.float32), cutoff, sparse,
     )
 
 
@@ -728,15 +819,20 @@ painn_message_fused_sym.defvjp(_sym_vjp_fwd, _sym_vjp_bwd)
 
 
 def painn_message(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
-                  use_pallas=True, symmetric=False):
+                  use_pallas=True, symmetric=False, sparse="auto"):
     """Dispatcher: fused kernel (symmetric variant when the caller guarantees
     symmetric dist/gate + antisymmetric directions AND the tiling can skip
-    tiles) or the XLA reference."""
+    tiles) or the XLA reference. ``sparse``: True/False force occupancy-gated
+    tiles on/off; "auto" enables them at the Atom3D pair-grid sizes (N>=256)
+    where cutoff+padding leave most tiles empty (docs/PERF.md)."""
     if not use_pallas:
         return painn_message_reference(dist, gate, dirx, diry, dirz, x, mu,
                                        wk, bk, cutoff)
+    from geossl_tpu.ops.pallas_utils import sparse_auto
+
+    sp = sparse_auto(dist.shape[-1], sparse)
     if symmetric and painn_sym_profitable(dist.shape[-1]):
         return painn_message_fused_sym(dist, gate, dirx, diry, dirz, x, mu,
-                                       wk, bk, cutoff)
+                                       wk, bk, cutoff, sp)
     return painn_message_fused(dist, gate, dirx, diry, dirz, x, mu, wk, bk,
-                               cutoff)
+                               cutoff, sp)

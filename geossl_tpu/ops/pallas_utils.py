@@ -48,6 +48,90 @@ def sym_grid_info(n: int, row_budget: int = 4096) -> tuple[int, int, int]:
     return ti, tj, skipped
 
 
+def tile_occupancy(env, bb: int, ti: int, tj: int):
+    """int32 FLAT [B/bb * N/ti * N/tj] flags ([b, i, j] order): 1 where any
+    cell of the (bb, ti, tj) pair-tile block has a nonzero envelope/gate.
+    Computed in XLA right before a sparse ``pallas_call`` and handed to the
+    kernel via scalar prefetch — empty tiles (out-of-cutoff and padding
+    regions; 45-60% of all tiles at Atom3D density, see docs/PERF.md) skip
+    their whole VPU/MXU body. Kept 1-D deliberately: multi-dim SMEM arrays
+    are lane-padded to 128 in the minor dim, which overflows scoped SMEM at
+    Atom3D grid sizes (s32[64,32,4] pads to 1 MB); the flat form stays at
+    its true byte size. Read it with :func:`occ_at`.
+
+    Exactness: a tile with env==0 everywhere contributes zero to the output
+    and to every env-weighted cotangent; the raw ``denv`` cotangent is zeroed
+    on skipped tiles, which is exact for any downstream where env is
+    identically zero outside the cutoff (hard cutoff and cosine envelope both
+    have value AND slope zero there)."""
+    import jax.numpy as jnp
+
+    b, n, _ = env.shape
+    t = env.reshape(b // bb, bb, n // ti, ti, n // tj, tj)
+    return jnp.any(t != 0, axis=(1, 3, 5)).astype(jnp.int32).reshape(-1)
+
+
+def occ_at(occ_ref, bi, ii, jj, ni, nj):
+    """Tile flag from the flat ``tile_occupancy`` array. ``ni``/``nj`` are
+    the i/j tile counts — inside a kernel pass the matching
+    ``pl.num_programs`` axes (fwd grids are (b, i, j); the backward and
+    symmetric grids are (b, j, i), so their ni is num_programs(2))."""
+    return occ_ref[(bi * ni + ii) * nj + jj]
+
+
+def _drop_scalar_arg(index_map):
+    """Adapt a dense index_map to the scalar-prefetch calling convention
+    (grid indices ..., occ_ref) by ignoring the trailing scalar ref."""
+    def adapted(*args, _f=index_map):
+        return _f(*args[:-1])
+
+    return adapted
+
+
+def pair_pallas_call(kernel, grid, in_specs, out_specs, out_shape, args,
+                     occ=None, interpret=False, compiler_params=None):
+    """``pl.pallas_call`` over a pair-tile grid, optionally occupancy-gated.
+
+    With ``occ`` (int32 tile flags from :func:`tile_occupancy`) the call uses
+    ``PrefetchScalarGridSpec``: the kernel receives ``occ_ref`` as its first
+    argument (read it with the grid's program_ids) and every index_map is
+    adapted to the (…, occ_ref) convention. With ``occ=None`` this is a plain
+    dense call and the kernel must NOT expect ``occ_ref``."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    single_out = not isinstance(out_specs, (list, tuple))
+    kw = {} if compiler_params is None else {"compiler_params": compiler_params}
+    if occ is None:
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=list(in_specs), out_specs=out_specs,
+            out_shape=out_shape, interpret=interpret, **kw,
+        )(*args)
+    adapt = lambda s: pl.BlockSpec(s.block_shape, _drop_scalar_arg(s.index_map))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[adapt(s) for s in in_specs],
+        out_specs=adapt(out_specs) if single_out
+        else [adapt(s) for s in out_specs],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        **kw,
+    )(occ, *args)
+
+
+def sparse_auto(n: int, sparse) -> bool:
+    """Resolve a ``sparse`` knob ('auto' -> the Atom3D pair-grid sizes,
+    where empty tiles are plentiful; measured wins at every shape >= 256:
+    1.16-2.36x — experiments/kexp5.py. The N<=128 pretrain ladder stays
+    dense: a molecule's own pair tile is always occupied, so flags would
+    be pure overhead)."""
+    if sparse == "auto":
+        return n >= 256
+    return bool(sparse)
+
+
 def mirror_skipped_mask(ri, cj, ti, tj):
     """[1, ti, tj, 1] f32: 1 where cell (r, c)'s MIRROR (c, r) lies in a
     skipped tile — i.e. this computed cell must also emit the mirror's

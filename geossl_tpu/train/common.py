@@ -26,6 +26,8 @@ def make_backbone(cfg: ModelConfig):
     ``apply(params, atom_type, positions, node_mask, pair_mask=None)``
     -> (graph_repr [B,F], node_repr [B,N,F]) for either backbone."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    # config uses strings; the model knob is "auto"/True/False
+    sparse = {"auto": "auto", "on": True, "off": False}[cfg.sparse_tiles]
     if cfg.model_3d == "schnet":
         s = cfg.schnet
         module = SchNet(
@@ -40,6 +42,7 @@ def make_backbone(cfg: ModelConfig):
             dtype=dtype,
             use_pallas=cfg.use_pallas,
             filter_mxu=cfg.filter_mxu,
+            sparse=sparse,
         )
 
         def apply(params, atom_type, positions, node_mask, pair_mask=None):
@@ -60,6 +63,7 @@ def make_backbone(cfg: ModelConfig):
             max_neighbors=cfg.max_neighbors,
             dtype=dtype,
             use_pallas=cfg.use_pallas,
+            sparse=sparse,
         )
 
         def apply(params, atom_type, positions, node_mask, pair_mask=None):
@@ -196,6 +200,13 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--use_pallas", default="auto", choices=["auto", "on", "off"],
                    help="fused Pallas kernels (auto: on for TPU backends; "
                         "both support second-order AD for MD17 forces)")
+    p.add_argument("--sparse_tiles", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="occupancy-gated pair tiles in the fused kernels: "
+                        "skip tiles whose envelope/gate block is all zero "
+                        "(out-of-cutoff + padding; ~half of all tiles at "
+                        "Atom3D density). auto = on for N>=256 pair grids. "
+                        "Outputs are identical either way")
     p.add_argument("--ckpt_every", type=int, default=1,
                    help="write the full resume state (params + optimizer + "
                         "epoch + best metrics) every k epochs; the state "
@@ -304,4 +315,5 @@ def model_config_from_args(args, allow_pallas: bool = True) -> ModelConfig:
         filter_mxu=getattr(args, "filter_mxu", "f32"),
         use_pallas=_resolve_use_pallas(args, allow_pallas),
         max_neighbors=getattr(args, "max_num_neighbors", None),
+        sparse_tiles=getattr(args, "sparse_tiles", "auto"),
     )

@@ -33,6 +33,12 @@ def build_parser():
     common.add_common_args(p)
     p.add_argument("--LBA_year", type=int, default=2020)
     p.add_argument("--split", default="random", choices=["random", "atom3d_lba_split30"])
+    p.add_argument("--spatial_sort", default="on", choices=["on", "off"],
+                   help="Morton-reorder each complex's atoms once at load "
+                        "(outputs unchanged up to f32 summation order — the "
+                        "models are permutation-equivariant); concentrates "
+                        "in-cutoff pairs into few tiles so the "
+                        "occupancy-gated kernels skip more (docs/PERF.md)")
     p.set_defaults(lr=1e-4, epochs=300, batch_size=64, bucket=[512])
     return p
 
@@ -48,6 +54,10 @@ def main(argv=None):
         )
     else:
         store = load_lba(args.data_root, year=args.LBA_year)
+    if args.spatial_sort == "on":
+        from geossl_tpu.data.transforms import spatial_sort_store
+
+        store = spatial_sort_store(store)
     if args.split == "atom3d_lba_split30" and not args.synthetic:
         tr, va, te = atom3d_lba_split(args.data_root, args.LBA_year)
     else:

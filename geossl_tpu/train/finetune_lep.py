@@ -104,6 +104,10 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     common.add_common_args(p)
     # 448-pad: structures are env-capped at 400 atoms (datasets_LEP.py maxnum)
+    p.add_argument("--spatial_sort", default="on", choices=["on", "off"],
+                   help="Morton-reorder each complex's atoms once at load "
+                        "(outputs unchanged up to f32 summation order); see "
+                        "finetune_lba --spatial_sort / docs/PERF.md")
     p.set_defaults(lr=1e-4, epochs=300, batch_size=16, bucket=[448])
     return p
 
@@ -126,6 +130,13 @@ def main(argv=None):
     else:
         splits = {
             k: load_lep(args.data_root, split_dir=k) for k in ("train", "val", "test")
+        }
+    if args.spatial_sort == "on":
+        from geossl_tpu.data.transforms import spatial_sort_store
+
+        splits = {
+            k: (spatial_sort_store(a), spatial_sort_store(b), y)
+            for k, (a, b, y) in splits.items()
         }
 
     mesh = pmesh.make_mesh(args.num_devices)

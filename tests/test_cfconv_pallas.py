@@ -402,3 +402,129 @@ def test_sym_batched_blocks():
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-3,
             err_msg=f"batched sym grad mismatch for {name}",
         )
+
+
+# ---------------------------------------------------------------------------
+# occupancy-gated ("sparse") tiles
+
+
+def test_sparse_utils():
+    from geossl_tpu.ops.pallas_utils import sparse_auto, tile_occupancy
+
+    # auto: Atom3D pair grids only
+    assert not sparse_auto(32, "auto")
+    assert not sparse_auto(128, "auto")
+    assert sparse_auto(256, "auto")
+    assert sparse_auto(448, "auto")
+    assert sparse_auto(512, "auto")
+    # forced modes ignore n
+    assert sparse_auto(32, True) and not sparse_auto(512, False)
+
+    env = np.zeros((2, 8, 8), np.float32)
+    env[0, 0, 5] = 1.0   # tile (0, 0, 1) occupied
+    env[1, 6, 1] = 2.0   # merges into block flag when bb=2
+    # flat [b, i, j]-order flags (1-D keeps the SMEM array unpadded)
+    occ = np.asarray(tile_occupancy(jnp.asarray(env), 1, 4, 4))
+    assert occ.shape == (8,)
+    assert occ.reshape(2, 2, 2)[0].tolist() == [[0, 1], [0, 0]]
+    assert occ.reshape(2, 2, 2)[1].tolist() == [[0, 0], [1, 0]]
+    occ2 = np.asarray(tile_occupancy(jnp.asarray(env), 2, 4, 4))
+    assert occ2.shape == (4,) and occ2.reshape(2, 2).tolist() == [[0, 1], [1, 0]]
+
+    from geossl_tpu.ops.pallas_utils import occ_at
+
+    # occ_at indexes the flat layout like the 3-D one
+    o3 = occ.reshape(2, 2, 2)
+    for bi in range(2):
+        for ii in range(2):
+            for jj in range(2):
+                assert int(occ_at(occ, bi, ii, jj, 2, 2)) == int(o3[bi, ii, jj])
+
+
+def test_sparse_forward_matches_dense():
+    """sparse=True must be bitwise-identical to dense — skipped tiles have
+    env==0 everywhere, so the dense kernel adds exact zeros there."""
+    from geossl_tpu.ops.pallas_utils import tile_occupancy
+
+    _, args = _symmetric_inputs(256, b=2, seed=21)
+    occ = np.asarray(tile_occupancy(args[1], 1, 32, 128))
+    assert 0 < occ.mean() < 1, "fixture must contain empty AND occupied tiles"
+    out_d = cfconv_fused(*args, START, STOP, G, "f32", False)
+    out_s = cfconv_fused(*args, START, STOP, G, "f32", True)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
+
+
+def test_sparse_gradients_through_symmetric_chain():
+    """The denv cotangent is zeroed on skipped tiles — exact once chained
+    through the env construction (cosine envelope: value AND slope zero
+    outside the cutoff). Compare position/param grads sparse vs dense."""
+    n = 256
+    pos, (_, _, x, w1, b1, w2, b2) = _symmetric_inputs(n, b=1, seed=22)
+
+    def loss(sparse, pos, x, w1, b1, w2, b2):
+        d = jnp.linalg.norm(
+            pos[:, :, None] - pos[:, None, :]
+            + jnp.eye(n)[None, :, :, None], axis=-1
+        ) * (1.0 - jnp.eye(n))[None]
+        adj = (d < STOP) & (d > 0)
+        env = 0.5 * (jnp.cos(d * jnp.pi / STOP) + 1.0) * adj
+        out = cfconv_fused(d, env, x, w1, b1, w2, b2, START, STOP, G,
+                           "f32", sparse)
+        return jnp.sum(jnp.tanh(out))
+
+    g_s = jax.grad(loss, argnums=(1, 2, 3, 4, 5, 6))(
+        True, pos, x, w1, b1, w2, b2)
+    g_d = jax.grad(loss, argnums=(1, 2, 3, 4, 5, 6))(
+        False, pos, x, w1, b1, w2, b2)
+    for name, a, b in zip(["pos", "x", "w1", "b1", "w2", "b2"], g_s, g_d):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
+            err_msg=f"sparse grad mismatch for {name}",
+        )
+
+
+def test_sparse_sym_matches_reference():
+    """sparse composes with the tile-skipping symmetric variant."""
+    from geossl_tpu.ops.cfconv_pallas import cfconv_fused_sym
+
+    _, args = _symmetric_inputs(256, b=2, seed=23)
+    out_s = cfconv_fused_sym(*args, START, STOP, G, "f32", True)
+    ref = cfconv_fused_reference(*args, START, STOP, G)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    out_d = cfconv_fused_sym(*args, START, STOP, G, "f32", False)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_d))
+
+
+def test_schnet_sparse_path_matches_dense():
+    """Model level: SchNet(sparse=True) == SchNet(sparse=False) with padding
+    (padding rows/cols are empty tiles too), outputs and parameter grads."""
+    from geossl_tpu.models.schnet import SchNet
+
+    rng = np.random.default_rng(24)
+    n = 256
+    z = jnp.asarray(rng.integers(0, 9, size=(1, n)), jnp.int32)
+    pos = jnp.asarray(
+        np.cumsum(rng.normal(scale=0.7, size=(1, n, 3)), axis=1).astype(np.float32)
+    )
+    mask = jnp.asarray(np.arange(n)[None, :] < n - 64)
+    kwargs = dict(hidden_channels=32, num_filters=32, num_interactions=2,
+                  num_gaussians=17, cutoff=8.0, use_pallas=True)
+    m_d = SchNet(**kwargs, sparse=False)
+    m_s = SchNet(**kwargs, sparse=True)
+    params = m_d.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+    out_d, _ = m_d.apply({"params": params}, z, pos, mask)
+    out_s, _ = m_s.apply({"params": params}, z, pos, mask)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
+
+    def loss(m):
+        def f(p):
+            out, _ = m.apply({"params": p}, z, pos, mask)
+            return jnp.sum(out**2)
+        return f
+
+    gd = jax.tree_util.tree_leaves(jax.grad(loss(m_d))(params))
+    gs = jax.tree_util.tree_leaves(jax.grad(loss(m_s))(params))
+    for a, b in zip(gd, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -292,3 +292,55 @@ def test_model_hyperparameters_plumb_through_cli():
     assert cfg.schnet.hidden_channels == 64 and cfg.painn.n_atom_basis == 64
     module, _ = common.make_backbone(cfg)
     assert module.num_filters == 96 and module.num_interactions == 4
+
+
+def test_morton_order_locality_and_invariance():
+    """Morton sorting (a) is a permutation, (b) remaps bond indices
+    consistently, (c) strictly lowers pair-tile occupancy on an
+    index-shuffled atom cloud (the LBA/LEP situation: PDB file order is not
+    spatial order)."""
+    import jax.numpy as jnp
+
+    from geossl_tpu.data.store import MolRecord
+    from geossl_tpu.data.transforms import morton_order, spatial_sort_transform
+    from geossl_tpu.ops.pallas_utils import tile_occupancy
+
+    rng = np.random.default_rng(0)
+    n = 512
+    # blobby cloud (protein-pocket-like), then shuffle the index order
+    centers = rng.normal(scale=18.0, size=(12, 3))
+    pos = (centers[rng.integers(0, 12, n)]
+           + rng.normal(scale=3.0, size=(n, 3))).astype(np.float32)
+    perm = rng.permutation(n)
+    pos = pos[perm]
+
+    order = morton_order(pos)
+    assert sorted(order.tolist()) == list(range(n))
+
+    def occupancy(p):
+        d = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
+        adj = (d < 10.0) & (d > 0)
+        occ = tile_occupancy(jnp.asarray(adj[None].astype(np.float32)),
+                             1, 32, 128)
+        return float(np.asarray(occ).mean())
+
+    occ_shuffled = occupancy(pos)
+    occ_sorted = occupancy(pos[order])
+    assert occ_sorted < occ_shuffled, (occ_sorted, occ_shuffled)
+
+    # record-level transform: fields permuted consistently
+    atom_type = rng.integers(0, 9, n).astype(np.int32)
+    bonds = np.stack([rng.integers(0, n, 40), rng.integers(0, n, 40)]).astype(
+        np.int32)
+    rec = MolRecord(atom_type=atom_type, positions=pos, bond_index=bonds,
+                    forces=pos * 0.1)
+    out = spatial_sort_transform(rec)
+    np.testing.assert_array_equal(out.atom_type, atom_type[order])
+    np.testing.assert_array_equal(out.positions, pos[order])
+    np.testing.assert_array_equal(out.forces, pos[order] * 0.1)
+    # each bond still connects the same two atoms (by original identity)
+    for e in range(bonds.shape[1]):
+        i, j = bonds[:, e]
+        ni, nj = out.bond_index[:, e]
+        np.testing.assert_array_equal(out.positions[ni], pos[i])
+        np.testing.assert_array_equal(out.positions[nj], pos[j])

@@ -133,7 +133,10 @@ def test_model_config_validates_fields():
         ModelConfig(model_3d="dimenet")
     with pytest.raises(ValueError, match="compute_dtype"):
         ModelConfig(compute_dtype="fp16")
+    with pytest.raises(ValueError, match="sparse_tiles"):
+        ModelConfig(sparse_tiles=True)  # config layer wants the string form
     assert ModelConfig(filter_mxu="bf16").filter_mxu == "bf16"
+    assert ModelConfig(sparse_tiles="on").sparse_tiles == "on"
 
 
 def test_max_num_neighbors_cli_plumbing():
@@ -150,6 +153,23 @@ def test_max_num_neighbors_cli_plumbing():
     assert cfg.max_neighbors is None
     module, _ = tc.make_backbone(cfg)
     assert module.max_neighbors is None
+
+
+def test_sparse_tiles_cli_plumbing():
+    """--sparse_tiles strings map to the model's 'auto'/True/False knob."""
+    from geossl_tpu.train import common as tc
+
+    p = tc.add_common_args(__import__("argparse").ArgumentParser())
+    for cli, model_knob in [("auto", "auto"), ("on", True), ("off", False)]:
+        args = p.parse_args(["--sparse_tiles", cli])
+        cfg = tc.model_config_from_args(args, allow_pallas=False)
+        assert cfg.sparse_tiles == cli
+        module, _ = tc.make_backbone(cfg)
+        assert module.sparse == model_knob
+        args = p.parse_args(["--model_3d", "painn", "--sparse_tiles", cli])
+        module, _ = tc.make_backbone(
+            tc.model_config_from_args(args, allow_pallas=False))
+        assert module.sparse == model_knob
 
 
 def test_best_model_saver_thunk_not_called_when_worse(tmp_path):
