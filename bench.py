@@ -7,7 +7,7 @@ Configs (BASELINE.md "Reference configs to drive" #1-#5):
                                   N=32 (aspirin is 21 atoms), driver policy
                                   (fused on TPU; fused/XLA neutral at B=5)
   4. lba_schnet_throughput      — SchNet regression at N=512 complexes, batch 64
-  4b. lep_schnet_throughput     — dual-tower BCE at N=448 pairs, batch 16
+  4b. lep_schnet_throughput     — dual-tower BCE at N=512 pairs, batch 16
   4c. lba_painn_throughput / lep_painn_throughput — PaiNN at the same Atom3D
       shapes (N=512 is the shape that once exposed a scoped-VMEM compile
       failure; benched so regressions there are harness-visible)
@@ -56,11 +56,12 @@ def _setup_cache():
         pass
 
 
-def _example(batch, n_max, seed=0, n_min=8, spread=0.9, targets=1):
+def _example(batch, n_max, seed=0, n_min=8, spread=0.9, targets=1,
+             size_max=None):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
-    sizes = rng.integers(n_min, n_max, size=batch, endpoint=True)
+    sizes = rng.integers(n_min, size_max or n_max, size=batch, endpoint=True)
     atom_type = np.zeros((batch, n_max), np.int32)
     positions = np.zeros((batch, n_max, 3), np.float32)
     node_mask = np.zeros((batch, n_max), bool)
@@ -262,8 +263,11 @@ def _bench_atom3d(metric, unit, model_3d, use_pallas, batch, n_max,
     emb = 128
 
     def tower_inputs(seed):
+        # LEP structures are protocol-capped at 400 real atoms regardless of
+        # the (128-divisible) pad bucket
         z, pos, mask, y, _ = _example(batch, n_max, seed=seed, n_min=250 if dual
-                                      else 300, spread=2.0)
+                                      else 300, spread=2.0,
+                                      size_max=400 if dual else None)
         extra = ()
         if is_painn:
             dist, pm = geometry.pairwise_distances(pos, mask)
@@ -322,10 +326,11 @@ def bench_lba(use_pallas):
 
 def bench_lep(use_pallas):
     # protocol batch 16 (submit_finetune_lba_lep:28-33); towers bucketed at
-    # 448 (maxnum=400 + headroom, finetune_lep.py) — dual tower: shared
+    # 512 (maxnum=400; 128-divisible pad so the sparse tiles get (32,128)
+    # granularity — ~40% over the round-2 448 pad) — dual tower: shared
     # backbone over active+inactive, concat -> Linear(2emb->1) -> BCE
     return _bench_atom3d("lep_schnet_throughput", "pair/s/chip", "schnet",
-                         use_pallas, 16, 448, (5, 6), dual=True)
+                         use_pallas, 16, 512, (5, 6), dual=True)
 
 
 def bench_lba_painn(use_pallas):
@@ -338,7 +343,7 @@ def bench_lba_painn(use_pallas):
 
 def bench_lep_painn(use_pallas):
     return _bench_atom3d("lep_painn_throughput", "pair/s/chip", "painn",
-                         use_pallas, 16, 448, (9, 10), dual=True)
+                         use_pallas, 16, 512, (9, 10), dual=True)
 
 
 def bench_ddm(use_pallas, model_3d="schnet"):

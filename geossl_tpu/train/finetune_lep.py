@@ -50,10 +50,11 @@ class DualLoader:
 
     Pairs are bucketed by max(active, inactive) atom count so both towers of
     a batch share one padded width — the protocol caps structures at
-    maxnum=400 atoms (``datasets_LEP.py:100-115``), so the default 448
-    bucket wastes ~0 pair-grid compute vs padding everything to 512. Uses
-    the native C++ packer when available; training batch order interleaves
-    buckets like BucketedLoader."""
+    maxnum=400 atoms (``datasets_LEP.py:100-115``). The default bucket is
+    512 (128-divisible: the occupancy-gated kernels skip the padding tiles,
+    so the larger pad COSTS nothing and buys (32,128)-tile granularity —
+    docs/PERF.md round 3). Uses the native C++ packer when available;
+    training batch order interleaves buckets like BucketedLoader."""
 
     def __init__(self, active, inactive, labels, batch_size, bucket_sizes,
                  shuffle, seed=0):
@@ -103,12 +104,16 @@ class DualLoader:
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     common.add_common_args(p)
-    # 448-pad: structures are env-capped at 400 atoms (datasets_LEP.py maxnum)
     p.add_argument("--spatial_sort", default="on", choices=["on", "off"],
                    help="Morton-reorder each complex's atoms once at load "
                         "(outputs unchanged up to f32 summation order); see "
                         "finetune_lba --spatial_sort / docs/PERF.md")
-    p.set_defaults(lr=1e-4, epochs=300, batch_size=16, bucket=[448])
+    # structures are env-capped at 400 atoms (datasets_LEP.py maxnum); the
+    # bucket is 512 rather than the round-2 448 because a 128-divisible pad
+    # gives the occupancy-gated kernels (32,128) tiles instead of full-row
+    # (8,448) ones — the SAME molecules run ~40% faster at the larger pad
+    # (docs/PERF.md round-3 table; --bucket 448 restores the old shape)
+    p.set_defaults(lr=1e-4, epochs=300, batch_size=16, bucket=[512])
     return p
 
 
