@@ -69,7 +69,7 @@ class ModelConfig:
     # Occupancy-gated ("block-sparse") pair tiles in the fused kernels: empty
     # tiles (out-of-cutoff + padding; ~half of all tiles at Atom3D density)
     # skip their whole compute body via scalar-prefetched flags. "auto"
-    # enables them at N>=256 pair grids; identical outputs either way.
+    # enables them at N>=128 pair grids; identical outputs either way.
     sparse_tiles: str = "auto"  # {"auto", "on", "off"}
 
     def __post_init__(self):

@@ -679,7 +679,7 @@ def cfconv(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32",
     """Dispatcher: fused kernel (symmetric variant when the caller guarantees
     symmetric dist/env AND the tiling can skip tiles) or the XLA reference.
     ``sparse``: True/False force occupancy-gated tiles on/off; "auto" enables
-    them at the Atom3D pair-grid sizes (N>=256) where cutoff+padding leave
+    them at the Atom3D pair-grid sizes (N>=128) where cutoff+padding leave
     ~half the tiles empty (docs/PERF.md)."""
     if not use_pallas:
         return cfconv_fused_reference(dist, env, x, w1, b1, w2, b2, start,

@@ -823,7 +823,7 @@ def painn_message(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
     """Dispatcher: fused kernel (symmetric variant when the caller guarantees
     symmetric dist/gate + antisymmetric directions AND the tiling can skip
     tiles) or the XLA reference. ``sparse``: True/False force occupancy-gated
-    tiles on/off; "auto" enables them at the Atom3D pair-grid sizes (N>=256)
+    tiles on/off; "auto" enables them at the Atom3D pair-grid sizes (N>=128)
     where cutoff+padding leave most tiles empty (docs/PERF.md)."""
     if not use_pallas:
         return painn_message_reference(dist, gate, dirx, diry, dirz, x, mu,

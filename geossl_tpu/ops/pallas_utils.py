@@ -122,13 +122,13 @@ def pair_pallas_call(kernel, grid, in_specs, out_specs, out_shape, args,
 
 
 def sparse_auto(n: int, sparse) -> bool:
-    """Resolve a ``sparse`` knob ('auto' -> the Atom3D pair-grid sizes,
-    where empty tiles are plentiful; measured wins at every shape >= 256:
-    1.16-2.36x — experiments/kexp5.py. The N<=128 pretrain ladder stays
-    dense: a molecule's own pair tile is always occupied, so flags would
-    be pure overhead)."""
+    """Resolve a ``sparse`` knob ('auto' -> every multi-tile pair grid;
+    measured wins at every such shape — 1.05-1.13x at the N=128 pretrain
+    bucket, 1.16-2.36x at the Atom3D shapes (experiments/kexp5.py). At
+    N<=64 the grid is a single full-array tile that is always occupied
+    (a molecule's own pairs), so flags would be pure overhead)."""
     if sparse == "auto":
-        return n >= 256
+        return n >= 128
     return bool(sparse)
 
 

@@ -205,7 +205,7 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="occupancy-gated pair tiles in the fused kernels: "
                         "skip tiles whose envelope/gate block is all zero "
                         "(out-of-cutoff + padding; ~half of all tiles at "
-                        "Atom3D density). auto = on for N>=256 pair grids. "
+                        "Atom3D density). auto = on for N>=128 pair grids. "
                         "Outputs are identical either way")
     p.add_argument("--ckpt_every", type=int, default=1,
                    help="write the full resume state (params + optimizer + "

@@ -413,7 +413,8 @@ def test_sparse_utils():
 
     # auto: Atom3D pair grids only
     assert not sparse_auto(32, "auto")
-    assert not sparse_auto(128, "auto")
+    assert not sparse_auto(64, "auto")
+    assert sparse_auto(128, "auto")
     assert sparse_auto(256, "auto")
     assert sparse_auto(448, "auto")
     assert sparse_auto(512, "auto")
