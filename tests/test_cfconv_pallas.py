@@ -529,3 +529,38 @@ def test_schnet_sparse_path_matches_dense():
     for a, b in zip(gd, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_schnet_sparse_with_max_neighbors_matches_dense():
+    """max_neighbors breaks adjacency symmetry (routes symmetric=False), and
+    the occupancy gating must stay exact on the resulting ASYMMETRIC env."""
+    from geossl_tpu.models.schnet import SchNet
+
+    rng = np.random.default_rng(25)
+    n = 256
+    z = jnp.asarray(rng.integers(0, 9, size=(1, n)), jnp.int32)
+    pos = jnp.asarray(
+        np.cumsum(rng.normal(scale=0.7, size=(1, n, 3)), axis=1).astype(np.float32)
+    )
+    mask = jnp.asarray(np.arange(n)[None, :] < n - 32)
+    kwargs = dict(hidden_channels=32, num_filters=32, num_interactions=2,
+                  num_gaussians=17, cutoff=8.0, use_pallas=True,
+                  max_neighbors=16)
+    m_d = SchNet(**kwargs, sparse=False)
+    m_s = SchNet(**kwargs, sparse=True)
+    params = m_d.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+    out_d, _ = m_d.apply({"params": params}, z, pos, mask)
+    out_s, _ = m_s.apply({"params": params}, z, pos, mask)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
+
+    def loss(m):
+        def f(p):
+            out, _ = m.apply({"params": p}, z, pos, mask)
+            return jnp.sum(out**2)
+        return f
+
+    gd = jax.tree_util.tree_leaves(jax.grad(loss(m_d))(params))
+    gs = jax.tree_util.tree_leaves(jax.grad(loss(m_s))(params))
+    for a, b in zip(gd, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-3)
