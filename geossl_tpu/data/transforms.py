@@ -56,8 +56,10 @@ def morton_order(positions: np.ndarray, bits: int = 10) -> np.ndarray:
     and the readouts permutation-invariant, so outputs change only by f32
     summation order. The reference's edge-list formulation
     (torch_cluster.radius_graph) is order-free, so there is nothing to match."""
+    if positions.size == 0:
+        return np.zeros(0, np.int64)
     p = positions - positions.min(axis=0)
-    extent = float(p.max()) if p.size else 0.0
+    extent = float(p.max())
     scale = (2**bits - 1) / max(extent, 1e-9)
     q = (p * scale).astype(np.uint64)
     code = np.zeros(len(q), np.uint64)

@@ -65,6 +65,11 @@ def _dot(a, b, mxu):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+# per-pair-tile row budget (ti*tj cells); module-level so experiments can
+# sweep the tile height (kexp7) — 4096 -> (32,128) tiles at N=512
+_ROW_BUDGET = 4096
+
+
 def _offsets(start, delta, num_g):
     # computed in-kernel (pallas kernels may not capture array constants)
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, num_g), 1).astype(jnp.float32)
@@ -92,11 +97,9 @@ def _batch_block(b, ti, tj, budget=8192):
 
 def _fwd_kernel(*refs, start, delta, num_g, coeff, bb, ti, tj, mxu, sparse):
     if sparse:
-        (occ_ref, dist_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         out_ref) = refs
-    else:
-        (dist_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         out_ref) = refs
+        occ_ref, *refs = refs
+    (dist_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+     out_ref) = refs
     offsets = _offsets(start, delta, num_g)
     bi, ii, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -123,7 +126,7 @@ def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32",
                 sparse=False):
     b, n, _ = dist.shape
     f = x.shape[-1]
-    ti, tj = pair_tiles(n, 4096)
+    ti, tj = pair_tiles(n, _ROW_BUDGET)
     bb = _batch_block(b, ti, tj, budget=8192)
     delta = (stop - start) / (num_g - 1)
     coeff = -0.5 / delta**2
@@ -154,13 +157,10 @@ def _bwd_kernel(*refs, start, delta, num_g, coeff, bb, ti, tj, mxu, sparse):
     # grid = (b, j_tile, i_tile): i innermost so the j-indexed dx output
     # accumulates over consecutive grid steps (same pattern as painn_pallas)
     if sparse:
-        (occ_ref, dist_ref, env_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
-         b2_ref, ddist_ref, denv_ref, dx_ref, dw1_ref, db1_ref, dw2_ref,
-         db2_ref) = refs
-    else:
-        (dist_ref, env_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         ddist_ref, denv_ref, dx_ref, dw1_ref, db1_ref, dw2_ref,
-         db2_ref) = refs
+        occ_ref, *refs = refs
+    (dist_ref, env_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+     ddist_ref, denv_ref, dx_ref, dw1_ref, db1_ref, dw2_ref,
+     db2_ref) = refs
     offsets = _offsets(start, delta, num_g)
     bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -230,7 +230,7 @@ def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g,
     b, n, _ = dist.shape
     f = x.shape[-1]
     f1 = w1.shape[1]
-    ti, tj = pair_tiles(n, 4096)
+    ti, tj = pair_tiles(n, _ROW_BUDGET)
     # the backward keeps ~10 [bb*ti*tj, F] tensors live -> tighter bb budget
     # (bb=8 at N=32 measured 26 MB scoped VMEM vs the 16 MB limit)
     bb = _batch_block(b, ti, tj, budget=4096)
@@ -377,7 +377,7 @@ cfconv_fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def _sym_grid_info(n):
-    return sym_grid_info(n, 4096)
+    return sym_grid_info(n, _ROW_BUDGET)
 
 
 def sym_profitable(n: int) -> bool:
@@ -392,11 +392,9 @@ def _fwd_sym_kernel(*refs, start, delta, num_g, coeff, bb, ti, tj, mxu,
     # not support accumulating into a block that is left and revisited); the
     # i-indexed A contributions go to per-tile slots summed outside.
     if sparse:
-        (occ_ref, dist_ref, env_ref, xj_ref, xi_ref, w1_ref, b1_ref, w2_ref,
-         b2_ref, out1_ref, out2_ref) = refs
-    else:
-        (dist_ref, env_ref, xj_ref, xi_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         out1_ref, out2_ref) = refs
+        occ_ref, *refs = refs
+    (dist_ref, env_ref, xj_ref, xi_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+     out1_ref, out2_ref) = refs
     offsets = _offsets(start, delta, num_g)
     bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     skipped = (jj + 1) * tj <= ii * ti  # tile fully below the band
@@ -473,15 +471,11 @@ def _bwd_sym_kernel(*refs, start, delta, num_g, coeff, bb, ti, tj, mxu,
                     sparse):
     # grid = (b, j_tile, i_tile), i innermost (dxj accumulates consecutively)
     if sparse:
-        (occ_ref, dist_ref, env_ref, xj_ref, xi_ref, gi_ref, gj_ref,
-         w1_ref, b1_ref, w2_ref, b2_ref,
-         ddist_ref, denv_ref, dxj_ref, dxi_ref,
-         dw1_ref, db1_ref, dw2_ref, db2_ref) = refs
-    else:
-        (dist_ref, env_ref, xj_ref, xi_ref, gi_ref, gj_ref,
-         w1_ref, b1_ref, w2_ref, b2_ref,
-         ddist_ref, denv_ref, dxj_ref, dxi_ref,
-         dw1_ref, db1_ref, dw2_ref, db2_ref) = refs
+        occ_ref, *refs = refs
+    (dist_ref, env_ref, xj_ref, xi_ref, gi_ref, gj_ref,
+     w1_ref, b1_ref, w2_ref, b2_ref,
+     ddist_ref, denv_ref, dxj_ref, dxi_ref,
+     dw1_ref, db1_ref, dw2_ref, db2_ref) = refs
     offsets = _offsets(start, delta, num_g)
     bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 

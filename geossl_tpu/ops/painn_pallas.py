@@ -97,11 +97,9 @@ def _batch_block(b, ti, tj, budget):
 
 def _fwd_kernel(*refs, cutoff, num_r, coeff, bb, ti, tj, f, sparse):
     if sparse:
-        (occ_ref, dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
-         wk_ref, bk_ref, dq_ref, dmu_ref) = refs
-    else:
-        (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
-         wk_ref, bk_ref, dq_ref, dmu_ref) = refs
+        occ_ref, *refs = refs
+    (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
+     wk_ref, bk_ref, dq_ref, dmu_ref) = refs
     bi, ii, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
@@ -142,7 +140,7 @@ def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
     f3 = x.shape[-1]
     f = f3 // 3
     num_r = wk.shape[0]
-    ti, tj = pair_tiles(n, 2048)
+    ti, tj = pair_tiles(n, _PAINN_BUDGET)
     bb = _batch_block(b, ti, tj, budget=4096)
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
@@ -178,15 +176,11 @@ def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
 def _bwd_kernel(*refs, cutoff, num_r, coeff, bb, ti, tj, f, sparse):
     # grid = (b, j_tile, i_tile): i innermost so j-indexed outputs accumulate
     if sparse:
-        (occ_ref, dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
-         wk_ref, bk_ref, gq_ref, gmu_ref,
-         dxn_ref, dmu_in_ref, dwk_ref, dbk_ref,
-         ddist_ref, dgate_ref, ddx_ref, ddy_ref, ddz_ref) = refs
-    else:
-        (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
-         wk_ref, bk_ref, gq_ref, gmu_ref,
-         dxn_ref, dmu_in_ref, dwk_ref, dbk_ref,
-         ddist_ref, dgate_ref, ddx_ref, ddy_ref, ddz_ref) = refs
+        occ_ref, *refs = refs
+    (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, x_ref, mu_ref,
+     wk_ref, bk_ref, gq_ref, gmu_ref,
+     dxn_ref, dmu_in_ref, dwk_ref, dbk_ref,
+     ddist_ref, dgate_ref, ddx_ref, ddy_ref, ddz_ref) = refs
     bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(ii == 0)
@@ -284,7 +278,7 @@ def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu,
     f3 = x.shape[-1]
     f = f3 // 3
     num_r = wk.shape[0]
-    ti, tj = pair_tiles(n, 2048)
+    ti, tj = pair_tiles(n, _PAINN_BUDGET)
     bb = _batch_block(b, ti, tj, budget=2048)
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
@@ -452,13 +446,10 @@ def painn_sym_profitable(n: int) -> bool:
 
 def _fwd_sym_kernel(*refs, cutoff, num_r, coeff, ti, tj, f, sparse):
     if sparse:
-        (occ_ref, dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
-         xj_ref, xi_ref, muj_ref, mui_ref, wk_ref, bk_ref,
-         dqb_ref, dmub_ref, dqa_ref, dmua_ref) = refs
-    else:
-        (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
-         xj_ref, xi_ref, muj_ref, mui_ref, wk_ref, bk_ref,
-         dqb_ref, dmub_ref, dqa_ref, dmua_ref) = refs
+        occ_ref, *refs = refs
+    (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
+     xj_ref, xi_ref, muj_ref, mui_ref, wk_ref, bk_ref,
+     dqb_ref, dmub_ref, dqa_ref, dmua_ref) = refs
     bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     skipped = (jj + 1) * tj <= ii * ti
     if sparse:
@@ -560,19 +551,13 @@ def _fwd_sym_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
 
 def _bwd_sym_kernel(*refs, cutoff, num_r, coeff, ti, tj, f, sparse):
     if sparse:
-        (occ_ref, dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
-         xj_ref, xi_ref, muj_ref, mui_ref,
-         wk_ref, bk_ref, gqi_ref, gqj_ref, gmui_ref, gmuj_ref,
-         dxnj_ref, dmuj_ref, dxni_ref, dmui_out_ref,
-         dwk_ref, dbk_ref, ddist_ref, dgate_ref,
-         ddx_ref, ddy_ref, ddz_ref) = refs
-    else:
-        (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
-         xj_ref, xi_ref, muj_ref, mui_ref,
-         wk_ref, bk_ref, gqi_ref, gqj_ref, gmui_ref, gmuj_ref,
-         dxnj_ref, dmuj_ref, dxni_ref, dmui_out_ref,
-         dwk_ref, dbk_ref, ddist_ref, dgate_ref,
-         ddx_ref, ddy_ref, ddz_ref) = refs
+        occ_ref, *refs = refs
+    (dist_ref, gate_ref, dx_ref, dy_ref, dz_ref,
+     xj_ref, xi_ref, muj_ref, mui_ref,
+     wk_ref, bk_ref, gqi_ref, gqj_ref, gmui_ref, gmuj_ref,
+     dxnj_ref, dmuj_ref, dxni_ref, dmui_out_ref,
+     dwk_ref, dbk_ref, ddist_ref, dgate_ref,
+     ddx_ref, ddy_ref, ddz_ref) = refs
     bi, jj, ii = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     skipped = (jj + 1) * tj <= ii * ti
     if sparse:

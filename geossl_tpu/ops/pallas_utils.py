@@ -129,7 +129,12 @@ def sparse_auto(n: int, sparse) -> bool:
     (a molecule's own pairs), so flags would be pure overhead)."""
     if sparse == "auto":
         return n >= 128
-    return bool(sparse)
+    if sparse in ("on", True):
+        return True
+    if sparse in ("off", False, None):
+        return False
+    raise ValueError(
+        f"sparse must be 'auto', 'on'/'off', or a bool; got {sparse!r}")
 
 
 def mirror_skipped_mask(ri, cj, ti, tj):

@@ -418,8 +418,12 @@ def test_sparse_utils():
     assert sparse_auto(256, "auto")
     assert sparse_auto(448, "auto")
     assert sparse_auto(512, "auto")
-    # forced modes ignore n
+    # forced modes ignore n; the string knob vocabulary maps, not bool()s
     assert sparse_auto(32, True) and not sparse_auto(512, False)
+    assert sparse_auto(32, "on") and not sparse_auto(512, "off")
+    assert not sparse_auto(512, None)
+    with pytest.raises(ValueError):
+        sparse_auto(512, "bf-16")
 
     env = np.zeros((2, 8, 8), np.float32)
     env[0, 0, 5] = 1.0   # tile (0, 0, 1) occupied

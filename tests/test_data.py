@@ -317,6 +317,10 @@ def test_morton_order_locality_and_invariance():
     order = morton_order(pos)
     assert sorted(order.tolist()) == list(range(n))
 
+    # degenerate inputs: empty and single-atom records don't crash
+    assert morton_order(np.zeros((0, 3), np.float32)).shape == (0,)
+    assert morton_order(np.zeros((1, 3), np.float32)).tolist() == [0]
+
     def occupancy(p):
         d = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
         adj = (d < 10.0) & (d > 0)
