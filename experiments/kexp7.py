@@ -14,6 +14,16 @@ row budget is module-level (`cfconv_pallas._ROW_BUDGET`,
 gets a freshly constructed step function.
 
 Run: python experiments/kexp7.py  (real TPU)
+
+RESULT (v5e, 2026-08-18, quiet window; Morton-sorted fixture, B=64 N=512):
+  schnet (32,128) 55.8% occ -> 338/s | (16,128) 48.6% -> 324/s (0.957x)
+                                     | (8,128)  43.6% -> 309/s (0.914x)
+  painn  (16,128) 42.6% occ -> 306/s | (8,128)  37.2% -> 276/s (0.903x)
+                                     | (32,128) 50.1% -> 303/s (0.989x)
+The DEFAULTS WIN: finer tiles lower occupancy as expected but per-tile
+fixed overhead (grid steps, block loads) outweighs the extra skipping;
+coarser SchNet tiles (64,128) exceed the 16 MB scoped-VMEM limit in the
+symmetric backward (26.4 MB). Tile budgets stay at 4096/2048.
 """
 import sys
 import time
@@ -41,7 +51,7 @@ def pocket_cloud(batch, n_max, seed, n_min=300):
     rng = np.random.default_rng(seed)
     z = np.zeros((batch, n_max), np.int32)
     pos = np.zeros((batch, n_max, 3), np.float32)
-    mask = np.zeros((batch, n_max), np.float32)
+    mask = np.zeros((batch, n_max), bool)
     for b in range(batch):
         n = int(rng.integers(n_min, n_max + 1))
         centers = rng.normal(scale=18.0, size=(12, 3))
@@ -50,7 +60,7 @@ def pocket_cloud(batch, n_max, seed, n_min=300):
         p = p[morton_order(p)]
         z[b, :n] = rng.integers(1, 9, n)
         pos[b, :n] = p
-        mask[b, :n] = 1.0
+        mask[b, :n] = True
     y = rng.normal(size=(batch, 1)).astype(np.float32)
     return jnp.asarray(z), jnp.asarray(pos), jnp.asarray(mask), jnp.asarray(y)
 
@@ -128,8 +138,9 @@ def sweep(model_3d, budgets, batch=64, n_max=512, seed=11, windows=6,
 
 
 if __name__ == "__main__":
-    # SchNet default 4096 -> (32,128); finer 2048 -> (16,128), 1024 -> (8,128);
-    # coarser 8192 -> (64,128)
-    sweep("schnet", [4096, 2048, 1024, 8192])
+    # SchNet default 4096 -> (32,128); finer 2048 -> (16,128), 1024 -> (8,128).
+    # Coarser 8192 -> (64,128) exceeds the 16 MB scoped-VMEM limit in the
+    # symmetric backward (26.4 MB) and its occupancy is 64% — not a candidate.
+    sweep("schnet", [4096, 2048, 1024])
     # PaiNN default 2048 -> (16,128); 1024 -> (8,128); 4096 -> (32,128)
     sweep("painn", [2048, 1024, 4096])
