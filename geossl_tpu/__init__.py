@@ -19,6 +19,6 @@ Design principles (see SURVEY.md §7):
   implementations in ``geossl_tpu/native`` with NumPy fallbacks.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 from geossl_tpu import config  # noqa: F401

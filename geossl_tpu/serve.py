@@ -1,0 +1,339 @@
+"""Batched inference / serving on trained checkpoints.
+
+The reference has no inference path beyond the per-epoch eval loops inside
+its fine-tune scripts (e.g. ``examples/finetune_qm9.py:278-384``); deploying
+a trained model means copy-pasting one of those loops. Here serving is a
+first-class surface:
+
+* :class:`Predictor` — loads a fine-tune checkpoint (``model.ckpt`` /
+  ``model_final.ckpt``, or a reference torch ``.pth`` via
+  ``utils/torch_import``), buckets + pads incoming molecules (one compiled
+  program per bucket shape, cached across calls by jit), and returns
+  predictions aligned to the input order. Denormalizes when the checkpoint
+  carries ``y_mean``/``y_std`` (the QM9 driver saves them since round 3).
+* ``predict`` (scalar property) / ``embed`` (pooled graph representation) /
+  ``predict_forces`` (MD17-style ``-∂E/∂pos``) / ``predict_pairs`` (LEP
+  dual-tower probabilities).
+* CLI: ``python -m geossl_tpu.serve --ckpt runs/x/model.ckpt --input
+  mols.sdf --output preds.csv``.
+
+TPU notes: batches are padded to a fixed ``batch_size`` so every call of a
+bucket reuses one compiled program; partial final chunks pad with empty
+graph slots (``graph_mask``) rather than recompiling. Atom3D-sized inputs
+(N >= 128) are Morton-sorted by default so the occupancy-gated kernels skip
+out-of-cutoff tiles (docs/PERF.md); outputs are per-graph and thus
+order-invariant (forces are mapped back to the input atom order).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geossl_tpu.config import ModelConfig
+from geossl_tpu.data.bucketing import assign_buckets, pack_batch
+from geossl_tpu.data.store import MolRecord, MolStore
+from geossl_tpu.train import checkpoints, common
+
+
+def _chunks(idx: np.ndarray, size: int):
+    for s in range(0, len(idx), size):
+        yield idx[s : s + size]
+
+
+class Predictor:
+    """Batched property prediction from a trained checkpoint.
+
+    ``params`` is the fine-tune checkpoint tree: ``{"model": backbone,
+    ["graph_pred_linear": head], ["y_mean"/"y_std": scalars]}`` (the
+    pretrain->finetune transfer contract of SURVEY.md §5.4 plus the round-3
+    normalization stats). Without a head — a pretrain/backbone-only
+    checkpoint — only :meth:`embed` is available.
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        y_mean: Optional[float] = None,
+        y_std: Optional[float] = None,
+        batch_size: int = 128,
+        bucket_sizes: Sequence[int] = (32, 64, 128, 256, 512),
+        spatial_sort: str = "auto",  # {"auto", "on", "off"}
+        num_devices: Optional[int] = None,
+    ):
+        # the driver head modules, imported so the param trees match exactly
+        from geossl_tpu.train.finetune_lep import DualHead
+        from geossl_tpu.train.finetune_qm9 import LinearHead
+
+        self.cfg = cfg
+        self.module, self.backbone_apply = common.make_backbone(cfg)
+        self.y_mean = float(y_mean if y_mean is not None
+                            else params.get("y_mean", 0.0))
+        self.y_std = float(y_std if y_std is not None
+                           else params.get("y_std", 1.0))
+        # SPMD serving: params replicated over a 1-D data mesh, each padded
+        # batch sharded on its leading axis — the same sharding recipe as
+        # training (parallel/mesh.py); XLA runs the towers data-parallel.
+        self.mesh = None
+        if num_devices is not None and num_devices > 1:
+            from geossl_tpu.parallel import mesh as pmesh
+
+            self.mesh = pmesh.make_mesh(num_devices)
+            batch_size = common.round_batch_to_mesh(batch_size, self.mesh)
+            params = pmesh.put_replicated(self.mesh, params)
+        self.params = params
+        self.batch_size = batch_size
+        self.bucket_sizes = tuple(sorted(bucket_sizes))
+        if spatial_sort not in ("auto", "on", "off"):
+            raise ValueError(f"spatial_sort must be auto/on/off, "
+                             f"got {spatial_sort!r}")
+        self.spatial_sort = spatial_sort
+        self._head_params = params.get("graph_pred_linear")
+        head = LinearHead()
+        dual_head = DualHead()
+
+        @jax.jit
+        def _embed(backbone, atom_type, positions, node_mask):
+            graph, _ = self.backbone_apply(
+                backbone, atom_type, positions, node_mask)
+            return graph
+
+        @jax.jit
+        def _predict(p, atom_type, positions, node_mask):
+            graph, _ = self.backbone_apply(
+                p["model"], atom_type, positions, node_mask)
+            pred = head.apply({"params": p["graph_pred_linear"]}, graph)
+            return pred * self.y_std + self.y_mean
+
+        @jax.jit
+        def _energy_forces(p, atom_type, positions, node_mask):
+            def energy_sum(pos):
+                graph, _ = self.backbone_apply(
+                    p["model"], atom_type, pos, node_mask)
+                e = head.apply({"params": p["graph_pred_linear"]}, graph)
+                e = e * self.y_std + self.y_mean
+                return jnp.sum(e), e
+
+            grads, e = jax.grad(energy_sum, has_aux=True)(positions)
+            return e, -grads  # force = -∂E/∂pos (finetune_md17.py:46)
+
+        @jax.jit
+        def _pair_logit(p, za, pa, ma, zi, pi, mi):
+            ga, _ = self.backbone_apply(p["model"], za, pa, ma)
+            gi, _ = self.backbone_apply(p["model"], zi, pi, mi)
+            return dual_head.apply({"params": p["graph_pred_linear"]}, ga, gi)
+
+        self._embed_fn = _embed
+        self._predict_fn = _predict
+        self._energy_forces_fn = _energy_forces
+        self._pair_logit_fn = _pair_logit
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: Optional[ModelConfig] = None,
+                        **kw) -> "Predictor":
+        """Load ``model[_final].ckpt`` (msgpack) or a reference torch
+        ``.pth``/``.pt`` (``utils/torch_import``, detected by extension —
+        backbone-only: the torch contract carries no head)."""
+        cfg = cfg or ModelConfig(use_pallas=jax.default_backend() == "tpu")
+        if path.endswith((".pth", ".pt")):
+            from geossl_tpu.utils.torch_import import load_torch_checkpoint
+
+            params = load_torch_checkpoint(path)
+        else:
+            params = checkpoints.load_checkpoint(path)
+        return cls(cfg, params, **kw)
+
+    # -- internals ------------------------------------------------------------
+
+    def _maybe_sort(self, store: MolStore) -> MolStore:
+        if self.spatial_sort == "off" or len(store) == 0:
+            return store
+        if self.spatial_sort == "auto" and int(store.num_atoms().max()) < 128:
+            return store
+        from geossl_tpu.data.transforms import spatial_sort_store
+
+        return spatial_sort_store(store)
+
+    def _batches(self, store: MolStore):
+        """Yield (indices, DenseMolBatch); shapes static per bucket."""
+        bucket_of = assign_buckets(store.num_atoms(), self.bucket_sizes)
+        for b in np.unique(bucket_of):
+            idx = np.nonzero(bucket_of == b)[0]
+            for chunk in _chunks(idx, self.batch_size):
+                records = [store.get(int(i)) for i in chunk]
+                yield chunk, self._shard(
+                    pack_batch(records, int(b), self.batch_size))
+
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from geossl_tpu.parallel import mesh as pmesh
+
+        return pmesh.shard_batch(self.mesh, batch)
+
+    def _require_head(self):
+        if self._head_params is None:
+            raise ValueError(
+                "checkpoint has no 'graph_pred_linear' head — this is a "
+                "pretrain (backbone-only) checkpoint; use embed(), or load "
+                "a fine-tune checkpoint for predict()")
+
+    # -- public API ------------------------------------------------------------
+
+    def embed(self, store: MolStore) -> np.ndarray:
+        """Pooled graph representations, [M, emb], input order."""
+        store = self._maybe_sort(store)
+        out = np.zeros((len(store), self.cfg.emb_dim), np.float32)
+        for idx, batch in self._batches(store):
+            g = np.asarray(self._embed_fn(
+                self.params["model"], batch.atom_type, batch.positions,
+                batch.node_mask))
+            out[idx] = g[: len(idx)]
+        return out
+
+    def predict(self, store: MolStore) -> np.ndarray:
+        """Scalar predictions (denormalized), [M], input order."""
+        self._require_head()
+        store = self._maybe_sort(store)
+        out = np.zeros((len(store),), np.float32)
+        for idx, batch in self._batches(store):
+            p = np.asarray(self._predict_fn(
+                self.params, batch.atom_type, batch.positions,
+                batch.node_mask))
+            out[idx] = p[: len(idx)]
+        return out
+
+    def predict_forces(self, store: MolStore):
+        """(energy [M], forces [sum_N, 3]) via ``-∂E/∂pos`` (MD17 path).
+        Atom order is preserved (no spatial sort) so ``forces`` aligns with
+        the store's flat atom layout."""
+        self._require_head()
+        energies = np.zeros((len(store),), np.float32)
+        forces = np.zeros((int(store.offsets[-1]), 3), np.float32)
+        for idx, batch in self._batches(store):
+            e, f = self._energy_forces_fn(
+                self.params, batch.atom_type, batch.positions,
+                batch.node_mask)
+            e, f = np.asarray(e), np.asarray(f)
+            energies[idx] = e[: len(idx)]
+            for row, i in enumerate(idx):
+                s, t = store.offsets[i], store.offsets[i + 1]
+                forces[s:t] = f[row, : t - s]
+        return energies, forces
+
+    def predict_pairs(self, active: MolStore, inactive: MolStore) -> np.ndarray:
+        """LEP dual-tower probabilities, [M], input order. The stores must be
+        index-aligned (pair i = active[i] vs inactive[i])."""
+        self._require_head()
+        if len(active) != len(inactive):
+            raise ValueError(f"store lengths differ: "
+                             f"{len(active)} vs {len(inactive)}")
+        active = self._maybe_sort(active)
+        inactive = self._maybe_sort(inactive)
+        na = assign_buckets(active.num_atoms(), self.bucket_sizes)
+        ni = assign_buckets(inactive.num_atoms(), self.bucket_sizes)
+        out = np.zeros((len(active),), np.float32)
+        # group by the (bucket_active, bucket_inactive) shape pair
+        keys = na.astype(np.int64) * (max(self.bucket_sizes) + 1) + ni
+        for k in np.unique(keys):
+            idx = np.nonzero(keys == k)[0]
+            for chunk in _chunks(idx, self.batch_size):
+                ba = self._shard(pack_batch(
+                    [active.get(int(i)) for i in chunk],
+                    int(na[chunk[0]]), self.batch_size))
+                bi = self._shard(pack_batch(
+                    [inactive.get(int(i)) for i in chunk],
+                    int(ni[chunk[0]]), self.batch_size))
+                logit = np.asarray(self._pair_logit_fn(
+                    self.params, ba.atom_type, ba.positions, ba.node_mask,
+                    bi.atom_type, bi.positions, bi.node_mask))
+                out[chunk] = 1.0 / (1.0 + np.exp(-logit[: len(chunk)]))
+        return out
+
+
+# -- CLI -----------------------------------------------------------------------
+
+
+def store_from_sdf(path: str) -> MolStore:
+    """Featurize a multi-molecule SDF file into a MolStore (RDKit when
+    available, else the dependency-free parser — ``data/molecule3d.py``).
+    Unparseable blocks raise: serving input, unlike a corpus build, should
+    not silently drop molecules (prediction i must mean input i)."""
+    from geossl_tpu.data.molecule3d import _iter_mol_arrays
+
+    records = []
+    for i, arrays in enumerate(_iter_mol_arrays(path)):
+        if arrays is None:
+            raise ValueError(f"unparseable SDF block #{i} in {path}")
+        records.append(MolRecord(
+            atom_type=arrays["atom_type"],
+            positions=arrays["positions"],
+            chirality=arrays.get("chirality"),
+            bond_index=arrays.get("bond_index"),
+        ))
+    return MolStore.from_records(records)
+
+
+def load_input_store(path: str) -> MolStore:
+    """An ``.npz`` MolStore cache, or a raw ``.sdf`` file."""
+    if path.endswith(".npz"):
+        return MolStore.load(path)
+    if path.endswith(".sdf"):
+        return store_from_sdf(path)
+    raise ValueError(f"unsupported input {path!r} (want .npz or .sdf)")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True,
+                   help="model[_final].ckpt (msgpack) or reference .pth")
+    p.add_argument("--input", required=True, help=".npz MolStore or .sdf")
+    p.add_argument("--output", default="-", help="CSV path or - for stdout")
+    p.add_argument("--model_3d", default="schnet", choices=["schnet", "painn"])
+    p.add_argument("--mode", default="predict",
+                   choices=["predict", "embed", "forces"])
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--spatial_sort", default="auto",
+                   choices=["auto", "on", "off"])
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="SPMD serving over a data mesh (default: one device)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = ModelConfig(model_3d=args.model_3d,
+                      use_pallas=jax.default_backend() == "tpu")
+    pred = Predictor.from_checkpoint(
+        args.ckpt, cfg, batch_size=args.batch_size,
+        spatial_sort=args.spatial_sort, num_devices=args.num_devices)
+    store = load_input_store(args.input)
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    try:
+        if args.mode == "predict":
+            for i, v in enumerate(pred.predict(store)):
+                out.write(f"{i},{v}\n")
+        elif args.mode == "embed":
+            for i, row in enumerate(pred.embed(store)):
+                out.write(",".join([str(i)] + [f"{v:.6g}" for v in row]) + "\n")
+        else:
+            e, f = pred.predict_forces(store)
+            for i, v in enumerate(e):
+                s, t = store.offsets[i], store.offsets[i + 1]
+                fx = ";".join(f"{a:.6g},{b:.6g},{c:.6g}" for a, b, c in f[s:t])
+                out.write(f"{i},{v},{fx}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -174,7 +174,11 @@ def main(argv=None):
             if args.output_model_dir:
                 checkpoints.save_checkpoint(
                     os.path.join(args.output_model_dir, "model.ckpt"),
-                    jax.device_get(state.params),
+                    # y_mean/y_std ride along so serving (geossl_tpu.serve)
+                    # can denormalize without re-deriving the train split;
+                    # extra keys are ignored by every loader
+                    {**jax.device_get(state.params),
+                     "y_mean": np.float32(mean), "y_std": np.float32(std)},
                 )
                 np.savez(
                     os.path.join(args.output_model_dir, "evaluation_best.npz"),
@@ -189,7 +193,8 @@ def main(argv=None):
     if args.output_model_dir:
         checkpoints.save_checkpoint(
             os.path.join(args.output_model_dir, "model_final.ckpt"),
-            jax.device_get(state.params),
+            {**jax.device_get(state.params),
+             "y_mean": np.float32(mean), "y_std": np.float32(std)},
         )
     return best_val, test_at_best
 
