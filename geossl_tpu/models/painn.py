@@ -63,6 +63,12 @@ class PaiNNInteraction(nn.Module):
     # Occupancy-gated tiles ("auto"/True/False): skip pair tiles whose gate
     # block is all-zero — see ops/painn_pallas.painn_message.
     sparse: Any = "auto"
+    # Pair-axis model parallelism: mesh axis name; the module must run inside
+    # shard_map over that axis with replicated inputs — each device reduces
+    # its j-stripe of the pair grid, full (dq, dmu) come back via one psum
+    # (same scheme as schnet.InteractionBlock.pair_axis). Routes through the
+    # XLA math (the fused kernel's tiling is square).
+    pair_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, q, mu, dist, gate, direction, wk, bk):
@@ -71,6 +77,32 @@ class PaiNNInteraction(nn.Module):
         f = self.n_atom_basis
         x = Dense(f, activation=jax.nn.silu, dtype=self.dtype)(q)
         x = Dense(3 * f, dtype=self.dtype)(x)  # [B,N,F*3]
+
+        if self.pair_axis is not None:
+            d = jax.lax.psum(1, self.pair_axis)  # static axis size
+            n = dist.shape[-1]
+            if n % d:
+                raise ValueError(
+                    f"pair_axis sharding needs N % axis_size == 0; "
+                    f"got N={n}, axis {self.pair_axis!r} size {d}")
+            nloc = n // d
+            j0 = jax.lax.axis_index(self.pair_axis) * nloc
+            jslice = lambda a, ax: jax.lax.dynamic_slice_in_dim(a, j0, nloc, ax)
+            from geossl_tpu.ops.painn_pallas import painn_message_reference
+
+            b = q.shape[0]
+            dq, dmu_flat = painn_message_reference(
+                jslice(dist, 2), jslice(gate.astype(jnp.float32), 2),
+                jslice(direction[..., 0], 2), jslice(direction[..., 1], 2),
+                jslice(direction[..., 2], 2),
+                jslice(x.astype(jnp.float32), 1),
+                jslice(mu.astype(jnp.float32), 1).reshape(b, nloc, 3 * f),
+                wk.astype(jnp.float32), bk.astype(jnp.float32), self.cutoff,
+            )
+            dq = jax.lax.psum(dq, self.pair_axis)
+            dmu = jax.lax.psum(dmu_flat, self.pair_axis).reshape(
+                b, n, 3, f)
+            return q + dq.astype(q.dtype), mu + dmu.astype(mu.dtype)
 
         if self.use_pallas:
             from geossl_tpu.ops.painn_pallas import painn_message
@@ -165,6 +197,9 @@ class PaiNN(nn.Module):
     remat: bool = True
     use_pallas: bool = False
     sparse: Any = "auto"  # occupancy-gated pair tiles (painn_message docstring)
+    # Mesh axis name for pair-grid model parallelism (run the apply inside
+    # shard_map; see PaiNNInteraction.pair_axis and parallel/pair_parallel).
+    pair_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -211,7 +246,8 @@ class PaiNN(nn.Module):
         )
         mk_inter = lambda name: interaction_cls(
             f, cutoff=self.cutoff, dtype=self.dtype,
-            use_pallas=self.use_pallas, sparse=self.sparse, name=name,
+            use_pallas=self.use_pallas, sparse=self.sparse,
+            pair_axis=self.pair_axis, name=name,
         )
         if self.shared_interactions:
             interaction = mk_inter("PaiNNInteraction_shared")

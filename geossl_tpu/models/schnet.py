@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -68,6 +69,16 @@ class InteractionBlock(nn.Module):
     # Occupancy-gated tiles ("auto"/True/False): skip pair tiles whose env
     # block is all-zero — see ops/cfconv_pallas.cfconv.
     sparse: Any = "auto"
+    # Pair-axis model parallelism (SURVEY.md §5.7 extension point): when set
+    # to a mesh axis name, the module must run inside shard_map over that
+    # axis with replicated inputs — each device computes the message partial
+    # sum for its j-stripe of the [B,N,N] pair grid and the full messages
+    # come back via one psum over ICI. Scales the O(N²) pair FLOPs and the
+    # per-device filter-tensor footprint by the axis size, for graphs beyond
+    # the single-chip Atom3D sizes. Routes through the XLA reference math
+    # (the fused kernel's tiling is square; rectangular-stripe support is
+    # the recorded follow-up). See parallel/pair_parallel.py.
+    pair_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, h, dist, adj):
@@ -94,18 +105,45 @@ class InteractionBlock(nn.Module):
             if self.dtype == jnp.bfloat16 or self.filter_mxu == "bf16"
             else "f32"
         )
-        m = cfconv(
-            dist, env, x.astype(jnp.promote_types(jnp.float32, x.dtype)),
-            w1, b1, w2, b2, 0.0, self.cutoff, self.num_gaussians, mxu,
-            symmetric=self.symmetric, use_pallas=self.use_pallas,
-            sparse=self.sparse,
-        )
+        xf = x.astype(jnp.promote_types(jnp.float32, x.dtype))
+        if self.pair_axis is not None:
+            m = self._pair_sharded_conv(dist, env, xf, w1, b1, w2, b2, mxu)
+        else:
+            m = cfconv(
+                dist, env, xf,
+                w1, b1, w2, b2, 0.0, self.cutoff, self.num_gaussians, mxu,
+                symmetric=self.symmetric, use_pallas=self.use_pallas,
+                sparse=self.sparse,
+            )
         if self.dtype is not None:
             m = m.astype(self.dtype)
         x = Dense(self.hidden_channels, dtype=self.dtype)(m)
         x = shifted_softplus(x)
         x = Dense(self.hidden_channels, dtype=self.dtype)(x)
         return x
+
+    def _pair_sharded_conv(self, dist, env, x, w1, b1, w2, b2, mxu):
+        """CFConv with the j axis of the pair grid sharded over
+        ``pair_axis``: local stripe contraction + one psum. Node tensors are
+        replicated (they are O(N·F); the pair grid is the O(N²·F) term)."""
+        from geossl_tpu.ops.cfconv_pallas import cfconv_fused_reference
+
+        d = jax.lax.psum(1, self.pair_axis)  # static axis size
+        n = dist.shape[-1]
+        if n % d:
+            raise ValueError(
+                f"pair_axis sharding needs N % axis_size == 0; "
+                f"got N={n}, axis {self.pair_axis!r} size {d}")
+        nloc = n // d
+        j0 = jax.lax.axis_index(self.pair_axis) * nloc
+        dist_l = jax.lax.dynamic_slice_in_dim(dist, j0, nloc, axis=2)
+        env_l = jax.lax.dynamic_slice_in_dim(env, j0, nloc, axis=2)
+        x_l = jax.lax.dynamic_slice_in_dim(x, j0, nloc, axis=1)
+        m = cfconv_fused_reference(
+            dist_l, env_l, x_l, w1, b1, w2, b2, 0.0, self.cutoff,
+            self.num_gaussians, mxu,
+        )
+        return jax.lax.psum(m, self.pair_axis)
 
 
 class SchNet(nn.Module):
@@ -135,6 +173,9 @@ class SchNet(nn.Module):
     use_pallas: bool = False
     filter_mxu: str = "f32"
     sparse: Any = "auto"  # occupancy-gated pair tiles (cfconv docstring)
+    # Mesh axis name for pair-grid model parallelism (run the apply inside
+    # shard_map; see InteractionBlock.pair_axis and parallel/pair_parallel).
+    pair_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, atom_type, positions, node_mask):
@@ -168,6 +209,7 @@ class SchNet(nn.Module):
                 # tile-skipping kernel path must be disabled with it
                 symmetric=self.max_neighbors is None,
                 sparse=self.sparse,
+                pair_axis=self.pair_axis,
             )(h, dist, adj)
 
         h = Dense(self.hidden_channels, dtype=self.dtype)(h)

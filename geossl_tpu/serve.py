@@ -87,6 +87,11 @@ class Predictor:
             self.mesh = pmesh.make_mesh(num_devices)
             batch_size = common.round_batch_to_mesh(batch_size, self.mesh)
             params = pmesh.put_replicated(self.mesh, params)
+        else:
+            # resident once — checkpoint trees arrive as host numpy arrays,
+            # and passing those re-uploads the full parameter set on EVERY
+            # batch call (measured 20x slower through the remote-TPU tunnel)
+            params = jax.device_put(params)
         self.params = params
         self.batch_size = batch_size
         self.bucket_sizes = tuple(sorted(bucket_sizes))
@@ -163,14 +168,27 @@ class Predictor:
         return spatial_sort_store(store)
 
     def _batches(self, store: MolStore):
-        """Yield (indices, DenseMolBatch); shapes static per bucket."""
+        """Yield (indices, DenseMolBatch); shapes static per bucket. Packs
+        through the C++ runtime when available (2.87M mol/s vs 194k NumPy —
+        docs/PERF.md), same as the training loader."""
+        from geossl_tpu.data.bucketing import find_native_packer
+
+        native = find_native_packer()
         bucket_of = assign_buckets(store.num_atoms(), self.bucket_sizes)
         for b in np.unique(bucket_of):
             idx = np.nonzero(bucket_of == b)[0]
             for chunk in _chunks(idx, self.batch_size):
-                records = [store.get(int(i)) for i in chunk]
-                yield chunk, self._shard(
-                    pack_batch(records, int(b), self.batch_size))
+                if native is not None:
+                    at, pos, nm, gm, y = native.pack_batch_from_store(
+                        store, chunk, int(b), self.batch_size)
+                    from geossl_tpu.data.batch import DenseMolBatch
+
+                    batch = DenseMolBatch(atom_type=at, positions=pos,
+                                          node_mask=nm, y=y, graph_mask=gm)
+                else:
+                    records = [store.get(int(i)) for i in chunk]
+                    batch = pack_batch(records, int(b), self.batch_size)
+                yield chunk, self._shard(batch)
 
     def _shard(self, batch):
         if self.mesh is None:
@@ -192,11 +210,29 @@ class Predictor:
         """Pooled graph representations, [M, emb], input order."""
         store = self._maybe_sort(store)
         out = np.zeros((len(store), self.cfg.emb_dim), np.float32)
-        for idx, batch in self._batches(store):
-            g = np.asarray(self._embed_fn(
-                self.params["model"], batch.atom_type, batch.positions,
-                batch.node_mask))
+        pending = [
+            (idx, self._embed_fn(self.params["model"], batch.atom_type,
+                                 batch.positions, batch.node_mask))
+            for idx, batch in self._batches(store)
+        ]
+        for (idx, _), g in zip(pending, self._gather(pending)):
             out[idx] = g[: len(idx)]
+        return out
+
+    def _gather(self, pending):
+        """One host fetch for a whole prediction pass. Dispatches are async
+        (JAX queues them), but a per-batch ``np.asarray`` serializes a
+        device->host round-trip into the loop — measured 30x slower through
+        the remote-TPU tunnel; batching uploads AND downloads into single
+        transfers is what reaches the device rate (docs/PERF.md)."""
+        leaves = [p for _, p in pending]
+        if not leaves:
+            return []
+        flat = np.asarray(jnp.concatenate([jnp.ravel(p) for p in leaves]))
+        out, o = [], 0
+        for p in leaves:
+            out.append(flat[o : o + p.size].reshape(p.shape))
+            o += p.size
         return out
 
     def predict(self, store: MolStore) -> np.ndarray:
@@ -204,10 +240,12 @@ class Predictor:
         self._require_head()
         store = self._maybe_sort(store)
         out = np.zeros((len(store),), np.float32)
-        for idx, batch in self._batches(store):
-            p = np.asarray(self._predict_fn(
-                self.params, batch.atom_type, batch.positions,
-                batch.node_mask))
+        pending = [
+            (idx, self._predict_fn(self.params, batch.atom_type,
+                                   batch.positions, batch.node_mask))
+            for idx, batch in self._batches(store)
+        ]
+        for (idx, _), p in zip(pending, self._gather(pending)):
             out[idx] = p[: len(idx)]
         return out
 
@@ -218,11 +256,15 @@ class Predictor:
         self._require_head()
         energies = np.zeros((len(store),), np.float32)
         forces = np.zeros((int(store.offsets[-1]), 3), np.float32)
+        pending = []
         for idx, batch in self._batches(store):
             e, f = self._energy_forces_fn(
                 self.params, batch.atom_type, batch.positions,
                 batch.node_mask)
-            e, f = np.asarray(e), np.asarray(f)
+            pending.extend([(idx, e), (idx, f)])
+        fetched = self._gather(pending)
+        for k in range(0, len(pending), 2):
+            idx, (e, f) = pending[k][0], (fetched[k], fetched[k + 1])
             energies[idx] = e[: len(idx)]
             for row, i in enumerate(idx):
                 s, t = store.offsets[i], store.offsets[i + 1]
@@ -243,6 +285,7 @@ class Predictor:
         out = np.zeros((len(active),), np.float32)
         # group by the (bucket_active, bucket_inactive) shape pair
         keys = na.astype(np.int64) * (max(self.bucket_sizes) + 1) + ni
+        pending = []
         for k in np.unique(keys):
             idx = np.nonzero(keys == k)[0]
             for chunk in _chunks(idx, self.batch_size):
@@ -252,10 +295,11 @@ class Predictor:
                 bi = self._shard(pack_batch(
                     [inactive.get(int(i)) for i in chunk],
                     int(ni[chunk[0]]), self.batch_size))
-                logit = np.asarray(self._pair_logit_fn(
+                pending.append((chunk, self._pair_logit_fn(
                     self.params, ba.atom_type, ba.positions, ba.node_mask,
-                    bi.atom_type, bi.positions, bi.node_mask))
-                out[chunk] = 1.0 / (1.0 + np.exp(-logit[: len(chunk)]))
+                    bi.atom_type, bi.positions, bi.node_mask)))
+        for (chunk, _), logit in zip(pending, self._gather(pending)):
+            out[chunk] = 1.0 / (1.0 + np.exp(-logit[: len(chunk)]))
         return out
 
 
