@@ -412,6 +412,52 @@ def bench_ddm(use_pallas, model_3d="schnet"):
             "vs_baseline": round(mols / BASELINE_MOLS_PER_SEC, 2)}
 
 
+def bench_serve(use_pallas):
+    """Inference/serving wall-clock (geossl_tpu.serve.Predictor): 16,384
+    molecules (N<=32) through bucketing + native packing + batched forward +
+    one gathered fetch. The production deployment path; no reference analog
+    (the reference has no inference surface). Should sit at or above the
+    training-step rate (forward-only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geossl_tpu.config import ModelConfig
+    from geossl_tpu.data.store import MolRecord, MolStore
+    from geossl_tpu.serve import Predictor
+    from geossl_tpu.train import common
+    from geossl_tpu.train.finetune_qm9 import LinearHead
+
+    cfg = ModelConfig(use_pallas=use_pallas)
+    module, _ = common.make_backbone(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = {
+        "model": common.init_backbone(module, rng, n_max=32),
+        "graph_pred_linear": LinearHead().init(
+            rng, jnp.zeros((2, cfg.emb_dim)))["params"],
+    }
+    nrng = np.random.default_rng(0)
+    records = []
+    for _ in range(16384):
+        n = int(nrng.integers(10, 33))
+        records.append(MolRecord(
+            atom_type=nrng.integers(0, 9, n).astype(np.int32),
+            positions=np.cumsum(
+                nrng.normal(scale=0.9, size=(n, 3)), axis=0).astype(np.float32),
+        ))
+    store = MolStore.from_records(records)
+    pred = Predictor(cfg, params, batch_size=128, bucket_sizes=(32,))
+    out = pred.predict(store)  # warm: compiles + caches the bucket program
+    assert np.isfinite(out).all()
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pred.predict(store)
+        rates.append(len(store) / (time.perf_counter() - t0))
+    mols = float(np.median(rates))
+    return {"metric": "geossl_serve_throughput", "value": round(mols, 1),
+            "unit": "mol/s/chip", "vs_baseline": None}
+
+
 def bench_ddm_e2e():
     """END-TO-END DDM driver wall-clock: loader + native BFS masking (0.3) +
     prefetch + train over a synthetic corpus spanning the 32/64 buckets —
@@ -457,6 +503,7 @@ def main(only=None):
         ("lep", lambda: bench_lep(use_pallas)),
         ("lba_painn", lambda: bench_lba_painn(use_pallas)),
         ("lep_painn", lambda: bench_lep_painn(use_pallas)),
+        ("serve", lambda: bench_serve(use_pallas)),
         ("ddm_e2e", bench_ddm_e2e),
         ("ddm_painn", lambda: bench_ddm(use_pallas, "painn")),
         ("ddm", lambda: bench_ddm(use_pallas)),  # flagship last (tail-parse)
