@@ -69,7 +69,6 @@ class Predictor:
     ):
         # the driver head modules, imported so the param trees match exactly
         from geossl_tpu.train.finetune_lep import DualHead
-        from geossl_tpu.train.finetune_qm9 import LinearHead
 
         self.cfg = cfg
         self.module, self.backbone_apply = common.make_backbone(cfg)
@@ -100,7 +99,9 @@ class Predictor:
                              f"got {spatial_sort!r}")
         self.spatial_sort = spatial_sort
         self._head_params = params.get("graph_pred_linear")
-        head = LinearHead()
+        # Linear for SchNet, create_output_layers halving MLP for PaiNN —
+        # matching what the fine-tune drivers trained (train/common.make_head)
+        head = common.make_head(cfg.model_3d, cfg.emb_dim)
         dual_head = DualHead()
 
         @jax.jit

@@ -14,11 +14,46 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from flax import linen as nn
 from flax import struct
 
 from geossl_tpu.config import Config, ModelConfig
 from geossl_tpu.models.painn import PaiNN
 from geossl_tpu.models.schnet import SchNet
+
+
+class LinearHead(nn.Module):
+    """``graph_pred_linear`` for SchNet downstream tasks:
+    ``torch.nn.Linear(emb, 1)`` (``finetune_qm9.py:113``)."""
+
+    @nn.compact
+    def __call__(self, x):
+        from geossl_tpu.models.common import Dense
+
+        return Dense(1)(x)[..., 0]
+
+
+class PaiNNHead(nn.Module):
+    """``graph_pred_linear`` for PaiNN downstream tasks: the backbone's
+    ``create_output_layers()`` halving-width silu MLP
+    (``painn.py:205-213`` → ``painn_utils.build_mlp``; emb → emb/2 → 1)."""
+
+    emb_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        from geossl_tpu.models.common import HalvingMLP
+
+        return HalvingMLP(self.emb_dim, 1)(x)[..., 0]
+
+
+def make_head(model_3d: str, emb_dim: int) -> nn.Module:
+    """The reference's per-backbone downstream head (QM9/MD17/LBA drivers;
+    LEP uses a Linear(2·emb → 1) dual head for BOTH backbones,
+    ``finetune_lep.py:194-206``)."""
+    if model_3d == "schnet":
+        return LinearHead()
+    return PaiNNHead(emb_dim)
 
 
 def make_backbone(cfg: ModelConfig):

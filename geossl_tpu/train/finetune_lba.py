@@ -24,7 +24,6 @@ from geossl_tpu.data.lba import load_lba
 from geossl_tpu.data.splitters import atom3d_lba_split, random_split
 from geossl_tpu.parallel import mesh as pmesh
 from geossl_tpu.train import checkpoints, common, optim
-from geossl_tpu.train.finetune_qm9 import LinearHead
 from geossl_tpu.utils import metrics
 
 
@@ -69,7 +68,7 @@ def main(argv=None):
     mesh = pmesh.make_mesh(args.num_devices)
     cfg = common.model_config_from_args(args)
     module, backbone_apply = common.make_backbone(cfg)
-    head = LinearHead()
+    head = common.make_head(args.model_3d, args.emb_dim)
     rng = jax.random.PRNGKey(args.seed)
     params = {
         "model": common.init_backbone(module, rng, n_max=common.buckets(args)[-1]),

@@ -30,7 +30,6 @@ from geossl_tpu.data.md17 import MD17_TASKS, load_md17
 from geossl_tpu.data.splitters import md17_split
 from geossl_tpu.parallel import mesh as pmesh
 from geossl_tpu.train import checkpoints, common, optim
-from geossl_tpu.train.finetune_qm9 import LinearHead
 
 
 def build_parser():
@@ -124,7 +123,7 @@ def main(argv=None):
     # reference math), so SchNet and PaiNN may run fused here too.
     cfg = common.model_config_from_args(args)
     module, backbone_apply = common.make_backbone(cfg)
-    head = LinearHead()
+    head = common.make_head(args.model_3d, args.emb_dim)
     rng = jax.random.PRNGKey(args.seed)
     params = {
         "model": common.init_backbone(module, rng, n_max=common.buckets(args)[-1]),

@@ -22,19 +22,12 @@ import numpy as np
 from geossl_tpu.data.bucketing import BucketedLoader
 from geossl_tpu.data.qm9 import TARGET_FIELDS, load_qm9
 from geossl_tpu.data.splitters import qm9_random_customized_01
-from geossl_tpu.models.common import Dense
 from geossl_tpu.parallel import mesh as pmesh
 from geossl_tpu.train import checkpoints, common, optim
 from geossl_tpu.utils import metrics
-from flax import linen as nn
 
-
-class LinearHead(nn.Module):
-    """graph_pred_linear: Linear(emb -> 1) (``finetune_qm9.py:102-129``)."""
-
-    @nn.compact
-    def __call__(self, x):
-        return Dense(1)(x)[..., 0]
+# re-export (tests/serve historically import it from here)
+from geossl_tpu.train.common import LinearHead  # noqa: F401
 
 
 def build_parser():
@@ -115,7 +108,9 @@ def main(argv=None):
     mesh = pmesh.make_mesh(args.num_devices)
     cfg = common.model_config_from_args(args)
     module, backbone_apply = common.make_backbone(cfg)
-    head = LinearHead()
+    # per-backbone head: Linear for SchNet, the create_output_layers halving
+    # MLP for PaiNN (finetune_qm9.py:113/:125)
+    head = common.make_head(args.model_3d, args.emb_dim)
     rng = jax.random.PRNGKey(args.seed)
     bucket_sizes = common.buckets(args)
     backbone_params = common.init_backbone(module, rng, n_max=bucket_sizes[-1])

@@ -57,9 +57,9 @@ def _clean(sd: Dict) -> Dict[str, np.ndarray]:
             if extras:
                 warnings.warn(
                     f"torch checkpoint carries {extras} beside {key!r}; only "
-                    "the backbone is imported — downstream heads are freshly "
-                    "initialized (re-finetune to reproduce reference "
-                    "finetuned metrics)", stacklevel=3)
+                    "the backbone is imported by this function — "
+                    "load_torch_checkpoint carries the fine-tuned "
+                    "graph_pred_linear head too", stacklevel=3)
             sd = dict(sd[key])
     # strip DataParallel / wrapper prefixes
     for pre in ("module.", "molecule_model_3D."):
@@ -158,13 +158,59 @@ def backbone_params_from_torch(state_dict) -> dict:
     )
 
 
+def head_params_from_torch(sd) -> dict:
+    """``graph_pred_linear`` state_dict -> flax head params. Two reference
+    layouts: a bare ``torch.nn.Linear`` (SchNet tasks
+    ``finetune_qm9.py:113``, and LEP's dual head for both backbones) and the
+    PaiNN ``create_output_layers()`` Sequential of Dense(=Linear) layers
+    (``painn.py:205-213``)."""
+    sd = {k: _np(v) for k, v in sd.items()}
+    if "weight" in sd:  # nn.Linear -> LinearHead / DualHead
+        return {"Dense_0": {"Dense_0": {"kernel": sd["weight"].T,
+                                        "bias": sd["bias"]}}}
+    if "0.weight" in sd:  # Sequential -> PaiNNHead(HalvingMLP)
+        layers = sorted({int(k.split(".")[0]) for k in sd})
+        return {"HalvingMLP_0": {
+            f"Dense_{i}": {"Dense_0": {"kernel": sd[f"{i}.weight"].T,
+                                       "bias": sd[f"{i}.bias"]}}
+            for i in layers}}
+    raise ValueError(
+        f"unrecognized graph_pred_linear layout (keys: {sorted(sd)[:4]})")
+
+
+def head_params_to_torch(tree) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`head_params_from_torch`."""
+    if "Dense_0" in tree:  # LinearHead / DualHead -> nn.Linear
+        p = tree["Dense_0"]["Dense_0"]
+        return {"weight": np.asarray(p["kernel"], np.float32).T,
+                "bias": np.asarray(p["bias"], np.float32)}
+    if "HalvingMLP_0" in tree:  # PaiNNHead -> Sequential
+        out = {}
+        for name, sub in tree["HalvingMLP_0"].items():
+            i = int(name.split("_")[1])
+            p = sub["Dense_0"]
+            out[f"{i}.weight"] = np.asarray(p["kernel"], np.float32).T
+            out[f"{i}.bias"] = np.asarray(p["bias"], np.float32)
+        return out
+    raise ValueError(
+        f"unrecognized head param tree (keys: {sorted(tree)[:4]})")
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a reference ``.pth``/``.pt`` checkpoint file ->
-    ``{"model": params}`` (this framework's transfer contract)."""
+    ``{"model": params[, "graph_pred_linear": head]}`` (this framework's
+    transfer contract; fine-tune checkpoints carry the trained head,
+    ``finetune_qm9.py:141-150``)."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {"model": backbone_params_from_torch(sd)}
+    out = {}
+    if isinstance(sd, dict) and isinstance(sd.get("graph_pred_linear"), dict):
+        sd = dict(sd)
+        out["graph_pred_linear"] = head_params_from_torch(
+            sd.pop("graph_pred_linear"))
+    out["model"] = backbone_params_from_torch(sd)
+    return out
 
 
 # --------------------------------------------------------------- export
@@ -232,9 +278,13 @@ def painn_params_to_torch(params) -> Dict[str, np.ndarray]:
 
 
 def save_torch_checkpoint(path: str, tree: dict) -> None:
-    """Write ``{"model": params}`` (or bare backbone params) as a reference-
-    format torch ``.pth`` state_dict; the backbone family is auto-detected
-    from the tree's key set."""
+    """Write ``{"model": params[, "graph_pred_linear": head]}`` (or bare
+    backbone params) as a reference-format torch ``.pth``, in the exact
+    wrapper layout the reference's own save/load uses
+    (``finetune_qm9.py:132-150``: ``model_weight["model"]`` plus the
+    optional fine-tuned head) — so exports drop into the reference's
+    ``load_model``/fine-tune harness unchanged. The backbone family is
+    auto-detected from the tree's key set."""
     import torch
 
     params = tree.get("model", tree) if isinstance(tree, dict) else tree
@@ -246,4 +296,9 @@ def save_torch_checkpoint(path: str, tree: dict) -> None:
         raise ValueError(
             f"param tree matches neither backbone (keys: {sorted(params)[:6]})"
         )
-    torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+    out = {"model": {k: torch.tensor(v) for k, v in sd.items()}}
+    if isinstance(tree, dict) and "graph_pred_linear" in tree:
+        out["graph_pred_linear"] = {
+            k: torch.tensor(v)
+            for k, v in head_params_to_torch(tree["graph_pred_linear"]).items()}
+    torch.save(out, path)

@@ -231,3 +231,31 @@ def test_torch_pth_checkpoint_embeds(tmp_path):
     store = _synthetic_store(m=4)
     emb = pred.embed(store)
     assert emb.shape == (4, cfg.emb_dim) and np.isfinite(emb).all()
+
+
+def test_predict_painn_uses_halving_head():
+    """PaiNN serving applies the create_output_layers halving-MLP head (the
+    reference's PaiNN graph_pred_linear), not SchNet's Linear."""
+    from geossl_tpu.serve import Predictor
+    from geossl_tpu.train import common
+    from geossl_tpu.train.common import PaiNNHead
+
+    cfg = ModelConfig(model_3d="painn")
+    module, backbone_apply = common.make_backbone(cfg)
+    rng = jax.random.PRNGKey(5)
+    params = {
+        "model": common.init_backbone(module, rng, n_max=32),
+        "graph_pred_linear": PaiNNHead(cfg.emb_dim).init(
+            rng, jnp.zeros((2, cfg.emb_dim)))["params"],
+    }
+    store = _synthetic_store(m=4, n_lo=4, n_hi=12, seed=6)
+    pred = Predictor(cfg, params, batch_size=4, bucket_sizes=(32,))
+    out = pred.predict(store)
+    assert out.shape == (4,) and np.isfinite(out).all()
+
+    b = pack_batch([store.get(2)], 32)
+    g, _ = backbone_apply(params["model"], b.atom_type, b.positions,
+                          b.node_mask)
+    expect = float(PaiNNHead(cfg.emb_dim).apply(
+        {"params": params["graph_pred_linear"]}, g)[0])
+    np.testing.assert_allclose(out[2], expect, rtol=2e-5, atol=1e-5)

@@ -287,3 +287,71 @@ def test_export_roundtrip_both_backbones(tmp_path):
         for k, v in la:
             np.testing.assert_array_equal(np.asarray(v, np.float32),
                                           lb[jax.tree_util.keystr(k)])
+
+
+def test_head_import_linear_forward_parity():
+    """torch Linear graph_pred_linear -> LinearHead params: same outputs."""
+    from geossl_tpu.train.common import LinearHead
+    from geossl_tpu.utils.torch_import import head_params_from_torch
+
+    rng = np.random.default_rng(8)
+    w = _lin(rng, 1, EMB)
+    b = rng.normal(size=1).astype(np.float64)
+    params = head_params_from_torch({"weight": w, "bias": b})
+    x = rng.normal(size=(5, EMB)).astype(np.float64)
+    ours = np.asarray(LinearHead().apply({"params": params}, jnp.asarray(x)))
+    theirs = (x @ w.T + b)[:, 0]
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_head_import_painn_mlp_forward_parity():
+    """torch create_output_layers() Sequential (silu halving MLP) ->
+    PaiNNHead params: same outputs."""
+    from geossl_tpu.train.common import PaiNNHead
+    from geossl_tpu.utils.torch_import import head_params_from_torch
+
+    rng = np.random.default_rng(9)
+    w0 = _lin(rng, EMB // 2, EMB)
+    b0 = rng.normal(size=EMB // 2).astype(np.float64)
+    w1 = _lin(rng, 1, EMB // 2)
+    b1 = rng.normal(size=1).astype(np.float64)
+    params = head_params_from_torch(
+        {"0.weight": w0, "0.bias": b0, "1.weight": w1, "1.bias": b1})
+    x = rng.normal(size=(5, EMB)).astype(np.float64)
+    ours = np.asarray(PaiNNHead(EMB).apply({"params": params}, jnp.asarray(x)))
+    th = torch.nn.functional.silu(torch.tensor(x) @ torch.tensor(w0).T
+                                  + torch.tensor(b0))
+    th = (th @ torch.tensor(w1).T + torch.tensor(b1)).numpy()[:, 0]
+    np.testing.assert_allclose(ours, th, rtol=1e-6)
+
+
+def test_finetune_checkpoint_head_roundtrip(tmp_path):
+    """Fine-tune tree (backbone + head) -> reference .pth (load_model
+    wrapper layout) -> tree is the identity, for both head layouts."""
+    from geossl_tpu.train.common import LinearHead, PaiNNHead
+    from geossl_tpu.utils.torch_import import (
+        load_torch_checkpoint, save_torch_checkpoint)
+
+    rng = np.random.default_rng(10)
+    key = jax.random.PRNGKey(0)
+    heads = {
+        "schnet": (make_schnet_sd, schnet_params_from_torch,
+                   LinearHead().init(key, jnp.zeros((2, EMB)))["params"]),
+        "painn": (make_painn_sd, painn_params_from_torch,
+                  PaiNNHead(EMB).init(key, jnp.zeros((2, EMB)))["params"]),
+    }
+    for name, (maker, from_torch, head) in heads.items():
+        tree = {"model": from_torch(maker(rng)), "graph_pred_linear": head}
+        path = str(tmp_path / f"{name}.pth")
+        save_torch_checkpoint(path, tree)
+        raw = torch.load(path, weights_only=True)
+        assert set(raw) == {"model", "graph_pred_linear"}  # load_model layout
+        back = load_torch_checkpoint(path)
+        la = jax.tree_util.tree_leaves_with_path(tree)
+        lb = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(back)}
+        assert len(la) == len(lb)
+        for k, v in la:
+            np.testing.assert_allclose(np.asarray(v, np.float32),
+                                       lb[jax.tree_util.keystr(k)],
+                                       rtol=1e-6, err_msg=f"{name}{k}")
