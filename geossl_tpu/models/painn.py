@@ -79,16 +79,12 @@ class PaiNNInteraction(nn.Module):
         x = Dense(3 * f, dtype=self.dtype)(x)  # [B,N,F*3]
 
         if self.pair_axis is not None:
-            d = jax.lax.psum(1, self.pair_axis)  # static axis size
-            n = dist.shape[-1]
-            if n % d:
-                raise ValueError(
-                    f"pair_axis sharding needs N % axis_size == 0; "
-                    f"got N={n}, axis {self.pair_axis!r} size {d}")
-            nloc = n // d
-            j0 = jax.lax.axis_index(self.pair_axis) * nloc
-            jslice = lambda a, ax: jax.lax.dynamic_slice_in_dim(a, j0, nloc, ax)
             from geossl_tpu.ops.painn_pallas import painn_message_reference
+            from geossl_tpu.parallel.pair_parallel import local_stripe
+
+            n = dist.shape[-1]
+            j0, nloc = local_stripe(self.pair_axis, n)
+            jslice = lambda a, ax: jax.lax.dynamic_slice_in_dim(a, j0, nloc, ax)
 
             b = q.shape[0]
             dq, dmu_flat = painn_message_reference(

@@ -127,15 +127,9 @@ class InteractionBlock(nn.Module):
         ``pair_axis``: local stripe contraction + one psum. Node tensors are
         replicated (they are O(N·F); the pair grid is the O(N²·F) term)."""
         from geossl_tpu.ops.cfconv_pallas import cfconv_fused_reference
+        from geossl_tpu.parallel.pair_parallel import local_stripe
 
-        d = jax.lax.psum(1, self.pair_axis)  # static axis size
-        n = dist.shape[-1]
-        if n % d:
-            raise ValueError(
-                f"pair_axis sharding needs N % axis_size == 0; "
-                f"got N={n}, axis {self.pair_axis!r} size {d}")
-        nloc = n // d
-        j0 = jax.lax.axis_index(self.pair_axis) * nloc
+        j0, nloc = local_stripe(self.pair_axis, dist.shape[-1])
         dist_l = jax.lax.dynamic_slice_in_dim(dist, j0, nloc, axis=2)
         env_l = jax.lax.dynamic_slice_in_dim(env, j0, nloc, axis=2)
         x_l = jax.lax.dynamic_slice_in_dim(x, j0, nloc, axis=1)

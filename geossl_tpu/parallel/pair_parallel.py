@@ -55,6 +55,19 @@ def make_pair_mesh(num_pair: int, num_data: int = 1, devices=None) -> Mesh:
                 axis_names=("data", PAIR_AXIS))
 
 
+def local_stripe(axis_name: str, n: int):
+    """The (start, length) of this device's contiguous j-stripe of an
+    ``n``-wide pair-grid axis under ``shard_map`` over ``axis_name``.
+    Shared by the backbones' ``pair_axis`` paths."""
+    d = jax.lax.psum(1, axis_name)  # static axis size
+    if n % d:
+        raise ValueError(
+            f"pair_axis sharding needs N % axis_size == 0; "
+            f"got N={n}, axis {axis_name!r} size {d}")
+    nloc = n // d
+    return jax.lax.axis_index(axis_name) * nloc, nloc
+
+
 def pair_sharded_apply(apply_fn, mesh: Mesh):
     """Wrap a backbone ``apply_fn(params, *batch_arrays) -> outputs`` for a
     ``("data", "pair")`` mesh (:func:`make_pair_mesh`).

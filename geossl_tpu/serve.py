@@ -36,7 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from geossl_tpu.config import ModelConfig
-from geossl_tpu.data.bucketing import assign_buckets, pack_batch
+from geossl_tpu.data.batch import DenseMolBatch
+from geossl_tpu.data.bucketing import (
+    assign_buckets,
+    find_native_packer,
+    pack_batch,
+)
 from geossl_tpu.data.store import MolRecord, MolStore
 from geossl_tpu.train import checkpoints, common
 
@@ -67,9 +72,6 @@ class Predictor:
         spatial_sort: str = "auto",  # {"auto", "on", "off"}
         num_devices: Optional[int] = None,
     ):
-        # the driver head modules, imported so the param trees match exactly
-        from geossl_tpu.train.finetune_lep import DualHead
-
         self.cfg = cfg
         self.module, self.backbone_apply = common.make_backbone(cfg)
         self.y_mean = float(y_mean if y_mean is not None
@@ -99,10 +101,11 @@ class Predictor:
                              f"got {spatial_sort!r}")
         self.spatial_sort = spatial_sort
         self._head_params = params.get("graph_pred_linear")
+        self._native = find_native_packer()
         # Linear for SchNet, create_output_layers halving MLP for PaiNN —
         # matching what the fine-tune drivers trained (train/common.make_head)
         head = common.make_head(cfg.model_3d, cfg.emb_dim)
-        dual_head = DualHead()
+        dual_head = common.DualHead()
 
         @jax.jit
         def _embed(backbone, atom_type, positions, node_mask):
@@ -168,28 +171,24 @@ class Predictor:
 
         return spatial_sort_store(store)
 
-    def _batches(self, store: MolStore):
-        """Yield (indices, DenseMolBatch); shapes static per bucket. Packs
-        through the C++ runtime when available (2.87M mol/s vs 194k NumPy —
-        docs/PERF.md), same as the training loader."""
-        from geossl_tpu.data.bucketing import find_native_packer
+    def _pack(self, store: MolStore, chunk, n_max: int) -> DenseMolBatch:
+        """Pack one chunk through the C++ runtime when available (2.87M
+        mol/s vs 194k NumPy — docs/PERF.md), same as the training loader."""
+        if self._native is not None:
+            at, pos, nm, gm, y = self._native.pack_batch_from_store(
+                store, chunk, n_max, self.batch_size)
+            return DenseMolBatch(atom_type=at, positions=pos,
+                                 node_mask=nm, y=y, graph_mask=gm)
+        records = [store.get(int(i)) for i in chunk]
+        return pack_batch(records, n_max, self.batch_size)
 
-        native = find_native_packer()
+    def _batches(self, store: MolStore):
+        """Yield (indices, DenseMolBatch); shapes static per bucket."""
         bucket_of = assign_buckets(store.num_atoms(), self.bucket_sizes)
         for b in np.unique(bucket_of):
             idx = np.nonzero(bucket_of == b)[0]
             for chunk in _chunks(idx, self.batch_size):
-                if native is not None:
-                    at, pos, nm, gm, y = native.pack_batch_from_store(
-                        store, chunk, int(b), self.batch_size)
-                    from geossl_tpu.data.batch import DenseMolBatch
-
-                    batch = DenseMolBatch(atom_type=at, positions=pos,
-                                          node_mask=nm, y=y, graph_mask=gm)
-                else:
-                    records = [store.get(int(i)) for i in chunk]
-                    batch = pack_batch(records, int(b), self.batch_size)
-                yield chunk, self._shard(batch)
+                yield chunk, self._shard(self._pack(store, chunk, int(b)))
 
     def _shard(self, batch):
         if self.mesh is None:
@@ -221,20 +220,14 @@ class Predictor:
         return out
 
     def _gather(self, pending):
-        """One host fetch for a whole prediction pass. Dispatches are async
-        (JAX queues them), but a per-batch ``np.asarray`` serializes a
-        device->host round-trip into the loop — measured 30x slower through
-        the remote-TPU tunnel; batching uploads AND downloads into single
-        transfers is what reaches the device rate (docs/PERF.md)."""
-        leaves = [p for _, p in pending]
-        if not leaves:
-            return []
-        flat = np.asarray(jnp.concatenate([jnp.ravel(p) for p in leaves]))
-        out, o = [], 0
-        for p in leaves:
-            out.append(flat[o : o + p.size].reshape(p.shape))
-            o += p.size
-        return out
+        """One overlapped host fetch for a whole prediction pass. Dispatches
+        are async (JAX queues them), but a per-batch ``np.asarray``
+        serializes a device->host round-trip into the loop — measured 8-10x
+        slower through the remote-TPU tunnel. ``jax.device_get`` starts the
+        host copies for every leaf before waiting on any (73 ms for 96
+        leaves vs ~4 s looped), and unlike a device-side concat it compiles
+        nothing — request sizes can vary freely (docs/PERF.md)."""
+        return jax.device_get([p for _, p in pending])
 
     def predict(self, store: MolStore) -> np.ndarray:
         """Scalar predictions (denormalized), [M], input order."""
@@ -290,12 +283,9 @@ class Predictor:
         for k in np.unique(keys):
             idx = np.nonzero(keys == k)[0]
             for chunk in _chunks(idx, self.batch_size):
-                ba = self._shard(pack_batch(
-                    [active.get(int(i)) for i in chunk],
-                    int(na[chunk[0]]), self.batch_size))
-                bi = self._shard(pack_batch(
-                    [inactive.get(int(i)) for i in chunk],
-                    int(ni[chunk[0]]), self.batch_size))
+                ba = self._shard(self._pack(active, chunk, int(na[chunk[0]])))
+                bi = self._shard(self._pack(inactive, chunk,
+                                            int(ni[chunk[0]])))
                 pending.append((chunk, self._pair_logit_fn(
                     self.params, ba.atom_type, ba.positions, ba.node_mask,
                     bi.atom_type, bi.positions, bi.node_mask)))
@@ -346,6 +336,10 @@ def build_parser():
     p.add_argument("--mode", default="predict",
                    choices=["predict", "embed", "forces"])
     p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--bucket", type=int, nargs="+",
+                   default=[32, 64, 128, 256, 512],
+                   help="pad-bucket ladder; extend it (e.g. ... 1024) for "
+                        "inputs above 512 atoms")
     p.add_argument("--spatial_sort", default="auto",
                    choices=["auto", "on", "off"])
     p.add_argument("--num_devices", type=int, default=None,
@@ -359,6 +353,7 @@ def main(argv=None):
                       use_pallas=jax.default_backend() == "tpu")
     pred = Predictor.from_checkpoint(
         args.ckpt, cfg, batch_size=args.batch_size,
+        bucket_sizes=args.bucket,
         spatial_sort=args.spatial_sort, num_devices=args.num_devices)
     store = load_input_store(args.input)
     out = sys.stdout if args.output == "-" else open(args.output, "w")

@@ -33,6 +33,19 @@ class LinearHead(nn.Module):
         return Dense(1)(x)[..., 0]
 
 
+class DualHead(nn.Module):
+    """LEP's ``graph_pred_linear``: ``Linear(2·emb -> 1)`` on concatenated
+    tower representations, for BOTH backbones (``finetune_lep.py:34-45``,
+    ``:194-206``)."""
+
+    @nn.compact
+    def __call__(self, repr_active, repr_inactive):
+        from geossl_tpu.models.common import Dense
+
+        x = jnp.concatenate([repr_active, repr_inactive], axis=-1)
+        return Dense(1)(x)[..., 0]
+
+
 class PaiNNHead(nn.Module):
     """``graph_pred_linear`` for PaiNN downstream tasks: the backbone's
     ``create_output_layers()`` halving-width silu MLP

@@ -27,21 +27,13 @@ from geossl_tpu.data.batch import DualMolBatch
 from geossl_tpu.data.bucketing import pack_batch
 from geossl_tpu.data.lep import load_lep
 from geossl_tpu.data.splitters import random_split
-from geossl_tpu.models.common import Dense
 from geossl_tpu.parallel import mesh as pmesh
 from geossl_tpu.train import checkpoints, common, optim
 from geossl_tpu.utils import metrics
-from flax import linen as nn
 
 
-class DualHead(nn.Module):
-    """Linear(2·emb -> 1) on concatenated tower representations
-    (``finetune_lep.py:34-45``)."""
-
-    @nn.compact
-    def __call__(self, repr_active, repr_inactive):
-        x = jnp.concatenate([repr_active, repr_inactive], axis=-1)
-        return Dense(1)(x)[..., 0]
+# re-export (tests/serve historically import it from here)
+from geossl_tpu.train.common import DualHead  # noqa: F401
 
 
 class DualLoader:
