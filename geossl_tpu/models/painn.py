@@ -79,7 +79,11 @@ class PaiNNInteraction(nn.Module):
         x = Dense(3 * f, dtype=self.dtype)(x)  # [B,N,F*3]
 
         if self.pair_axis is not None:
-            from geossl_tpu.ops.painn_pallas import painn_message_reference
+            from geossl_tpu.ops.painn_pallas import (
+                painn_message_fused,
+                painn_message_reference,
+            )
+            from geossl_tpu.ops.pallas_utils import sparse_auto
             from geossl_tpu.parallel.pair_parallel import local_stripe
 
             n = dist.shape[-1]
@@ -87,7 +91,7 @@ class PaiNNInteraction(nn.Module):
             jslice = lambda a, ax: jax.lax.dynamic_slice_in_dim(a, j0, nloc, ax)
 
             b = q.shape[0]
-            dq, dmu_flat = painn_message_reference(
+            stripe_args = (
                 jslice(dist, 2), jslice(gate.astype(jnp.float32), 2),
                 jslice(direction[..., 0], 2), jslice(direction[..., 1], 2),
                 jslice(direction[..., 2], 2),
@@ -95,6 +99,13 @@ class PaiNNInteraction(nn.Module):
                 jslice(mu.astype(jnp.float32), 1).reshape(b, nloc, 3 * f),
                 wk.astype(jnp.float32), bk.astype(jnp.float32), self.cutoff,
             )
+            if self.use_pallas:
+                # fused rectangular-stripe kernel; gate on the full grid
+                # size (the i axis keeps all N tiles)
+                dq, dmu_flat = painn_message_fused(
+                    *stripe_args, sparse_auto(n, self.sparse))
+            else:
+                dq, dmu_flat = painn_message_reference(*stripe_args)
             dq = jax.lax.psum(dq, self.pair_axis)
             dmu = jax.lax.psum(dmu_flat, self.pair_axis).reshape(
                 b, n, 3, f)

@@ -125,18 +125,36 @@ class InteractionBlock(nn.Module):
     def _pair_sharded_conv(self, dist, env, x, w1, b1, w2, b2, mxu):
         """CFConv with the j axis of the pair grid sharded over
         ``pair_axis``: local stripe contraction + one psum. Node tensors are
-        replicated (they are O(N·F); the pair grid is the O(N²·F) term)."""
-        from geossl_tpu.ops.cfconv_pallas import cfconv_fused_reference
+        replicated (they are O(N·F); the pair grid is the O(N²·F) term).
+        With ``use_pallas`` each device runs the fused kernel on its
+        rectangular [B, N, N/D] stripe (occupancy-gated; the symmetric
+        variant does not apply — a stripe is not symmetric), so the
+        per-device HBM footprint stays O(B·N·N/D) with no filter-tensor
+        materialization; otherwise the XLA reference math runs per stripe."""
+        from geossl_tpu.ops.cfconv_pallas import (
+            cfconv_fused,
+            cfconv_fused_reference,
+        )
+        from geossl_tpu.ops.pallas_utils import sparse_auto
         from geossl_tpu.parallel.pair_parallel import local_stripe
 
         j0, nloc = local_stripe(self.pair_axis, dist.shape[-1])
         dist_l = jax.lax.dynamic_slice_in_dim(dist, j0, nloc, axis=2)
         env_l = jax.lax.dynamic_slice_in_dim(env, j0, nloc, axis=2)
         x_l = jax.lax.dynamic_slice_in_dim(x, j0, nloc, axis=1)
-        m = cfconv_fused_reference(
-            dist_l, env_l, x_l, w1, b1, w2, b2, 0.0, self.cutoff,
-            self.num_gaussians, mxu,
-        )
+        if self.use_pallas:
+            # auto-gate on the full (unsharded) pair-grid size: the i axis
+            # keeps all N tiles even when the local j stripe is one tile
+            sp = sparse_auto(dist.shape[-2], self.sparse)
+            m = cfconv_fused(
+                dist_l, env_l, x_l, w1, b1, w2, b2, 0.0, self.cutoff,
+                self.num_gaussians, mxu, sp,
+            )
+        else:
+            m = cfconv_fused_reference(
+                dist_l, env_l, x_l, w1, b1, w2, b2, 0.0, self.cutoff,
+                self.num_gaussians, mxu,
+            )
         return jax.lax.psum(m, self.pair_axis)
 
 

@@ -42,6 +42,7 @@ from geossl_tpu.ops.pallas_utils import (
     occ_at,
     pair_pallas_call,
     pair_tiles,
+    pair_tiles_rect,
     sparse_auto,
     sym_grid_info,
     tile_occupancy,
@@ -124,13 +125,13 @@ def _fwd_kernel(*refs, start, delta, num_g, coeff, bb, ti, tj, mxu, sparse):
 
 def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32",
                 sparse=False):
-    b, n, _ = dist.shape
+    b, ni, nj = dist.shape
     f = x.shape[-1]
-    ti, tj = pair_tiles(n, _ROW_BUDGET)
+    ti, tj = pair_tiles_rect(ni, nj, _ROW_BUDGET)
     bb = _batch_block(b, ti, tj, budget=8192)
     delta = (stop - start) / (num_g - 1)
     coeff = -0.5 / delta**2
-    grid = (b // bb, n // ti, n // tj)
+    grid = (b // bb, ni // ti, nj // tj)
     kernel = partial(_fwd_kernel, start=start, delta=delta, num_g=num_g,
                      coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu, sparse=sparse)
     return pair_pallas_call(
@@ -146,7 +147,7 @@ def _fwd_pallas(dist, env, x, w1, b1, w2, b2, start, stop, num_g, mxu="f32",
             pl.BlockSpec((1,) + b2.shape, lambda b, i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bb, ti, f), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ni, f), jnp.float32),
         args=(dist, env, x, w1, b1[None], w2, b2[None]),
         occ=tile_occupancy(env, bb, ti, tj) if sparse else None,
         interpret=_interpret(),
@@ -227,17 +228,17 @@ def _bwd_kernel(*refs, start, delta, num_g, coeff, bb, ti, tj, mxu, sparse):
 
 def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g,
                 mxu="f32", sparse=False):
-    b, n, _ = dist.shape
+    b, ni, nj = dist.shape
     f = x.shape[-1]
     f1 = w1.shape[1]
-    ti, tj = pair_tiles(n, _ROW_BUDGET)
+    ti, tj = pair_tiles_rect(ni, nj, _ROW_BUDGET)
     # the backward keeps ~10 [bb*ti*tj, F] tensors live -> tighter bb budget
     # (bb=8 at N=32 measured 26 MB scoped VMEM vs the 16 MB limit)
     bb = _batch_block(b, ti, tj, budget=4096)
     delta = (stop - start) / (num_g - 1)
     coeff = -0.5 / delta**2
     # grid (b, jt, it): i innermost; pair blocks live at (i, j)
-    grid = (b // bb, n // tj, n // ti)
+    grid = (b // bb, nj // tj, ni // ti)
     kernel = partial(_bwd_kernel, start=start, delta=delta, num_g=num_g,
                      coeff=coeff, bb=bb, ti=ti, tj=tj, mxu=mxu, sparse=sparse)
     pair = pl.BlockSpec((bb, ti, tj), lambda b, j, i: (b, i, j))
@@ -265,9 +266,9 @@ def _bwd_pallas(dist, env, x, g, w1, b1, w2, b2, start, stop, num_g,
             acc((1, f)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddist
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # denv
-            jax.ShapeDtypeStruct((b, n, f), jnp.float32),  # dx
+            jax.ShapeDtypeStruct((b, ni, nj), jnp.float32),  # ddist
+            jax.ShapeDtypeStruct((b, ni, nj), jnp.float32),  # denv
+            jax.ShapeDtypeStruct((b, nj, f), jnp.float32),  # dx
             jax.ShapeDtypeStruct((num_g, f1), jnp.float32),
             jax.ShapeDtypeStruct((1, f1), jnp.float32),
             jax.ShapeDtypeStruct((f1, f), jnp.float32),

@@ -45,6 +45,7 @@ from geossl_tpu.ops.pallas_utils import (
     occ_at,
     pair_pallas_call,
     pair_tiles,
+    pair_tiles_rect,
     sym_grid_info,
     tile_occupancy,
     unplace_pair_cotangent,
@@ -136,11 +137,11 @@ def _fwd_kernel(*refs, cutoff, num_r, coeff, bb, ti, tj, f, sparse):
 
 def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
                 sparse=False):
-    b, n, _ = dist.shape
+    b, ni, nj = dist.shape
     f3 = x.shape[-1]
     f = f3 // 3
     num_r = wk.shape[0]
-    ti, tj = pair_tiles(n, _PAINN_BUDGET)
+    ti, tj = pair_tiles_rect(ni, nj, _PAINN_BUDGET)
     bb = _batch_block(b, ti, tj, budget=4096)
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
@@ -149,7 +150,7 @@ def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
     pair = pl.BlockSpec((bb, ti, tj), lambda b, i, j: (b, i, j))
     return pair_pallas_call(
         kernel,
-        (b // bb, n // ti, n // tj),
+        (b // bb, ni // ti, nj // tj),
         in_specs=[
             pair, pair, pair, pair, pair,
             pl.BlockSpec((bb, tj, f3), lambda b, i, j: (b, j, 0)),
@@ -162,8 +163,8 @@ def _fwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
             pl.BlockSpec((bb, ti, f3), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, f3), jnp.float32),
+            jax.ShapeDtypeStruct((b, ni, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, ni, f3), jnp.float32),
         ],
         args=(dist, gate, dirx, diry, dirz, x, mu, wk, bk[None]),
         occ=tile_occupancy(gate, bb, ti, tj) if sparse else None,
@@ -274,11 +275,11 @@ def _bwd_kernel(*refs, cutoff, num_r, coeff, bb, ti, tj, f, sparse):
 
 def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu,
                 sparse=False):
-    b, n, _ = dist.shape
+    b, ni, nj = dist.shape
     f3 = x.shape[-1]
     f = f3 // 3
     num_r = wk.shape[0]
-    ti, tj = pair_tiles(n, _PAINN_BUDGET)
+    ti, tj = pair_tiles_rect(ni, nj, _PAINN_BUDGET)
     bb = _batch_block(b, ti, tj, budget=2048)
     delta = cutoff / (num_r - 1)
     coeff = -0.5 / delta**2
@@ -289,7 +290,7 @@ def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu,
     acc = lambda shape: pl.BlockSpec(shape, lambda b, j, i: tuple(0 for _ in shape))
     return pair_pallas_call(
         kernel,
-        (b // bb, n // tj, n // ti),
+        (b // bb, nj // tj, ni // ti),
         in_specs=[
             pair, pair, pair, pair, pair,
             pl.BlockSpec((bb, tj, f3), lambda b, j, i: (b, j, 0)),
@@ -307,15 +308,15 @@ def _bwd_pallas(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff, gq, gmu,
             pair, pair, pair, pair, pair,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, f3), jnp.float32),  # dx
-            jax.ShapeDtypeStruct((b, n, f3), jnp.float32),  # dmu_in
+            jax.ShapeDtypeStruct((b, nj, f3), jnp.float32),  # dx
+            jax.ShapeDtypeStruct((b, nj, f3), jnp.float32),  # dmu_in
             jax.ShapeDtypeStruct(wk.shape, jnp.float32),
             jax.ShapeDtypeStruct((1,) + bk.shape, jnp.float32),
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddist
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # dgate
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddirx
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddiry
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),  # ddirz
+            jax.ShapeDtypeStruct((b, ni, nj), jnp.float32),  # ddist
+            jax.ShapeDtypeStruct((b, ni, nj), jnp.float32),  # dgate
+            jax.ShapeDtypeStruct((b, ni, nj), jnp.float32),  # ddirx
+            jax.ShapeDtypeStruct((b, ni, nj), jnp.float32),  # ddiry
+            jax.ShapeDtypeStruct((b, ni, nj), jnp.float32),  # ddirz
         ],
         args=(dist, gate, dirx, diry, dirz, x, mu, wk, bk[None], gq, gmu),
         occ=tile_occupancy(gate, bb, ti, tj) if sparse else None,

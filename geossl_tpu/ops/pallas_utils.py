@@ -29,8 +29,15 @@ def pair_tiles(n: int, row_budget: int = 4096) -> tuple[int, int]:
     (row_budget/128, 128) tiles, odd sizes degrade to full-dim blocks.
     ``row_budget`` bounds ti*tj (VMEM working set; kernels with more live
     per-pair tensors pass a smaller budget)."""
-    tj = _largest_legal_divisor(n, 128, 128)
-    ti = _largest_legal_divisor(n, max(8, row_budget // tj), 8)
+    return pair_tiles_rect(n, n, row_budget)
+
+
+def pair_tiles_rect(ni: int, nj: int, row_budget: int = 4096) -> tuple[int, int]:
+    """(ti, tj) for a rectangular [Ni, Nj] pair grid (the pair-axis
+    model-parallel stripes, parallel/pair_parallel.py). Identical to
+    :func:`pair_tiles` when ni == nj."""
+    tj = _largest_legal_divisor(nj, 128, 128)
+    ti = _largest_legal_divisor(ni, max(8, row_budget // tj), 8)
     return ti, tj
 
 
@@ -66,8 +73,8 @@ def tile_occupancy(env, bb: int, ti: int, tj: int):
     have value AND slope zero there)."""
     import jax.numpy as jnp
 
-    b, n, _ = env.shape
-    t = env.reshape(b // bb, bb, n // ti, ti, n // tj, tj)
+    b, ni, nj = env.shape
+    t = env.reshape(b // bb, bb, ni // ti, ti, nj // tj, tj)
     return jnp.any(t != 0, axis=(1, 3, 5)).astype(jnp.int32).reshape(-1)
 
 

@@ -568,3 +568,48 @@ def test_schnet_sparse_with_max_neighbors_matches_dense():
     for a, b in zip(gd, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# rectangular (pair-axis stripe) grids
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_fused_rectangular_stripe_matches_reference(sparse):
+    """cfconv_fused on a [B, Ni, Nj] stripe (the pair-axis model-parallel
+    shape, Ni != Nj) equals the reference math — value and all grads."""
+    from geossl_tpu.ops.cfconv_pallas import cfconv_fused, cfconv_fused_reference
+
+    rng = np.random.default_rng(11)
+    b, ni, nj, f, g = 2, 32, 16, 8, 7
+    pos = rng.normal(scale=2.0, size=(b, ni, 3)).astype(np.float32)
+    d_full = np.linalg.norm(pos[:, :, None] - pos[:, None, :], axis=-1)
+    dist = jnp.asarray(d_full[:, :, :nj])
+    env = jnp.asarray(
+        (d_full[:, :, :nj] < 4.0) * np.cos(d_full[:, :, :nj]) ** 2
+    ).astype(jnp.float32)
+    x = jnp.asarray(rng.normal(size=(b, nj, f)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(g, f)).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(rng.normal(size=(f,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(f, f)).astype(np.float32) * 0.3)
+    b2 = jnp.asarray(rng.normal(size=(f,)).astype(np.float32) * 0.1)
+
+    args = (dist, env, x, w1, b1, w2, b2)
+    out = cfconv_fused(*args, 0.0, 4.0, g, "f32", sparse)
+    ref = cfconv_fused_reference(*args, 0.0, 4.0, g, "f32")
+    assert out.shape == (b, ni, f)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fused(*a):
+        return jnp.sum(cfconv_fused(*a, 0.0, 4.0, g, "f32", sparse) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(cfconv_fused_reference(*a, 0.0, 4.0, g, "f32") ** 2)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for a, b_, name in zip(gf, gr,
+                           ["ddist", "denv", "dx", "dw1", "db1", "dw2", "db2"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-4, err_msg=name)

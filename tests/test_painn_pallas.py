@@ -434,3 +434,57 @@ def test_painn_model_sparse_matches_dense():
     for a, b in zip(gd, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_fused_rectangular_stripe_matches_reference(sparse):
+    """painn_message_fused on a [B, Ni, Nj] stripe (pair-axis model-parallel
+    shape) equals the reference math — values and all grads."""
+    from geossl_tpu.ops.painn_pallas import (
+        painn_message_fused,
+        painn_message_reference,
+    )
+
+    rng = np.random.default_rng(13)
+    b, ni, nj, f, r = 2, 32, 16, 8, 5
+    cutoff = 4.0
+    pos = rng.normal(scale=1.5, size=(b, ni, 3)).astype(np.float32)
+    diff = pos[:, :, None] - pos[:, None, :]
+    d_full = np.linalg.norm(diff, axis=-1)
+    d_safe = np.maximum(d_full, 1e-9)
+    dirs = diff / d_safe[..., None]
+    adj = (d_full < cutoff) & (d_full > 0)
+    gate = (0.5 * (np.cos(d_full * np.pi / cutoff) + 1) * adj).astype(np.float32)
+
+    sl = np.s_[:, :, :nj]
+    args = (
+        jnp.asarray(d_full[sl].astype(np.float32)),
+        jnp.asarray(gate[sl]),
+        jnp.asarray(dirs[..., 0][sl].astype(np.float32)),
+        jnp.asarray(dirs[..., 1][sl].astype(np.float32)),
+        jnp.asarray(dirs[..., 2][sl].astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, nj, 3 * f)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, nj, 3 * f)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(r, 3 * f)).astype(np.float32) * 0.3),
+        jnp.asarray(rng.normal(size=(3 * f,)).astype(np.float32) * 0.1),
+    )
+    dq, dmu = painn_message_fused(*args, cutoff, sparse)
+    rq, rmu = painn_message_reference(*args, cutoff)
+    assert dq.shape == (b, ni, f) and dmu.shape == (b, ni, 3 * f)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dmu), np.asarray(rmu),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(op, extra):
+        def f_(a):
+            o1, o2 = op(*a, cutoff, *extra)
+            return jnp.sum(o1**2) + jnp.sum(jnp.sin(o2))
+        return f_
+
+    gf = jax.grad(loss(painn_message_fused, (sparse,)))(args)
+    gr = jax.grad(loss(painn_message_reference, ()))(args)
+    names = ["ddist", "dgate", "ddx", "ddy", "ddz", "dx", "dmu", "dwk", "dbk"]
+    for a, b_, name in zip(gf, gr, names):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-4, err_msg=name)
