@@ -71,6 +71,10 @@ class ModelConfig:
     # skip their whole compute body via scalar-prefetched flags. "auto"
     # enables them at N>=128 pair grids; identical outputs either way.
     sparse_tiles: str = "auto"  # {"auto", "on", "off"}
+    # Pair-grid model parallelism: mesh axis name the [B,N,N] message
+    # computation shards over (parallel/pair_parallel.py). The apply must
+    # then run inside shard_map over that axis. None = unsharded.
+    pair_axis: Optional[str] = None
 
     def __post_init__(self):
         # argparse validates CLI input; this catches direct construction with

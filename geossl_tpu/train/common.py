@@ -91,6 +91,7 @@ def make_backbone(cfg: ModelConfig):
             use_pallas=cfg.use_pallas,
             filter_mxu=cfg.filter_mxu,
             sparse=sparse,
+            pair_axis=cfg.pair_axis,
         )
 
         def apply(params, atom_type, positions, node_mask, pair_mask=None):
@@ -112,6 +113,7 @@ def make_backbone(cfg: ModelConfig):
             dtype=dtype,
             use_pallas=cfg.use_pallas,
             sparse=sparse,
+            pair_axis=cfg.pair_axis,
         )
 
         def apply(params, atom_type, positions, node_mask, pair_mask=None):

@@ -38,6 +38,13 @@ def build_parser():
                         "models are permutation-equivariant); concentrates "
                         "in-cutoff pairs into few tiles so the "
                         "occupancy-gated kernels skip more (docs/PERF.md)")
+    p.add_argument("--pair_devices", type=int, default=1,
+                   help="shard the [B,N,N] pair grid over this many devices "
+                        "per data-parallel replica (pair-grid model "
+                        "parallelism, parallel/pair_parallel.py) — needs "
+                        "num_devices*pair_devices devices and bucket %% "
+                        "pair_devices == 0; the stripes run the fused "
+                        "kernels")
     p.set_defaults(lr=1e-4, epochs=300, batch_size=64, bucket=[512])
     return p
 
@@ -65,9 +72,24 @@ def main(argv=None):
         store.select(tr), store.select(va), store.select(te)
     )
 
-    mesh = pmesh.make_mesh(args.num_devices)
     cfg = common.model_config_from_args(args)
-    module, backbone_apply = common.make_backbone(cfg)
+    if args.pair_devices > 1:
+        import dataclasses
+
+        from geossl_tpu.parallel.pair_parallel import (
+            PAIR_AXIS, make_pair_mesh, pair_sharded_apply)
+
+        mesh = make_pair_mesh(num_pair=args.pair_devices,
+                              num_data=args.num_devices or 1)
+        # init with the UNSHARDED module (pair_axis uses lax.axis_index,
+        # only valid inside shard_map; the param tree is identical)
+        module, _ = common.make_backbone(cfg)
+        _, raw_apply = common.make_backbone(
+            dataclasses.replace(cfg, pair_axis=PAIR_AXIS))
+        backbone_apply = pair_sharded_apply(raw_apply, mesh)
+    else:
+        mesh = pmesh.make_mesh(args.num_devices)
+        module, backbone_apply = common.make_backbone(cfg)
     head = common.make_head(args.model_3d, args.emb_dim)
     rng = jax.random.PRNGKey(args.seed)
     params = {

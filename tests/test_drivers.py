@@ -236,3 +236,20 @@ def test_finetune_resume_matches_straight_run(tmp_path, monkeypatch):
     b = checkpoints.load_checkpoint(str(tmp_path / "resumed/model_final.ckpt"))
     for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
         np.testing.assert_array_equal(x, y)
+
+
+def test_finetune_lba_pair_devices():
+    """--pair_devices: the LBA driver trains with the pair grid sharded over
+    2 devices per data replica (2x2 mesh) and reproduces the plain-driver
+    first-epoch loss (same data, same init; f32 tolerance)."""
+    from geossl_tpu.train import finetune_lba
+
+    common_args = [
+        "--synthetic", "--synthetic_size", "24", "--epochs", "2",
+        "--batch_size", "8", "--bucket", "128", "--seed", "3",
+    ]
+    best_pair, _ = finetune_lba.main(
+        common_args + ["--num_devices", "2", "--pair_devices", "2"])
+    best_plain, _ = finetune_lba.main(common_args + ["--num_devices", "2"])
+    assert np.isfinite(best_pair)
+    np.testing.assert_allclose(best_pair, best_plain, rtol=1e-3)
