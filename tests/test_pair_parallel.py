@@ -14,6 +14,18 @@ from geossl_tpu.parallel.pair_parallel import (
     pair_sharded_apply,
 )
 
+# tiny configs: the sharding logic is size-independent, and full-size
+# backbones make the CPU interpret-mode kernels crawl
+_SMALL = {
+    SchNet: dict(hidden_channels=32, num_filters=32, num_interactions=2,
+                 num_gaussians=9),
+    PaiNN: dict(n_atom_basis=32, n_interactions=2, n_rbf=5),
+}
+
+
+def _make(model_cls, **kw):
+    return model_cls(**_SMALL[model_cls], **kw)
+
 
 def _inputs(b=4, n=32, seed=0):
     rng = np.random.default_rng(seed)
@@ -27,8 +39,8 @@ def _inputs(b=4, n=32, seed=0):
 @pytest.mark.parametrize("model_cls", [SchNet, PaiNN])
 def test_pair_sharded_forward_matches(model_cls):
     z, pos, mask = _inputs()
-    plain = model_cls()
-    sharded = model_cls(pair_axis=PAIR_AXIS)
+    plain = _make(model_cls)
+    sharded = _make(model_cls, pair_axis=PAIR_AXIS)
     params = plain.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
 
     mesh = make_pair_mesh(num_pair=4)
@@ -45,8 +57,8 @@ def test_pair_sharded_forward_matches(model_cls):
 @pytest.mark.parametrize("model_cls", [SchNet, PaiNN])
 def test_pair_sharded_grads_match(model_cls):
     z, pos, mask = _inputs(b=2, n=16, seed=1)
-    plain = model_cls()
-    sharded = model_cls(pair_axis=PAIR_AXIS)
+    plain = _make(model_cls)
+    sharded = _make(model_cls, pair_axis=PAIR_AXIS)
     params = plain.init(jax.random.PRNGKey(1), z, pos, mask)["params"]
     mesh = make_pair_mesh(num_pair=2)
     apply_sharded = pair_sharded_apply(
@@ -77,8 +89,8 @@ def test_pair_plus_data_parallel_train_step():
     pair; a full loss+grad step matches single-device."""
     z, pos, mask = _inputs(b=4, n=32, seed=2)
     y = jnp.asarray(np.random.default_rng(3).normal(size=(4,)).astype(np.float32))
-    plain = SchNet()
-    sharded = SchNet(pair_axis=PAIR_AXIS)
+    plain = _make(SchNet)
+    sharded = _make(SchNet, pair_axis=PAIR_AXIS)
     params = plain.init(jax.random.PRNGKey(2), z, pos, mask)["params"]
     mesh = make_pair_mesh(num_pair=4, num_data=2)
     apply_sharded = pair_sharded_apply(
@@ -105,8 +117,8 @@ def test_pair_plus_data_parallel_train_step():
 
 def test_pair_axis_requires_divisible_n():
     z, pos, mask = _inputs(b=2, n=30, seed=4)  # 30 % 4 != 0
-    sharded = SchNet(pair_axis=PAIR_AXIS)
-    params = SchNet().init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+    sharded = _make(SchNet, pair_axis=PAIR_AXIS)
+    params = _make(SchNet).init(jax.random.PRNGKey(0), z, pos, mask)["params"]
     mesh = make_pair_mesh(num_pair=4)
     apply_sharded = pair_sharded_apply(
         lambda p, *a: sharded.apply({"params": p}, *a), mesh)
@@ -120,8 +132,8 @@ def test_pair_sharded_fused_kernel_matches(model_cls):
     on its stripe (interpret mode on CPU); output and grads match the plain
     unsharded fused model."""
     z, pos, mask = _inputs(b=2, n=32, seed=5)
-    plain = model_cls(use_pallas=True)
-    sharded = model_cls(use_pallas=True, pair_axis=PAIR_AXIS)
+    plain = _make(model_cls, use_pallas=True)
+    sharded = _make(model_cls, use_pallas=True, pair_axis=PAIR_AXIS)
     params = plain.init(jax.random.PRNGKey(3), z, pos, mask)["params"]
     mesh = make_pair_mesh(num_pair=4)
     apply_sharded = pair_sharded_apply(
