@@ -66,8 +66,8 @@ class PaiNNInteraction(nn.Module):
     # Pair-axis model parallelism: mesh axis name; the module must run inside
     # shard_map over that axis with replicated inputs — each device reduces
     # its j-stripe of the pair grid, full (dq, dmu) come back via one psum
-    # (same scheme as schnet.InteractionBlock.pair_axis). Routes through the
-    # XLA math (the fused kernel's tiling is square).
+    # (same scheme as schnet.InteractionBlock.pair_axis; with use_pallas the
+    # stripes run the fused kernel on rectangular [B,N,N/D] grids).
     pair_axis: Optional[str] = None
 
     @nn.compact

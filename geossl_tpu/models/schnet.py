@@ -74,10 +74,10 @@ class InteractionBlock(nn.Module):
     # axis with replicated inputs — each device computes the message partial
     # sum for its j-stripe of the [B,N,N] pair grid and the full messages
     # come back via one psum over ICI. Scales the O(N²) pair FLOPs and the
-    # per-device filter-tensor footprint by the axis size, for graphs beyond
-    # the single-chip Atom3D sizes. Routes through the XLA reference math
-    # (the fused kernel's tiling is square; rectangular-stripe support is
-    # the recorded follow-up). See parallel/pair_parallel.py.
+    # per-device pair-grid footprint by the axis size, for graphs beyond
+    # the single-chip sizes (one chip reaches N=8192 — docs/PERF.md). With
+    # use_pallas the stripes run the fused kernel on rectangular [B,N,N/D]
+    # grids. See parallel/pair_parallel.py.
     pair_axis: Optional[str] = None
 
     @nn.compact

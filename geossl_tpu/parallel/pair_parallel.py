@@ -23,9 +23,11 @@ Backbones opt in via the ``pair_axis`` module field
 (``models/schnet.py InteractionBlock.pair_axis``,
 ``models/painn.py PaiNNInteraction.pair_axis``); inside they take
 ``lax.axis_index``-addressed j-slices and ``lax.psum`` the partials, which
-also gives reverse-mode AD the right collectives for free. The stripe path
-runs the XLA reference math — the fused Pallas kernels tile square grids;
-rectangular-stripe kernels are the recorded follow-up optimization.
+also gives reverse-mode AD the right collectives for free. With
+``use_pallas`` the stripes run the FUSED kernels — both accept rectangular
+``[B, Ni, Nj]`` grids (``pair_tiles_rect``) — so sharding keeps the kernel
+wins and the no-filter-tensor memory profile. Driver surface:
+``finetune_lba --pair_devices K``.
 """
 
 from __future__ import annotations
