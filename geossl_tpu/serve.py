@@ -331,10 +331,13 @@ def build_parser():
     p.add_argument("--ckpt", required=True,
                    help="model[_final].ckpt (msgpack) or reference .pth")
     p.add_argument("--input", required=True, help=".npz MolStore or .sdf")
+    p.add_argument("--input_inactive", default=None,
+                   help="second (inactive-conformation) store for "
+                        "--mode pairs — LEP dual-tower serving")
     p.add_argument("--output", default="-", help="CSV path or - for stdout")
     p.add_argument("--model_3d", default="schnet", choices=["schnet", "painn"])
     p.add_argument("--mode", default="predict",
-                   choices=["predict", "embed", "forces"])
+                   choices=["predict", "embed", "forces", "pairs"])
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--bucket", type=int, nargs="+",
                    default=[32, 64, 128, 256, 512],
@@ -360,6 +363,12 @@ def main(argv=None):
     try:
         if args.mode == "predict":
             for i, v in enumerate(pred.predict(store)):
+                out.write(f"{i},{v}\n")
+        elif args.mode == "pairs":
+            if not args.input_inactive:
+                raise SystemExit("--mode pairs needs --input_inactive")
+            inactive = load_input_store(args.input_inactive)
+            for i, v in enumerate(pred.predict_pairs(store, inactive)):
                 out.write(f"{i},{v}\n")
         elif args.mode == "embed":
             for i, row in enumerate(pred.embed(store)):

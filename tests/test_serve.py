@@ -259,3 +259,33 @@ def test_predict_painn_uses_halving_head():
     expect = float(PaiNNHead(cfg.emb_dim).apply(
         {"params": params["graph_pred_linear"]}, g)[0])
     np.testing.assert_allclose(out[2], expect, rtol=2e-5, atol=1e-5)
+
+
+def test_serve_cli_pairs_mode(tmp_path):
+    from geossl_tpu import serve
+    from geossl_tpu.train import checkpoints, common
+    from geossl_tpu.train.common import DualHead
+
+    cfg = ModelConfig()
+    module, _ = common.make_backbone(cfg)
+    rng = jax.random.PRNGKey(9)
+    params = {
+        "model": common.init_backbone(module, rng, n_max=32),
+        "graph_pred_linear": DualHead().init(
+            rng, jnp.zeros((2, cfg.emb_dim)), jnp.zeros((2, cfg.emb_dim))
+        )["params"],
+    }
+    ckpt = str(tmp_path / "model.ckpt")
+    checkpoints.save_checkpoint(ckpt, params)
+    active = _synthetic_store(m=5, n_lo=4, n_hi=20, seed=7)
+    inactive = _synthetic_store(m=5, n_lo=4, n_hi=20, seed=8)
+    pa, pi = str(tmp_path / "a.npz"), str(tmp_path / "i.npz")
+    active.save(pa)
+    inactive.save(pi)
+    out_csv = str(tmp_path / "probs.csv")
+    serve.main(["--ckpt", ckpt, "--input", pa, "--input_inactive", pi,
+                "--mode", "pairs", "--output", out_csv, "--batch_size", "4"])
+    lines = open(out_csv).read().strip().split("\n")
+    assert len(lines) == 5
+    vals = np.array([float(l.split(",")[1]) for l in lines])
+    assert ((vals > 0) & (vals < 1)).all()
