@@ -11,7 +11,7 @@
 import argparse
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("dataset", choices=["molecule3d", "qm9", "md17", "lba", "lep"])
     p.add_argument("--root", required=True)
@@ -24,7 +24,7 @@ def main():
     p.add_argument("--lep_split", default="all",
                    choices=["all", "train", "val", "test"])
     p.add_argument("--lep_droph", action="store_true")
-    args = p.parse_args()
+    args = p.parse_args(argv)
     if args.dataset == "molecule3d":
         from geossl_tpu.data.molecule3d import load_molecule3d
 
