@@ -157,6 +157,67 @@ def apply_updates(state: TrainState, grads, tx) -> TrainState:
     )
 
 
+def accum_groups(batch_iter, k: int):
+    """Group consecutive same-shape batches into stacked microbatch groups.
+
+    Yields ``(stacked, count)`` where ``stacked`` is the batch pytree with a
+    new leading axis of ``count <= k`` microbatches. A padded-bucket shape
+    change mid-epoch flushes the open group (microbatches of different
+    padded widths cannot share one compiled program), as does end-of-epoch,
+    so partial groups occur; pair them with a ``static_argnums`` count.
+    """
+    pending, shapes = [], None
+
+    def flush():
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pending)
+        return stacked, len(pending)
+
+    for b in batch_iter:
+        s = tuple(x.shape for x in jax.tree_util.tree_leaves(b))
+        if pending and s != shapes:
+            yield flush()
+            pending = []
+        pending.append(b)
+        shapes = s
+        if len(pending) == k:
+            yield flush()
+            pending = []
+    if pending:
+        yield flush()
+
+
+def scan_mean(body_fn, stacked, k: int):
+    """Elementwise-mean pytree of ``body_fn(microbatch, i)`` over the ``k``
+    stacked microbatches.
+
+    The gradient-accumulation core: a ``lax.scan`` keeps ONE microbatch of
+    activations live, so the effective batch ``k * microbatch`` trains in
+    the memory footprint of one microbatch — how a TPU chip runs effective
+    batches its HBM cannot hold at once (e.g. Atom3D N=512 complexes, or
+    the giant-graph shapes of docs/PERF.md's kexp8 ladder). For losses that
+    are means over equal-size microbatches, the averaged gradients equal
+    the full-batch gradient exactly.
+    """
+    first = jax.tree_util.tree_map(lambda x: x[0], stacked)
+    out_sd = jax.eval_shape(body_fn, first, jnp.zeros((), jnp.int32))
+    zero = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), out_sd
+    )
+
+    def body(carry, xs):
+        i, mb = xs
+        return jax.tree_util.tree_map(jnp.add, carry, body_fn(mb, i)), None
+
+    total, _ = jax.lax.scan(body, zero, (jnp.arange(k), stacked))
+    return jax.tree_util.tree_map(lambda t: t / k, total)
+
+
+def opt_steps_per_epoch(num_batches: int, grad_accum: int) -> int:
+    """Optimizer steps per epoch under gradient accumulation (for the
+    per-epoch LR schedules): ceil(batches / k)."""
+    return -(-num_batches // max(grad_accum, 1))
+
+
 def graph_masked_mean(per_graph: jnp.ndarray, graph_mask) -> jnp.ndarray:
     if graph_mask is None:
         return jnp.mean(per_graph)
@@ -257,6 +318,13 @@ def add_common_args(p: argparse.ArgumentParser):
                         "(out-of-cutoff + padding; ~half of all tiles at "
                         "Atom3D density). auto = on for N>=128 pair grids. "
                         "Outputs are identical either way")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate gradients over k same-shape loader "
+                        "batches before each optimizer step (lax.scan: one "
+                        "microbatch of activations live) — effective batch "
+                        "= k * --batch_size in the memory of one microbatch. "
+                        "Exactly equal to the large batch for the mean "
+                        "losses used here")
     p.add_argument("--ckpt_every", type=int, default=1,
                    help="write the full resume state (params + optimizer + "
                         "epoch + best metrics) every k epochs; the state "

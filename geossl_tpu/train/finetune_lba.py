@@ -108,7 +108,9 @@ def main(argv=None):
     train_loader, valid_loader, test_loader = loaders
 
     tx = optim.make_optimizer(
-        args.lr, args.epochs, len(train_loader), args.decay, args.lr_scheduler
+        args.lr, args.epochs,
+        common.opt_steps_per_epoch(len(train_loader), args.grad_accum),
+        args.decay, args.lr_scheduler,
     )
     state = common.TrainState.create(params, tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
@@ -124,6 +126,14 @@ def main(argv=None):
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        return common.apply_updates(state, grads, tx), loss
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+    def accum_step(state, stacked, k):
+        loss, grads = common.scan_mean(
+            lambda mb, i: jax.value_and_grad(loss_fn)(state.params, mb),
+            stacked, k,
+        )
         return common.apply_updates(state, grads, tx), loss
 
     @jax.jit
@@ -154,9 +164,15 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
         losses = []
-        for b in pmesh.prefetch(train_loader.epoch(epoch), mesh):
-            state, loss = train_step(state, b)
-            losses.append(loss)
+        batches = pmesh.prefetch(train_loader.epoch(epoch), mesh)
+        if args.grad_accum > 1:
+            for stacked, kk in common.accum_groups(batches, args.grad_accum):
+                state, loss = accum_step(state, stacked, kk)
+                losses.append(loss)
+        else:
+            for b in batches:
+                state, loss = train_step(state, b)
+                losses.append(loss)
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
         train_loss = float(jnp.mean(jnp.stack(losses)))

@@ -159,7 +159,9 @@ def main(argv=None):
     }
 
     tx = optim.make_optimizer(
-        args.lr, args.epochs, len(loaders["train"]), args.decay, args.lr_scheduler
+        args.lr, args.epochs,
+        common.opt_steps_per_epoch(len(loaders["train"]), args.grad_accum),
+        args.decay, args.lr_scheduler,
     )
     state = common.TrainState.create(params, tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
@@ -185,6 +187,14 @@ def main(argv=None):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, dual)
         return common.apply_updates(state, grads, tx), loss
 
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+    def accum_step(state, stacked, k):
+        loss, grads = common.scan_mean(
+            lambda mb, i: jax.value_and_grad(loss_fn)(state.params, mb),
+            stacked, k,
+        )
+        return common.apply_updates(state, grads, tx), loss
+
     predict = jax.jit(logits_fn)
 
     def evaluate(params, loader):
@@ -204,9 +214,15 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
         losses = []
-        for d in pmesh.prefetch(loaders["train"].epoch(epoch), mesh):
-            state, loss = train_step(state, d)
-            losses.append(loss)
+        batches = pmesh.prefetch(loaders["train"].epoch(epoch), mesh)
+        if args.grad_accum > 1:
+            for stacked, kk in common.accum_groups(batches, args.grad_accum):
+                state, loss = accum_step(state, stacked, kk)
+                losses.append(loss)
+        else:
+            for d in batches:
+                state, loss = train_step(state, d)
+                losses.append(loss)
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
         train_loss = float(jnp.mean(jnp.stack(losses)))

@@ -57,7 +57,15 @@ def make_train_step(backbone_apply, head, tx, loss_kind: str):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, mean, std)
         return common.apply_updates(state, grads, tx), loss
 
-    return train_step
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+    def accum_step(state, stacked, mean, std, k):
+        loss, grads = common.scan_mean(
+            lambda mb, i: jax.value_and_grad(loss_fn)(state.params, mb, mean, std),
+            stacked, k,
+        )
+        return common.apply_updates(state, grads, tx), loss
+
+    return train_step, accum_step
 
 
 def make_eval_step(backbone_apply, head):
@@ -137,11 +145,13 @@ def main(argv=None):
     test_loader = BucketedLoader(test_store, bs, bucket_sizes, shuffle=False, seed=0)
 
     tx = optim.make_optimizer(
-        args.lr, args.epochs, len(train_loader), args.decay, args.lr_scheduler
+        args.lr, args.epochs,
+        common.opt_steps_per_epoch(len(train_loader), args.grad_accum),
+        args.decay, args.lr_scheduler,
     )
     state = common.TrainState.create(params, tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
-    train_step = make_train_step(backbone_apply, head, tx, args.loss)
+    train_step, accum_step = make_train_step(backbone_apply, head, tx, args.loss)
     eval_step = make_eval_step(backbone_apply, head)
 
     state, start_epoch, best_val, extra, state_path = common.try_resume(
@@ -151,9 +161,15 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
         losses = []
-        for b in pmesh.prefetch(train_loader.epoch(epoch), mesh):
-            state, loss = train_step(state, b, mean, std)
-            losses.append(loss)
+        batches = pmesh.prefetch(train_loader.epoch(epoch), mesh)
+        if args.grad_accum > 1:
+            for stacked, kk in common.accum_groups(batches, args.grad_accum):
+                state, loss = accum_step(state, stacked, mean, std, kk)
+                losses.append(loss)
+        else:
+            for b in batches:
+                state, loss = train_step(state, b, mean, std)
+                losses.append(loss)
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
         train_loss = float(jnp.mean(jnp.stack(losses)))

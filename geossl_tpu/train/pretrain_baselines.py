@@ -115,7 +115,9 @@ def _run(args, objective: str):
         shuffle=True, seed=args.seed,
     )
     tx = optim.make_optimizer(
-        args.lr, args.epochs, len(loader), args.decay, args.lr_scheduler
+        args.lr, args.epochs,
+        common.opt_steps_per_epoch(len(loader), args.grad_accum),
+        args.decay, args.lr_scheduler
     )
     state = common.TrainState.create(params, tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
@@ -188,6 +190,19 @@ def _run(args, objective: str):
         )
         return common.apply_updates(state, grads, tx), loss, acc
 
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def accum_step(state, stacked, epoch_key, k):
+        step_key = jax.random.fold_in(epoch_key, state.step)
+
+        def body(mb, i):
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, mb, jax.random.fold_in(step_key, i)
+            )
+            return loss, acc, grads
+
+        loss, acc, grads = common.scan_mean(body, stacked, k)
+        return common.apply_updates(state, grads, tx), loss, acc
+
     saver = checkpoints.BestModelSaver(args.output_model_dir)
     state, start_epoch, best, _, state_path = common.try_resume(args, state, mesh)
     saver.best_metric = best  # don't let a worse epoch overwrite model.ckpt
@@ -195,10 +210,17 @@ def _run(args, objective: str):
         timer = common.EpochTimer()
         epoch_key = jax.random.PRNGKey(hash((args.seed + 1, epoch)) % (2**31))
         losses, accs = [], []
-        for b in pmesh.prefetch(loader.epoch(epoch), mesh):
-            state, loss, acc = train_step(state, b, epoch_key)
-            losses.append(loss)
-            accs.append(acc)
+        batches = pmesh.prefetch(loader.epoch(epoch), mesh)
+        if args.grad_accum > 1:
+            for stacked, kk in common.accum_groups(batches, args.grad_accum):
+                state, loss, acc = accum_step(state, stacked, epoch_key, kk)
+                losses.append(loss)
+                accs.append(acc)
+        else:
+            for b in batches:
+                state, loss, acc = train_step(state, b, epoch_key)
+                losses.append(loss)
+                accs.append(acc)
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
         mean_loss = float(jnp.mean(jnp.stack(losses)))

@@ -151,8 +151,16 @@ def main(argv=None):
         store, common.round_batch_to_mesh(args.batch_size, mesh), bucket_sizes,
         shuffle=True, seed=args.seed, transform=transform,
     )
+    if args.grad_accum > 1 and args.steps_per_call > 1:
+        raise SystemExit(
+            "--grad_accum fuses loader batches into ONE optimizer step; "
+            "--steps_per_call fuses optimizer steps into one dispatch — "
+            "pick one"
+        )
     tx = optim.make_optimizer(
-        args.lr, args.epochs, len(loader), args.decay, args.lr_scheduler
+        args.lr, args.epochs,
+        common.opt_steps_per_epoch(len(loader), args.grad_accum),
+        args.decay, args.lr_scheduler,
     )
     state = common.TrainState.create((params, extra_vars), tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
@@ -247,6 +255,38 @@ def main(argv=None):
         return new_state, loss, acc
 
     @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def accum_step(state, stacked, epoch_key, k):
+        """ONE optimizer step from k stacked microbatches (grad averaging
+        via lax.scan — one microbatch of activations live). AE batch_stats
+        (RR) are sequential state, not averaged: each microbatch sees the
+        previous one's running stats, and the last wins."""
+        step_key = jax.random.fold_in(epoch_key, state.step)
+        params0, variables0 = state.params
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, params0)
+
+        def body(carry, xs):
+            i, mb = xs
+            gsum, lsum, asum, variables = carry
+            rngs = tuple(jax.random.split(jax.random.fold_in(step_key, i), 4))
+            (loss, (acc, new_vars)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )((params0, variables), mb, rngs)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads[0])
+            return (gsum, lsum + loss, asum + acc, new_vars), None
+
+        (gsum, lsum, asum, new_vars), _ = jax.lax.scan(
+            body, (zero_g, jnp.zeros(()), jnp.zeros(()), variables0),
+            (jnp.arange(k), stacked),
+        )
+        grads = (
+            jax.tree_util.tree_map(lambda g: g / k, gsum),
+            jax.tree_util.tree_map(jnp.zeros_like, variables0),
+        )
+        new_state = common.apply_updates(state, grads, tx)
+        new_state = new_state.replace(params=(new_state.params[0], new_vars))
+        return new_state, lsum / k, asum / k
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
     def multi_step(state, stacked, epoch_key, k):
         """Run k train steps in ONE dispatch: lax.scan over stacked batches
         (leading axis k). Amortizes the per-dispatch latency of the training
@@ -300,7 +340,14 @@ def main(argv=None):
                 losses.append(ls)
                 accs.append(ac)
             pending = []
-        if k == 1:
+        if args.grad_accum > 1:
+            for stacked, kk in common.accum_groups(
+                pmesh.prefetch(loader.epoch(epoch), mesh), args.grad_accum
+            ):
+                state, loss, acc = accum_step(state, stacked, epoch_key, kk)
+                losses.append(jnp.atleast_1d(loss))
+                accs.append(jnp.atleast_1d(acc))
+        elif k == 1:
             for b in pmesh.prefetch(loader.epoch(epoch), mesh):
                 state, loss, acc = train_step(state, b, epoch_key)
                 losses.append(jnp.atleast_1d(loss))
