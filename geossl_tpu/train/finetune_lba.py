@@ -45,6 +45,10 @@ def build_parser():
                         "num_devices*pair_devices devices and bucket %% "
                         "pair_devices == 0; the stripes run the fused "
                         "kernels")
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip training: evaluate --input_model_file (a "
+                        "FINE-TUNED checkpoint incl. its head) on the "
+                        "val/test splits and exit")
     p.set_defaults(lr=1e-4, epochs=300, batch_size=64, bucket=[512])
     return p
 
@@ -96,8 +100,12 @@ def main(argv=None):
         "model": common.init_backbone(module, rng, n_max=common.buckets(args)[-1]),
         "graph_pred_linear": head.init(rng, jnp.zeros((2, args.emb_dim)))["params"],
     }
+    ckpt = None
     if args.input_model_file:
-        params["model"] = checkpoints.load_checkpoint(args.input_model_file)["model"]
+        ckpt = checkpoints.load_checkpoint(args.input_model_file)
+        params["model"] = ckpt["model"]
+        if "graph_pred_linear" in ckpt:  # fine-tuned checkpoint: head too
+            params["graph_pred_linear"] = ckpt["graph_pred_linear"]
         print(f"Loaded pretrained backbone from {args.input_model_file}")
 
     bs = common.round_batch_to_mesh(args.batch_size, mesh)
@@ -156,6 +164,20 @@ def main(argv=None):
             "pearson": metrics.pearson(t, p),
             "spearman": metrics.spearman(t, p),
         }
+
+    if args.eval_only:
+        if ckpt is None or "graph_pred_linear" not in ckpt:
+            raise SystemExit(
+                "--eval_only needs --input_model_file pointing at a "
+                "FINE-TUNED checkpoint (with graph_pred_linear; pretrain "
+                "checkpoints carry no head)"
+            )
+        val = evaluate(state.params, valid_loader)
+        test = evaluate(state.params, test_loader)
+        print(f"eval-only\tval RMSE: {val['rmse']:.5f} P: {val['pearson']:.4f}"
+              f" S: {val['spearman']:.4f}\ttest RMSE: {test['rmse']:.5f}"
+              f" P: {test['pearson']:.4f} S: {test['spearman']:.4f}")
+        return val["mse"], test
 
     state, start_epoch, best_val_mse, extra, state_path = common.try_resume(
         args, state, mesh)

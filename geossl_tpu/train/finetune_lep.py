@@ -105,6 +105,10 @@ def build_parser():
     # gives the occupancy-gated kernels (32,128) tiles instead of full-row
     # (8,448) ones — the SAME molecules run ~40% faster at the larger pad
     # (docs/PERF.md round-3 table; --bucket 448 restores the old shape)
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip training: evaluate --input_model_file (a "
+                        "FINE-TUNED checkpoint incl. its dual head) on the "
+                        "val/test splits and exit")
     p.set_defaults(lr=1e-4, epochs=300, batch_size=16, bucket=[512])
     return p
 
@@ -147,8 +151,12 @@ def main(argv=None):
             rng, jnp.zeros((2, args.emb_dim)), jnp.zeros((2, args.emb_dim))
         )["params"],
     }
+    ckpt = None
     if args.input_model_file:
-        params["model"] = checkpoints.load_checkpoint(args.input_model_file)["model"]
+        ckpt = checkpoints.load_checkpoint(args.input_model_file)
+        params["model"] = ckpt["model"]
+        if "graph_pred_linear" in ckpt:  # fine-tuned checkpoint: head too
+            params["graph_pred_linear"] = ckpt["graph_pred_linear"]
         print(f"Loaded pretrained backbone from {args.input_model_file}")
 
     bs = common.round_batch_to_mesh(args.batch_size, mesh)
@@ -205,6 +213,19 @@ def main(argv=None):
             trues.append(np.asarray(d.y)[gm])
         s, t = np.concatenate(scores), np.concatenate(trues)
         return {"roc": metrics.roc_auc(t, s), "pr": metrics.pr_auc(t, s)}
+
+    if args.eval_only:
+        if ckpt is None or "graph_pred_linear" not in ckpt:
+            raise SystemExit(
+                "--eval_only needs --input_model_file pointing at a "
+                "FINE-TUNED checkpoint (with graph_pred_linear; pretrain "
+                "checkpoints carry no head)"
+            )
+        val = evaluate(state.params, loaders["val"])
+        test = evaluate(state.params, loaders["test"])
+        print(f"eval-only\tval ROC: {val['roc']:.4f} PR: {val['pr']:.4f}"
+              f"\ttest ROC: {test['roc']:.4f} PR: {test['pr']:.4f}")
+        return val["roc"], test
 
     state, start_epoch, best_val_roc, extra, state_path = common.try_resume(
         args, state, mesh, higher_is_better=True)

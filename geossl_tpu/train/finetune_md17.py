@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--md17_force_coeff", type=float, default=0.95)
     p.add_argument("--MD17_train_batch_size", type=int, default=5)
     p.add_argument("--eval_batch_size", type=int, default=128)
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip training: evaluate --input_model_file (a "
+                        "FINE-TUNED checkpoint incl. its head) on the "
+                        "val/test splits and exit")
     p.set_defaults(lr=5e-4, epochs=1000)
     return p
 
@@ -137,9 +141,12 @@ def main(argv=None):
         "model": common.init_backbone(module, rng, n_max=common.buckets(args)[-1]),
         "graph_pred_linear": head.init(rng, jnp.zeros((2, args.emb_dim)))["params"],
     }
+    ckpt = None
     if args.input_model_file:
         ckpt = checkpoints.load_checkpoint(args.input_model_file)
         params["model"] = ckpt["model"]
+        if "graph_pred_linear" in ckpt:  # fine-tuned checkpoint: head too
+            params["graph_pred_linear"] = ckpt["graph_pred_linear"]
         print(f"Loaded pretrained backbone from {args.input_model_file}")
 
     # train batch 5 must still be divisible by the mesh; pad up if needed.
@@ -170,6 +177,20 @@ def main(argv=None):
         energy_and_force, tx, args.md17_energy_coeff, args.md17_force_coeff
     )
     ef_jit = jax.jit(energy_and_force)
+
+    if args.eval_only:
+        if ckpt is None or "graph_pred_linear" not in ckpt:
+            raise SystemExit(
+                "--eval_only needs --input_model_file pointing at a "
+                "FINE-TUNED checkpoint (with graph_pred_linear; pretrain "
+                "checkpoints carry no head)"
+            )
+        eparams = jax.device_put(params, pmesh.replicated(mesh))
+        val_e, val_f = evaluate(ef_jit, eparams, valid_loader, mesh)
+        test_e, test_f = evaluate(ef_jit, eparams, test_loader, mesh)
+        print(f"eval-only ({args.task})\tval E/F MAE: {val_e:.5f}/{val_f:.5f}"
+              f"\ttest E/F MAE: {test_e:.5f}/{test_f:.5f}")
+        return val_f, (test_e, test_f)
 
     state, start_epoch, best_val_force, extra, state_path = common.try_resume(
         args, state, mesh)

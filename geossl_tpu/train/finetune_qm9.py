@@ -38,6 +38,10 @@ def build_parser():
     p.add_argument("--split_seed", type=int, default=0)
     p.add_argument("--use_rotation_transform", action="store_true",
                    help="random-rotation augmentation (datasets_QM9.py:139-140)")
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip training: evaluate --input_model_file (a "
+                        "FINE-TUNED checkpoint incl. its head) on the "
+                        "official val/test splits and exit")
     return p
 
 
@@ -124,6 +128,7 @@ def main(argv=None):
     backbone_params = common.init_backbone(module, rng, n_max=bucket_sizes[-1])
     head_params = head.init(rng, jnp.zeros((2, args.emb_dim)))["params"]
     params = {"model": backbone_params, "graph_pred_linear": head_params}
+    ckpt = None
     if args.input_model_file:
         ckpt = checkpoints.load_checkpoint(args.input_model_file)
         params["model"] = ckpt["model"]  # pretrain transfer contract
@@ -143,6 +148,25 @@ def main(argv=None):
     )
     valid_loader = BucketedLoader(valid_store, bs, bucket_sizes, shuffle=False, seed=0)
     test_loader = BucketedLoader(test_store, bs, bucket_sizes, shuffle=False, seed=0)
+
+    if args.eval_only:
+        if ckpt is None or "graph_pred_linear" not in ckpt:
+            raise SystemExit(
+                "--eval_only needs --input_model_file pointing at a "
+                "FINE-TUNED checkpoint (with graph_pred_linear; pretrain "
+                "checkpoints carry no head)"
+            )
+        # the checkpoint's own normalization stats, when it carries them
+        mean = float(ckpt.get("y_mean", mean))
+        std = float(ckpt.get("y_std", std))
+        eval_step = make_eval_step(backbone_apply, head)
+        eparams = jax.device_put(params, pmesh.replicated(mesh))
+        vp, vt = evaluate(eval_step, eparams, valid_loader, mean, std, mesh)
+        tp, tt = evaluate(eval_step, eparams, test_loader, mean, std, mesh)
+        val_mae, test_mae = metrics.mae(vt, vp), metrics.mae(tt, tp)
+        print(f"eval-only ({args.task})\tval MAE: {val_mae:.5f}"
+              f"\ttest MAE: {test_mae:.5f}")
+        return val_mae, test_mae
 
     tx = optim.make_optimizer(
         args.lr, args.epochs,
