@@ -233,6 +233,35 @@ class EpochTimer:
         return time.time() - self.start
 
 
+class MetricLogger:
+    """Machine-readable run history: one JSON line per epoch appended to
+    ``--log_file`` (the reference's only record is stdout prints captured
+    into SLURM ``result.out`` files — sweep tooling has to grep them).
+    Disabled when the path is empty; resume appends to the existing file."""
+
+    def __init__(self, path: str = ""):
+        self.path = path
+
+    def log(self, **fields) -> None:
+        if not self.path:
+            return
+        import json
+        import math
+        import os
+
+        # strict JSON: inf/nan (e.g. best-metric sentinel with saving
+        # disabled, ROC on a one-class val split) become null
+        fields = {
+            k: (None if isinstance(v, float) and not math.isfinite(v) else v)
+            for k, v in fields.items()
+        }
+        d = os.path.dirname(self.path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(fields) + "\n")
+
+
 def setup_platform(args) -> None:
     """Pin the JAX platform before any backend initialization (the TPU PJRT
     plugin in some images overrides JAX_PLATFORMS at interpreter startup, so
@@ -305,6 +334,10 @@ def add_common_args(p: argparse.ArgumentParser):
                         "half-precision MXU operands with f32 accumulation "
                         "(measured NEUTRAL on v5e at both N=32 and N=512 — "
                         "see docs/PERF.md; kept for other hardware)")
+    p.add_argument("--log_file", default="",
+                   help="append one JSON line of metrics per epoch (plus a "
+                        "final-summary line) to this path — machine-readable "
+                        "run history for sweep tooling")
     p.add_argument("--profile_dir", default="",
                    help="capture a jax.profiler trace of the first training "
                         "epoch into this directory (TensorBoard/xprof)")

@@ -179,6 +179,7 @@ def main(argv=None):
               f" P: {test['pearson']:.4f} S: {test['spearman']:.4f}")
         return val["mse"], test
 
+    mlog = common.MetricLogger(args.log_file)
     state, start_epoch, best_val_mse, extra, state_path = common.try_resume(
         args, state, mesh)
     best_epoch = int(extra.pop("best_epoch", -1))
@@ -206,6 +207,10 @@ def main(argv=None):
             f"S: {val['spearman']:.4f}\ttest RMSE: {test['rmse']:.5f}"
             f"\tTime: {timer.elapsed():.3f}"
         )
+        mlog.log(epoch=epoch, train_loss=train_loss,
+                 val_rmse=val["rmse"], val_pearson=val["pearson"],
+                 val_spearman=val["spearman"], test_rmse=test["rmse"],
+                 time_s=round(timer.elapsed(), 3))
         if val["mse"] < best_val_mse:
             best_val_mse, best_epoch, best_test = val["mse"], epoch, test
             if args.output_model_dir:
@@ -217,6 +222,8 @@ def main(argv=None):
             args, state_path, state, epoch, best_val_mse,
             {"best_epoch": best_epoch, **best_test},
         )
+    mlog.log(final=True, best_val_mse=best_val_mse, best_epoch=best_epoch,
+             **{f"test_{k}_at_best": v for k, v in best_test.items()})
     print(
         f"best val MSE: {best_val_mse:.5f} (epoch {best_epoch})\ttest @ best: "
         f"RMSE {best_test.get('rmse', float('nan')):.5f} "

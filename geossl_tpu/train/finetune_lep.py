@@ -227,6 +227,7 @@ def main(argv=None):
               f"\ttest ROC: {test['roc']:.4f} PR: {test['pr']:.4f}")
         return val["roc"], test
 
+    mlog = common.MetricLogger(args.log_file)
     state, start_epoch, best_val_roc, extra, state_path = common.try_resume(
         args, state, mesh, higher_is_better=True)
     best_val_roc = max(best_val_roc, -1.0)  # fresh start: -inf -> -1.0
@@ -255,6 +256,10 @@ def main(argv=None):
             f"PR: {val['pr']:.4f}\ttest ROC: {test['roc']:.4f} PR: {test['pr']:.4f}"
             f"\tTime: {timer.elapsed():.3f}"
         )
+        mlog.log(epoch=epoch, train_loss=train_loss,
+                 val_roc=val["roc"], val_pr=val["pr"],
+                 test_roc=test["roc"], test_pr=test["pr"],
+                 time_s=round(timer.elapsed(), 3))
         if val["roc"] > best_val_roc:
             best_val_roc, best_epoch, best_test = val["roc"], epoch, test
             if args.output_model_dir:
@@ -266,6 +271,8 @@ def main(argv=None):
             args, state_path, state, epoch, best_val_roc,
             {"best_epoch": best_epoch, **best_test},
         )
+    mlog.log(final=True, best_val_roc=best_val_roc, best_epoch=best_epoch,
+             **{f"test_{k}_at_best": v for k, v in best_test.items()})
     print(
         f"best val ROC: {best_val_roc:.4f} (epoch {best_epoch})\ttest @ best: "
         f"ROC {best_test.get('roc', float('nan')):.4f} "

@@ -192,6 +192,7 @@ def main(argv=None):
               f"\ttest E/F MAE: {test_e:.5f}/{test_f:.5f}")
         return val_f, (test_e, test_f)
 
+    mlog = common.MetricLogger(args.log_file)
     state, start_epoch, best_val_force, extra, state_path = common.try_resume(
         args, state, mesh)
     best_epoch = int(extra.get("best_epoch", -1))
@@ -219,6 +220,9 @@ def main(argv=None):
             f"{val_e:.5f}/{val_f:.5f}\ttest E/F MAE: {test_e:.5f}/{test_f:.5f}"
             f"\tTime: {timer.elapsed():.3f}"
         )
+        mlog.log(epoch=epoch, train_loss=train_loss, val_e_mae=val_e,
+                 val_f_mae=val_f, test_e_mae=test_e, test_f_mae=test_f,
+                 time_s=round(timer.elapsed(), 3))
         # best-val *force* MAE selection (finetune_md17.py:297-301)
         if val_f < best_val_force:
             best_val_force, best_epoch = val_f, epoch
@@ -233,6 +237,9 @@ def main(argv=None):
             {"best_epoch": best_epoch,
              "test_e": test_at_best[0], "test_f": test_at_best[1]},
         )
+    mlog.log(final=True, task=args.task, best_val_f_mae=best_val_force,
+             best_epoch=best_epoch, test_e_mae_at_best=test_at_best[0],
+             test_f_mae_at_best=test_at_best[1])
     print(
         f"best val force MAE: {best_val_force:.5f} (epoch {best_epoch})\t"
         f"test E/F MAE @ best: {test_at_best[0]:.5f}/{test_at_best[1]:.5f}"

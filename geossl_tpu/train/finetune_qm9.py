@@ -178,6 +178,7 @@ def main(argv=None):
     train_step, accum_step = make_train_step(backbone_apply, head, tx, args.loss)
     eval_step = make_eval_step(backbone_apply, head)
 
+    mlog = common.MetricLogger(args.log_file)
     state, start_epoch, best_val, extra, state_path = common.try_resume(
         args, state, mesh)
     best_epoch = int(extra.get("best_epoch", -1))
@@ -204,6 +205,8 @@ def main(argv=None):
             f"Epoch: {epoch}\tLoss: {train_loss:.5f}\tval MAE: {val_mae:.5f}"
             f"\ttest MAE: {test_mae:.5f}\tTime: {timer.elapsed():.3f}"
         )
+        mlog.log(epoch=epoch, train_loss=train_loss, val_mae=val_mae,
+                 test_mae=test_mae, time_s=round(timer.elapsed(), 3))
         if val_mae < best_val:
             best_val, best_epoch, test_at_best = val_mae, epoch, test_mae
             if args.output_model_dir:
@@ -223,6 +226,8 @@ def main(argv=None):
             args, state_path, state, epoch, best_val,
             {"best_epoch": best_epoch, "test_at_best": test_at_best},
         )
+    mlog.log(final=True, task=args.task, best_val_mae=best_val,
+             best_epoch=best_epoch, test_mae_at_best=test_at_best)
     print(f"best val MAE: {best_val:.5f} (epoch {best_epoch})\t"
           f"test MAE @ best: {test_at_best:.5f}")
     if args.output_model_dir:

@@ -204,6 +204,7 @@ def _run(args, objective: str):
         return common.apply_updates(state, grads, tx), loss, acc
 
     saver = checkpoints.BestModelSaver(args.output_model_dir)
+    mlog = common.MetricLogger(args.log_file)
     state, start_epoch, best, _, state_path = common.try_resume(args, state, mesh)
     saver.best_metric = best  # don't let a worse epoch overwrite model.ckpt
     for epoch in range(start_epoch, args.epochs + 1):
@@ -233,9 +234,12 @@ def _run(args, objective: str):
             f"Epoch: {epoch}\tLoss: {mean_loss:.5f}\tAcc: {mean_acc:.5f}"
             f"\tTime: {timer.elapsed():.3f}" + ("\t[saved best]" if saved else "")
         )
+        mlog.log(epoch=epoch, loss=mean_loss, acc=mean_acc,
+                 time_s=round(timer.elapsed(), 3), saved_best=saved)
         common.maybe_save_state(args, state_path, state, epoch,
                                 saver.best_metric)
     saver.save_final({"model": jax.device_get(state.params["model"])})
+    mlog.log(final=True, best_loss=saver.best_metric, epochs=args.epochs)
     return state
 
 

@@ -311,6 +311,7 @@ def main(argv=None):
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
     saver = checkpoints.BestModelSaver(args.output_model_dir)
+    mlog = common.MetricLogger(args.log_file)
     state, start_epoch, best, _, state_path = common.try_resume(args, state, mesh)
     saver.best_metric = best  # don't let a worse epoch overwrite model.ckpt
     profiler_active = False
@@ -374,6 +375,8 @@ def main(argv=None):
             f"Epoch: {epoch}\tSSL Loss: {mean_loss:.5f}\tSSL Acc: {mean_acc:.5f}"
             f"\tTime: {timer.elapsed():.3f}" + ("\t[saved best]" if saved else "")
         )
+        mlog.log(epoch=epoch, loss=mean_loss, acc=mean_acc,
+                 time_s=round(timer.elapsed(), 3), saved_best=saved)
         if profiler_active:
             from jax import profiler as _profiler
 
@@ -383,6 +386,7 @@ def main(argv=None):
         common.maybe_save_state(args, state_path, state, epoch,
                                 saver.best_metric)
     saver.save_final({"model": jax.device_get(state.params[0]["model"])})
+    mlog.log(final=True, best_loss=saver.best_metric, epochs=args.epochs)
     return state
 
 
