@@ -458,6 +458,42 @@ def bench_serve(use_pallas):
             "unit": "mol/s/chip", "vs_baseline": None}
 
 
+def bench_serve_lba(use_pallas):
+    """Serving at Atom3D scale: 2,048 pocket+ligand complexes (~up to 480
+    atoms, bucket 512) through the same Predictor path — Morton sort +
+    occupancy-gated fused kernels + one gathered fetch. The forward-only
+    counterpart of ``lba_schnet_throughput``."""
+    import jax
+    import jax.numpy as jnp
+
+    from geossl_tpu.config import ModelConfig
+    from geossl_tpu.data.synthetic import synthetic_lba
+    from geossl_tpu.serve import Predictor
+    from geossl_tpu.train import common
+    from geossl_tpu.train.finetune_qm9 import LinearHead
+
+    cfg = ModelConfig(use_pallas=use_pallas)
+    module, _ = common.make_backbone(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = {
+        "model": common.init_backbone(module, rng, n_max=512),
+        "graph_pred_linear": LinearHead().init(
+            rng, jnp.zeros((2, cfg.emb_dim)))["params"],
+    }
+    store = synthetic_lba(2048, max_atoms=480)
+    pred = Predictor(cfg, params, batch_size=64, bucket_sizes=(512,))
+    out = pred.predict(store)  # warm: compiles + caches the bucket program
+    assert np.isfinite(out).all()
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pred.predict(store)
+        rates.append(len(store) / (time.perf_counter() - t0))
+    cps = float(np.median(rates))
+    return {"metric": "geossl_serve_lba_throughput", "value": round(cps, 1),
+            "unit": "complex/s/chip", "vs_baseline": None}
+
+
 def bench_ddm_e2e():
     """END-TO-END DDM driver wall-clock: loader + native BFS masking (0.3) +
     prefetch + train over a synthetic corpus spanning the 32/64 buckets —
@@ -504,6 +540,7 @@ def main(only=None):
         ("lba_painn", lambda: bench_lba_painn(use_pallas)),
         ("lep_painn", lambda: bench_lep_painn(use_pallas)),
         ("serve", lambda: bench_serve(use_pallas)),
+        ("serve_lba", lambda: bench_serve_lba(use_pallas)),
         ("ddm_e2e", bench_ddm_e2e),
         ("ddm_painn", lambda: bench_ddm(use_pallas, "painn")),
         ("ddm", lambda: bench_ddm(use_pallas)),  # flagship last (tail-parse)
