@@ -55,6 +55,10 @@ COMMANDS = {
         "geossl_tpu.serve",
         "batched inference on a trained checkpoint (predict/embed/forces/pairs)",
     ),
+    "seal": (
+        "geossl_tpu.export",
+        "seal a checkpoint into an AOT serving artifact (jax.export/StableHLO)",
+    ),
 }
 
 

@@ -352,12 +352,19 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    cfg = ModelConfig(model_3d=args.model_3d,
-                      use_pallas=jax.default_backend() == "tpu")
-    pred = Predictor.from_checkpoint(
-        args.ckpt, cfg, batch_size=args.batch_size,
-        bucket_sizes=args.bucket,
-        spatial_sort=args.spatial_sort, num_devices=args.num_devices)
+    if args.ckpt.endswith(".sealed"):
+        # AOT artifact (geossl_tpu/export.py): programs + params + batching
+        # metadata are all inside; the shape knobs come from the artifact.
+        from geossl_tpu.export import SealedPredictor
+
+        pred = SealedPredictor.load(args.ckpt)
+    else:
+        cfg = ModelConfig(model_3d=args.model_3d,
+                          use_pallas=jax.default_backend() == "tpu")
+        pred = Predictor.from_checkpoint(
+            args.ckpt, cfg, batch_size=args.batch_size,
+            bucket_sizes=args.bucket,
+            spatial_sort=args.spatial_sort, num_devices=args.num_devices)
     store = load_input_store(args.input)
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     try:
