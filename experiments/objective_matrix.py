@@ -64,8 +64,21 @@ def main(argv=None):
     common = ["--synthetic", "--batch_size", str(args.batch_size),
               "--num_devices", "1"]
 
+    # Resume support: the tunnel can go down for tens of minutes mid-run
+    # (CLAUDE.md), so results land incrementally and a restart skips
+    # objectives that already finished.
+    results_path = os.path.join(args.out_dir, "results.json")
     results = {}
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            results = json.load(f)
+        done = [o for o in args.objectives if o in results]
+        if done:
+            print(f"[matrix] resuming; already done: {done}", flush=True)
+
     for obj in args.objectives:
+        if obj in results:
+            continue
         ckpt = None
         t0 = time.time()
         if obj != "none":
@@ -104,6 +117,8 @@ def main(argv=None):
         }
         print(f"[matrix] {obj}: val MAE {np.mean(maes):.4f} "
               f"± {np.std(maes):.4f}  (pretrain {t_pre:.0f}s)", flush=True)
+        with open(results_path, "w") as f:
+            json.dump(results, f, indent=1)
 
     base = results.get("none", {}).get("val_mae_mean")
     print("\n| pretraining | val MAE (mean ± std over "
@@ -114,9 +129,9 @@ def main(argv=None):
                  f"{100 * (r['val_mae_mean'] - base) / base:+.1f}%")
         print(f"| {obj} | {r['val_mae_mean']:.4f} ± {r['val_mae_std']:.4f} "
               f"| {delta} |")
-    with open(os.path.join(args.out_dir, "results.json"), "w") as f:
+    with open(results_path, "w") as f:
         json.dump(results, f, indent=1)
-    print(f"\nwrote {args.out_dir}/results.json", flush=True)
+    print(f"\nwrote {results_path}", flush=True)
     return results
 
 
