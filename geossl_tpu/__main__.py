@@ -59,6 +59,10 @@ COMMANDS = {
         "geossl_tpu.export",
         "seal a checkpoint into an AOT serving artifact (jax.export/StableHLO)",
     ),
+    "doctor": (
+        "geossl_tpu.doctor",
+        "environment health check (backend/cache/tunnel/native/kernels)",
+    ),
 }
 
 
@@ -97,9 +101,9 @@ def main(argv=None):
     module = importlib.import_module(COMMANDS[cmd][0])
     # Driver mains return their result tuples (best metrics / final state)
     # for programmatic callers; as a CLI, completing without raising is
-    # success.
-    module.main(argv[1:])
-    return 0
+    # success. `doctor` returns a real exit code — propagate it.
+    rc = module.main(argv[1:])
+    return rc if isinstance(rc, int) else 0
 
 
 if __name__ == "__main__":

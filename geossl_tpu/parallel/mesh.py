@@ -28,8 +28,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     if devices is None:
-        devices = jax.devices()
+        devices = jax.devices()  # GLOBAL devices: spans hosts under
+        # jax.distributed (parallel/multihost.py)
     if num_devices is not None:
+        if jax.process_count() > 1 and num_devices != len(devices):
+            raise ValueError(
+                f"--num_devices {num_devices} != the {len(devices)} global "
+                "devices: a multi-process mesh must include every process's "
+                "chips (a prefix slice would leave some processes without "
+                "addressable shards)")
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), axis_names=("data",))
 
@@ -45,20 +52,49 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """device_put a host batch with its leading axis split over the mesh.
-    Requires batch_size % mesh.size == 0 (loaders pad partial batches)."""
-    sh = batch_sharding(mesh)
+    Requires batch_size % mesh.size == 0 (loaders pad partial batches).
 
-    def put(x):
-        if x is None:
-            return None
-        return jax.device_put(x, sh)
+    Multi-process (jax.distributed up): every process holds the same full
+    host batch (seed-deterministic loaders); each transfers only its own
+    rows (parallel/multihost.py)."""
+    sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        from geossl_tpu.parallel import multihost
+
+        def put(x):
+            if x is None:
+                return None
+            return multihost.process_local_batch(sh, x)
+    else:
+        def put(x):
+            if x is None:
+                return None
+            return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
 
 
 def put_replicated(mesh: Mesh, tree: Any) -> Any:
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        from geossl_tpu.parallel import multihost
+
+        return jax.tree_util.tree_map(
+            lambda x: multihost.process_local_batch(sh, x), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def fetch(x) -> np.ndarray:
+    """Device array -> host numpy, valid under multi-process SPMD too: a
+    batch-sharded eval output is not fully addressable on any one process,
+    so cross-host it is allgathered first (every process gets the full
+    array — the drivers' metric code is then process-agnostic)."""
+    if jax.process_count() > 1 and not getattr(
+            x, "is_fully_addressable", True):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def prefetch(batch_iterator, mesh: Mesh, size: int = 2):

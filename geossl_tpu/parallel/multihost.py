@@ -1,0 +1,81 @@
+"""Multi-host (multi-process) data parallelism.
+
+The reference is strictly one process / one GPU (SURVEY.md §2.8). TPU pods
+are multi-HOST by construction: each host owns a slice of the chips, JAX
+runs one process per host, and a jitted step over a global ``Mesh`` spans
+all of them — XLA's gradient psum rides ICI across hosts with no NCCL/MPI
+analog in user code. This module is the thin host-side layer that makes the
+existing drivers run that way:
+
+- :func:`initialize` — ``jax.distributed.initialize`` with the CPU-backend
+  Gloo collectives wired up, so the SAME code path is testable as N local
+  processes (tests/test_multihost.py runs a real 2-process DDM pretrain and
+  pins it to the single-process trajectory).
+- :func:`process_local_batch` — every process packs the same global batch
+  (loaders are seed-deterministic, so batch ORDER and CONTENT agree across
+  processes); each leaf becomes a global jax.Array whose addressable shards
+  are this process's rows. Only the local rows transfer to devices. At pod
+  scale the redundant host-side packing is noise next to device compute —
+  and it buys exact single-process == multi-process trajectories, which is
+  the property the tests pin.
+
+Driver contract (``train/common.py::setup_platform``): pass
+``--coordinator_address host:port --num_processes P --process_id i`` to any
+driver; checkpoint/metric writes are process-0-only (``is_main``), loss
+fetches are replicated scalars (valid on every process).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: str, num_processes: int, process_id: int,
+               local_device_count: Optional[int] = None) -> None:
+    """``jax.distributed.initialize`` + the CPU-collectives knob.
+
+    Must run BEFORE first backend use (same constraint as platform forcing,
+    CLAUDE.md). ``local_device_count`` caps this process's local devices
+    (virtual CPU meshes in tests); on real TPU hosts leave it None — the
+    runtime knows its chips.
+    """
+    if num_processes < 2:
+        raise ValueError(f"multi-host needs num_processes >= 2, got "
+                         f"{num_processes}")
+    if not 0 <= process_id < num_processes:
+        raise ValueError(f"process_id {process_id} out of range "
+                         f"[0, {num_processes})")
+    if local_device_count is not None:
+        jax.config.update("jax_num_cpu_devices", local_device_count)
+    try:
+        # CPU backend: cross-process collectives need an explicit transport
+        # (Gloo ships in jaxlib); TPU backends ignore this knob.
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older jaxlib: flag absent, TPU-only deployment
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def is_main() -> bool:
+    """True on the process that owns host-side side effects (checkpoint and
+    metric-file writes, stdout epoch lines are fine everywhere)."""
+    return jax.process_index() == 0
+
+
+def process_local_batch(sharding, x: Any):
+    """Host array (FULL global batch, identical on every process) -> global
+    jax.Array under ``sharding``. Each process transfers only the rows its
+    devices own (jax.make_array_from_process_local_data slices them out)."""
+    x = np.asarray(x)
+    return jax.make_array_from_process_local_data(sharding, x, x.shape)

@@ -21,6 +21,8 @@ from flax import serialization
 
 
 def save_checkpoint(path: str, tree: Dict[str, Any]) -> None:
+    if jax.process_index() != 0:
+        return  # multi-host: process 0 owns the (shared or per-host) fs
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tree = jax.tree_util.tree_map(np.asarray, tree)
     with open(path, "wb") as f:
@@ -47,6 +49,8 @@ def save_train_state(path: str, state, epoch: int,
     killed jobs from scratch (SURVEY.md §5.3); this is the elastic-recovery
     extension. ``extra`` carries driver-specific scalars that must survive
     the restart (e.g. the fine-tuners' test-at-best metrics)."""
+    if jax.process_index() != 0:
+        return  # multi-host: process 0 owns the (shared or per-host) fs
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {
         "state": serialization.to_state_dict(jax.device_get(state)),

@@ -20,6 +20,7 @@ from flax import struct
 from geossl_tpu.config import Config, ModelConfig
 from geossl_tpu.models.painn import PaiNN
 from geossl_tpu.models.schnet import SchNet
+from geossl_tpu.train import optim
 
 
 class LinearHead(nn.Module):
@@ -243,7 +244,7 @@ class MetricLogger:
         self.path = path
 
     def log(self, **fields) -> None:
-        if not self.path:
+        if not self.path or jax.process_index() != 0:
             return
         import json
         import math
@@ -269,6 +270,13 @@ def setup_platform(args) -> None:
     compilation cache — first TPU compiles can cost minutes per program."""
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "coordinator_address", None):
+        from geossl_tpu.parallel import multihost
+
+        multihost.initialize(
+            args.coordinator_address, args.num_processes, args.process_id,
+            local_device_count=getattr(args, "local_device_count", None),
+        )
     import os
 
     cache = os.environ.get(
@@ -293,7 +301,21 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--decay", type=float, default=0.0)
-    p.add_argument("--lr_scheduler", default="CosineAnnealingLR")
+    p.add_argument("--lr_scheduler", default="CosineAnnealingLR",
+                   choices=list(optim.SCHEDULERS),
+                   help="CosineAnnealingLR (per-epoch cosine, the published "
+                        "default), CosineAnnealingWarmRestarts (per-step "
+                        "cosine, eta_min=1e-4), StepLR, ReduceLROnPlateau "
+                        "(on mean train loss), or None (constant)")
+    # scheduler knobs (reference examples/config.py:99-102, same defaults)
+    p.add_argument("--lr_decay_factor", type=float, default=0.5,
+                   help="StepLR gamma / ReduceLROnPlateau factor")
+    p.add_argument("--lr_decay_step_size", type=int, default=100,
+                   help="StepLR step size (epochs)")
+    p.add_argument("--lr_decay_patience", type=int, default=50,
+                   help="ReduceLROnPlateau patience (epochs)")
+    p.add_argument("--min_lr", type=float, default=1e-6,
+                   help="ReduceLROnPlateau lr floor")
     p.add_argument("--data_root", default="data")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic stand-in dataset (no downloads)")
@@ -305,6 +327,18 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--input_model_file", default="")
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel devices (default: all)")
+    # multi-host (multi-process) SPMD: one process per TPU host, same flags
+    # on every process except --process_id (parallel/multihost.py)
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 — enables jax.distributed "
+                        "multi-host SPMD; the mesh spans every process's "
+                        "devices")
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
+    p.add_argument("--local_device_count", type=int, default=None,
+                   help="devices this process contributes (testing: virtual "
+                        "CPU devices per process; real TPU hosts: leave "
+                        "unset)")
     p.add_argument("--bucket", type=int, nargs="+", default=[32, 64, 128],
                    help="padded bucket size(s); molecules fall into the "
                         "smallest bucket that fits. The default ladder covers "
@@ -409,6 +443,50 @@ def maybe_save_state(args, state_path, state, epoch, best_metric,
                        or epoch == args.epochs):
         checkpoints.save_train_state(state_path, state, epoch, best_metric,
                                      extra)
+
+
+def make_optimizer_from_args(args, steps_per_epoch: int,
+                             group_lr_factors: dict | None = None):
+    """The one optimizer construction every driver shares: Adam + the
+    --lr_scheduler choice with its knobs (reference config.py:98-102).
+    ``group_lr_factors`` maps top-level param keys to per-group lr factors
+    (torch param groups, pretrain_GeoSSL.py:333-343)."""
+    return optim.make_optimizer(
+        args.lr, args.epochs, steps_per_epoch, args.decay, args.lr_scheduler,
+        decay_factor=args.lr_decay_factor,
+        decay_step_size=args.lr_decay_step_size,
+        group_lr_factors=group_lr_factors,
+    )
+
+
+def make_plateau(args, extra=None) -> "optim.PlateauController | None":
+    """ReduceLROnPlateau host controller, or None for every other scheduler.
+    ``extra`` (the resume checkpoint's scalar dict) restores best/bad-epoch
+    counters so a resumed run continues the same plateau trajectory."""
+    if getattr(args, "lr_scheduler", None) != "ReduceLROnPlateau":
+        return None
+    ctl = optim.PlateauController(
+        args.lr, factor=args.lr_decay_factor,
+        patience=args.lr_decay_patience, min_lr=args.min_lr)
+    if extra:
+        # consume the plateau_* keys so drivers that treat the remaining
+        # extra dict as their own metrics (finetune_lba) stay clean
+        ctl.load({k: extra.pop(k) for k in list(extra)
+                  if k.startswith("plateau_")})
+    return ctl
+
+
+def plateau_update(state, ctl, train_loss: float):
+    """Per-epoch ReduceLROnPlateau step (torch: ``lr_scheduler.step(loss_acc)``
+    after each train epoch, finetune_qm9.py:272-273). No-op chain stage
+    rewrite unless the controller actually changed the multiplier."""
+    if ctl is None:
+        return state
+    old = ctl.scale
+    new = ctl.step(train_loss)
+    if new != old:
+        state = optim.set_plateau_scale(state, new)
+    return state
 
 
 def buckets(args) -> tuple:

@@ -23,7 +23,7 @@ from geossl_tpu.data.bucketing import BucketedLoader
 from geossl_tpu.data.lba import load_lba
 from geossl_tpu.data.splitters import atom3d_lba_split, random_split
 from geossl_tpu.parallel import mesh as pmesh
-from geossl_tpu.train import checkpoints, common, optim
+from geossl_tpu.train import checkpoints, common
 from geossl_tpu.utils import metrics
 
 
@@ -115,11 +115,8 @@ def main(argv=None):
     ]
     train_loader, valid_loader, test_loader = loaders
 
-    tx = optim.make_optimizer(
-        args.lr, args.epochs,
-        common.opt_steps_per_epoch(len(train_loader), args.grad_accum),
-        args.decay, args.lr_scheduler,
-    )
+    tx = common.make_optimizer_from_args(
+        args, common.opt_steps_per_epoch(len(train_loader), args.grad_accum))
     state = common.TrainState.create(params, tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
 
@@ -154,9 +151,9 @@ def main(argv=None):
     def evaluate(params, loader):
         preds, trues = [], []
         for b in pmesh.prefetch(loader.epoch(0), mesh):
-            gm = np.asarray(b.graph_mask)
-            preds.append(np.asarray(predict(params, b))[gm])
-            trues.append(np.asarray(b.y)[gm, 0])
+            gm = pmesh.fetch(b.graph_mask)
+            preds.append(pmesh.fetch(predict(params, b))[gm])
+            trues.append(pmesh.fetch(b.y)[gm, 0])
         p, t = np.concatenate(preds), np.concatenate(trues)
         return {
             "mse": metrics.mse(t, p),
@@ -182,6 +179,7 @@ def main(argv=None):
     mlog = common.MetricLogger(args.log_file)
     state, start_epoch, best_val_mse, extra, state_path = common.try_resume(
         args, state, mesh)
+    plateau = common.make_plateau(args, extra)  # pops its keys from extra
     best_epoch = int(extra.pop("best_epoch", -1))
     best_test = extra  # remaining keys are the test metrics at best
     for epoch in range(start_epoch, args.epochs + 1):
@@ -199,6 +197,7 @@ def main(argv=None):
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
         train_loss = float(jnp.mean(jnp.stack(losses)))
+        state = common.plateau_update(state, plateau, train_loss)
         val = evaluate(state.params, valid_loader)
         test = evaluate(state.params, test_loader)
         print(
@@ -220,7 +219,8 @@ def main(argv=None):
                 )
         common.maybe_save_state(
             args, state_path, state, epoch, best_val_mse,
-            {"best_epoch": best_epoch, **best_test},
+            {"best_epoch": best_epoch, **best_test,
+             **(plateau.state() if plateau else {})},
         )
     mlog.log(final=True, best_val_mse=best_val_mse, best_epoch=best_epoch,
              **{f"test_{k}_at_best": v for k, v in best_test.items()})

@@ -28,7 +28,7 @@ from geossl_tpu.data.bucketing import pack_batch
 from geossl_tpu.data.lep import load_lep
 from geossl_tpu.data.splitters import random_split
 from geossl_tpu.parallel import mesh as pmesh
-from geossl_tpu.train import checkpoints, common, optim
+from geossl_tpu.train import checkpoints, common
 from geossl_tpu.utils import metrics
 
 
@@ -166,11 +166,8 @@ def main(argv=None):
         for k, (a, i, y) in splits.items()
     }
 
-    tx = optim.make_optimizer(
-        args.lr, args.epochs,
-        common.opt_steps_per_epoch(len(loaders["train"]), args.grad_accum),
-        args.decay, args.lr_scheduler,
-    )
+    tx = common.make_optimizer_from_args(
+        args, common.opt_steps_per_epoch(len(loaders["train"]), args.grad_accum))
     state = common.TrainState.create(params, tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
 
@@ -208,9 +205,9 @@ def main(argv=None):
     def evaluate(params, loader):
         scores, trues = [], []
         for d in pmesh.prefetch(loader.epoch(0), mesh):
-            gm = np.asarray(d.active.graph_mask)
-            scores.append(np.asarray(predict(params, d))[gm])
-            trues.append(np.asarray(d.y)[gm])
+            gm = pmesh.fetch(d.active.graph_mask)
+            scores.append(pmesh.fetch(predict(params, d))[gm])
+            trues.append(pmesh.fetch(d.y)[gm])
         s, t = np.concatenate(scores), np.concatenate(trues)
         return {"roc": metrics.roc_auc(t, s), "pr": metrics.pr_auc(t, s)}
 
@@ -231,6 +228,7 @@ def main(argv=None):
     state, start_epoch, best_val_roc, extra, state_path = common.try_resume(
         args, state, mesh, higher_is_better=True)
     best_val_roc = max(best_val_roc, -1.0)  # fresh start: -inf -> -1.0
+    plateau = common.make_plateau(args, extra)  # pops its keys from extra
     best_epoch = int(extra.pop("best_epoch", -1))
     best_test = extra  # remaining keys are the test metrics at best
     for epoch in range(start_epoch, args.epochs + 1):
@@ -248,6 +246,7 @@ def main(argv=None):
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
         train_loss = float(jnp.mean(jnp.stack(losses)))
+        state = common.plateau_update(state, plateau, train_loss)
         val, test = evaluate(state.params, loaders["val"]), evaluate(
             state.params, loaders["test"]
         )
@@ -269,7 +268,8 @@ def main(argv=None):
                 )
         common.maybe_save_state(
             args, state_path, state, epoch, best_val_roc,
-            {"best_epoch": best_epoch, **best_test},
+            {"best_epoch": best_epoch, **best_test,
+             **(plateau.state() if plateau else {})},
         )
     mlog.log(final=True, best_val_roc=best_val_roc, best_epoch=best_epoch,
              **{f"test_{k}_at_best": v for k, v in best_test.items()})

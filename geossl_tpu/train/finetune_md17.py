@@ -29,7 +29,7 @@ from geossl_tpu.data.bucketing import BucketedLoader
 from geossl_tpu.data.md17 import MD17_TASKS, load_md17
 from geossl_tpu.data.splitters import md17_split
 from geossl_tpu.parallel import mesh as pmesh
-from geossl_tpu.train import checkpoints, common, optim
+from geossl_tpu.train import checkpoints, common
 
 
 def build_parser():
@@ -99,14 +99,14 @@ def evaluate(energy_and_force_jit, params, loader, mesh):
     e_pred, e_true, f_pred, f_true = [], [], [], []
     for b in pmesh.prefetch(loader.epoch(0), mesh):
         e, f = energy_and_force_jit(params, b)
-        e, f = np.asarray(e), np.asarray(f)
-        gm = np.asarray(b.graph_mask)
-        nm = np.asarray(b.node_mask) & gm[:, None]
-        f, ft = f[nm], np.asarray(b.forces)[nm]
+        e, f = pmesh.fetch(e), pmesh.fetch(f)
+        gm = pmesh.fetch(b.graph_mask)
+        nm = pmesh.fetch(b.node_mask) & gm[:, None]
+        f, ft = f[nm], pmesh.fetch(b.forces)[nm]
         # NaN-force guard (finetune_md17.py:101-107)
         ok = ~np.isnan(f).any(axis=-1)
         e_pred.append(e[gm])
-        e_true.append(np.asarray(b.y)[gm, 0])
+        e_true.append(pmesh.fetch(b.y)[gm, 0])
         f_pred.append(f[ok])
         f_true.append(ft[ok])
     e_pred, e_true = np.concatenate(e_pred), np.concatenate(e_true)
@@ -165,11 +165,8 @@ def main(argv=None):
         test_store, eval_bs, bucket_sizes, shuffle=False, with_forces=True
     )
 
-    tx = optim.make_optimizer(
-        args.lr, args.epochs,
-        common.opt_steps_per_epoch(len(train_loader), args.grad_accum),
-        args.decay, args.lr_scheduler,
-    )
+    tx = common.make_optimizer_from_args(
+        args, common.opt_steps_per_epoch(len(train_loader), args.grad_accum))
     state = common.TrainState.create(params, tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
     energy_and_force = make_energy_force_fn(backbone_apply, head)
@@ -195,6 +192,7 @@ def main(argv=None):
     mlog = common.MetricLogger(args.log_file)
     state, start_epoch, best_val_force, extra, state_path = common.try_resume(
         args, state, mesh)
+    plateau = common.make_plateau(args, extra)
     best_epoch = int(extra.get("best_epoch", -1))
     test_at_best = (extra.get("test_e", float("nan")),
                     extra.get("test_f", float("nan")))
@@ -213,6 +211,7 @@ def main(argv=None):
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
         train_loss = float(jnp.mean(jnp.stack(losses)))
+        state = common.plateau_update(state, plateau, train_loss)
         val_e, val_f = evaluate(ef_jit, state.params, valid_loader, mesh)
         test_e, test_f = evaluate(ef_jit, state.params, test_loader, mesh)
         print(
@@ -235,7 +234,8 @@ def main(argv=None):
         common.maybe_save_state(
             args, state_path, state, epoch, best_val_force,
             {"best_epoch": best_epoch,
-             "test_e": test_at_best[0], "test_f": test_at_best[1]},
+             "test_e": test_at_best[0], "test_f": test_at_best[1],
+             **(plateau.state() if plateau else {})},
         )
     mlog.log(final=True, task=args.task, best_val_f_mae=best_val_force,
              best_epoch=best_epoch, test_e_mae_at_best=test_at_best[0],

@@ -23,7 +23,7 @@ from geossl_tpu.data.bucketing import BucketedLoader
 from geossl_tpu.data.qm9 import TARGET_FIELDS, load_qm9
 from geossl_tpu.data.splitters import qm9_random_customized_01
 from geossl_tpu.parallel import mesh as pmesh
-from geossl_tpu.train import checkpoints, common, optim
+from geossl_tpu.train import checkpoints, common
 from geossl_tpu.utils import metrics
 
 # re-export (tests/serve historically import it from here)
@@ -87,10 +87,10 @@ def make_eval_step(backbone_apply, head):
 def evaluate(eval_step, params, loader, mean, std, mesh):
     preds, trues = [], []
     for b in pmesh.prefetch(loader.epoch(0), mesh):
-        p = np.asarray(eval_step(params, b, mean, std))
-        gm = np.asarray(b.graph_mask)
+        p = pmesh.fetch(eval_step(params, b, mean, std))
+        gm = pmesh.fetch(b.graph_mask)
         preds.append(p[gm])
-        trues.append(np.asarray(b.y)[gm, 0])
+        trues.append(pmesh.fetch(b.y)[gm, 0])
     return np.concatenate(preds), np.concatenate(trues)
 
 
@@ -168,11 +168,8 @@ def main(argv=None):
               f"\ttest MAE: {test_mae:.5f}")
         return val_mae, test_mae
 
-    tx = optim.make_optimizer(
-        args.lr, args.epochs,
-        common.opt_steps_per_epoch(len(train_loader), args.grad_accum),
-        args.decay, args.lr_scheduler,
-    )
+    tx = common.make_optimizer_from_args(
+        args, common.opt_steps_per_epoch(len(train_loader), args.grad_accum))
     state = common.TrainState.create(params, tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
     train_step, accum_step = make_train_step(backbone_apply, head, tx, args.loss)
@@ -181,6 +178,7 @@ def main(argv=None):
     mlog = common.MetricLogger(args.log_file)
     state, start_epoch, best_val, extra, state_path = common.try_resume(
         args, state, mesh)
+    plateau = common.make_plateau(args, extra)
     best_epoch = int(extra.get("best_epoch", -1))
     test_at_best = extra.get("test_at_best", float("nan"))
     for epoch in range(start_epoch, args.epochs + 1):
@@ -198,6 +196,7 @@ def main(argv=None):
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
         train_loss = float(jnp.mean(jnp.stack(losses)))
+        state = common.plateau_update(state, plateau, train_loss)
         vp, vt = evaluate(eval_step, state.params, valid_loader, mean, std, mesh)
         tp, tt = evaluate(eval_step, state.params, test_loader, mean, std, mesh)
         val_mae, test_mae = metrics.mae(vt, vp), metrics.mae(tt, tp)
@@ -224,7 +223,8 @@ def main(argv=None):
                 )
         common.maybe_save_state(
             args, state_path, state, epoch, best_val,
-            {"best_epoch": best_epoch, "test_at_best": test_at_best},
+            {"best_epoch": best_epoch, "test_at_best": test_at_best,
+             **(plateau.state() if plateau else {})},
         )
     mlog.log(final=True, task=args.task, best_val_mae=best_val,
              best_epoch=best_epoch, test_mae_at_best=test_at_best)

@@ -37,7 +37,7 @@ from geossl_tpu.objectives import (
 )
 from geossl_tpu.ops import geometry
 from geossl_tpu.parallel import mesh as pmesh
-from geossl_tpu.train import checkpoints, common, optim
+from geossl_tpu.train import checkpoints, common
 
 NODE_CLASS = 9
 
@@ -114,11 +114,8 @@ def _run(args, objective: str):
         store, common.round_batch_to_mesh(args.batch_size, mesh), bucket_sizes,
         shuffle=True, seed=args.seed,
     )
-    tx = optim.make_optimizer(
-        args.lr, args.epochs,
-        common.opt_steps_per_epoch(len(loader), args.grad_accum),
-        args.decay, args.lr_scheduler
-    )
+    tx = common.make_optimizer_from_args(
+        args, common.opt_steps_per_epoch(len(loader), args.grad_accum))
     state = common.TrainState.create(params, tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
 
@@ -205,7 +202,9 @@ def _run(args, objective: str):
 
     saver = checkpoints.BestModelSaver(args.output_model_dir)
     mlog = common.MetricLogger(args.log_file)
-    state, start_epoch, best, _, state_path = common.try_resume(args, state, mesh)
+    state, start_epoch, best, extra, state_path = common.try_resume(
+        args, state, mesh)
+    plateau = common.make_plateau(args, extra)
     saver.best_metric = best  # don't let a worse epoch overwrite model.ckpt
     for epoch in range(start_epoch, args.epochs + 1):
         timer = common.EpochTimer()
@@ -226,6 +225,7 @@ def _run(args, objective: str):
         # ~ms over the remote-TPU tunnel x steps/epoch)
         mean_loss = float(jnp.mean(jnp.stack(losses)))
         mean_acc = float(jnp.mean(jnp.stack(accs)))
+        state = common.plateau_update(state, plateau, mean_loss)
         saved = saver.maybe_save_best(
             mean_loss,
             lambda: {"model": jax.device_get(state.params["model"])},
@@ -237,7 +237,8 @@ def _run(args, objective: str):
         mlog.log(epoch=epoch, loss=mean_loss, acc=mean_acc,
                  time_s=round(timer.elapsed(), 3), saved_best=saved)
         common.maybe_save_state(args, state_path, state, epoch,
-                                saver.best_metric)
+                                saver.best_metric,
+                                plateau.state() if plateau else None)
     saver.save_final({"model": jax.device_get(state.params["model"])})
     mlog.log(final=True, best_loss=saver.best_metric, epochs=args.epochs)
     return state

@@ -45,7 +45,7 @@ from geossl_tpu.objectives import (
 from geossl_tpu.objectives.ncsn import NCSNv3
 from geossl_tpu.ops import geometry
 from geossl_tpu.parallel import mesh as pmesh
-from geossl_tpu.train import checkpoints, common, optim
+from geossl_tpu.train import checkpoints, common
 
 
 def build_parser():
@@ -63,6 +63,12 @@ def build_parser():
     p.add_argument("--SM_noise_type", default="symmetry", choices=["symmetry", "random"])
     p.add_argument("--SM_anneal_power", type=float, default=2.0)
     p.add_argument("--distance_sample_ratio", type=float, default=1.0)
+    p.add_argument("--gnn_2d_lr_scale", type=float, default=None,
+                   help="RR only: ABSOLUTE lr for the two AutoEncoder heads "
+                        "(torch param-group quirk, pretrain_GeoSSL.py:335-337"
+                        " — the group lr is the scale itself, NOT lr*scale; "
+                        "reference default 1.0). Default: AE heads train at "
+                        "--lr like everything else")
     p.add_argument("--T", type=float, default=0.1)
     p.add_argument("--CL_neg_samples", type=int, default=1,
                    help="cyclic-shift negatives per positive for EBM_NCE "
@@ -157,11 +163,19 @@ def main(argv=None):
             "--steps_per_call fuses optimizer steps into one dispatch — "
             "pick one"
         )
-    tx = optim.make_optimizer(
-        args.lr, args.epochs,
-        common.opt_steps_per_epoch(len(loader), args.grad_accum),
-        args.decay, args.lr_scheduler,
-    )
+    group_lr = None
+    if args.gnn_2d_lr_scale is not None:
+        if args.GeoSSL_option != "RR":
+            raise SystemExit("--gnn_2d_lr_scale only applies to the RR "
+                             "AutoEncoder heads (GeoSSL_option=RR)")
+        # reference quirk reproduced: the AE param groups get the scale as
+        # their ABSOLUTE lr (pretrain_GeoSSL.py:335-337), expressed here as
+        # a multiplicative factor on the base lr
+        f = args.gnn_2d_lr_scale / args.lr
+        group_lr = {"AE_01": f, "AE_02": f}
+    tx = common.make_optimizer_from_args(
+        args, common.opt_steps_per_epoch(len(loader), args.grad_accum),
+        group_lr_factors=group_lr)
     state = common.TrainState.create((params, extra_vars), tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
 
@@ -312,7 +326,9 @@ def main(argv=None):
 
     saver = checkpoints.BestModelSaver(args.output_model_dir)
     mlog = common.MetricLogger(args.log_file)
-    state, start_epoch, best, _, state_path = common.try_resume(args, state, mesh)
+    state, start_epoch, best, extra, state_path = common.try_resume(
+        args, state, mesh)
+    plateau = common.make_plateau(args, extra)
     saver.best_metric = best  # don't let a worse epoch overwrite model.ckpt
     profiler_active = False
     for epoch in range(start_epoch, args.epochs + 1):
@@ -367,6 +383,7 @@ def main(argv=None):
         # ~ms over the remote-TPU tunnel x steps/epoch)
         mean_loss = float(jnp.mean(jnp.concatenate(losses)))
         mean_acc = float(jnp.mean(jnp.concatenate(accs)))
+        state = common.plateau_update(state, plateau, mean_loss)
         saved = saver.maybe_save_best(
             mean_loss,
             lambda: {"model": jax.device_get(state.params[0]["model"])},
@@ -384,7 +401,8 @@ def main(argv=None):
             profiler_active = False
             print(f"profiler trace written to {args.profile_dir}")
         common.maybe_save_state(args, state_path, state, epoch,
-                                saver.best_metric)
+                                saver.best_metric,
+                                plateau.state() if plateau else None)
     saver.save_final({"model": jax.device_get(state.params[0]["model"])})
     mlog.log(final=True, best_loss=saver.best_metric, epochs=args.epochs)
     return state
