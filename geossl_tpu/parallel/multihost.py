@@ -73,6 +73,32 @@ def is_main() -> bool:
     return jax.process_index() == 0
 
 
+def assert_host_agreement(name: str, value: float) -> None:
+    """Fail fast when a host-side decision differs across processes.
+
+    Resume decisions, epoch counters, and loader lengths are made from
+    process-local state (e.g. ``os.path.exists`` on a checkpoint that only
+    process 0 wrote); if processes disagree, the jitted steps issue
+    mismatched collectives that hang or corrupt the run with no diagnostic.
+    This allgathers the scalar over the existing collective transport and
+    raises an actionable error instead. No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    vals = np.asarray(multihost_utils.process_allgather(
+        np.asarray(value, np.float64)))
+    if not np.all(vals == vals.flat[0]):
+        raise SystemExit(
+            f"multi-host desync: {name!r} differs across processes "
+            f"(per-process values {[float(v) for v in vals.flat]}). "
+            "Typical cause: --resume with --output_model_dir on a "
+            "non-shared filesystem — only process 0 has state.ckpt. "
+            "Put the output dir on storage every process can read, or "
+            "drop --resume.")
+
+
 def process_local_batch(sharding, x: Any):
     """Host array (FULL global batch, identical on every process) -> global
     jax.Array under ``sharding``. Each process transfers only the rows its

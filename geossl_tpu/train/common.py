@@ -423,6 +423,14 @@ def try_resume(args, state, mesh, higher_is_better: bool = False):
     )
     best = -float("inf") if higher_is_better else float("inf")
     start_epoch, extra = 1, {}
+    if getattr(args, "resume", False) and state_path:
+        # the resume DECISION must agree across processes: on a pod without
+        # a shared filesystem only process 0 has state.ckpt, and a silent
+        # split (p0 at epoch N+1, others at 1) deadlocks the collectives
+        from geossl_tpu.parallel import multihost
+
+        multihost.assert_host_agreement(
+            "resume checkpoint exists", float(os.path.exists(state_path)))
     if getattr(args, "resume", False) and state_path and os.path.exists(state_path):
         state, last_epoch, best, extra = checkpoints.load_train_state(
             state_path, state)
@@ -463,16 +471,19 @@ def make_plateau(args, extra=None) -> "optim.PlateauController | None":
     """ReduceLROnPlateau host controller, or None for every other scheduler.
     ``extra`` (the resume checkpoint's scalar dict) restores best/bad-epoch
     counters so a resumed run continues the same plateau trajectory."""
+    # ALWAYS consume the plateau_* keys so drivers that treat the remaining
+    # extra dict as their own metrics (finetune_lba/lep) stay clean — also
+    # when resuming a plateau checkpoint under a different --lr_scheduler
+    plateau_state = {}
+    if extra:
+        plateau_state = {k: extra.pop(k) for k in list(extra)
+                         if k.startswith("plateau_")}
     if getattr(args, "lr_scheduler", None) != "ReduceLROnPlateau":
         return None
     ctl = optim.PlateauController(
         args.lr, factor=args.lr_decay_factor,
         patience=args.lr_decay_patience, min_lr=args.min_lr)
-    if extra:
-        # consume the plateau_* keys so drivers that treat the remaining
-        # extra dict as their own metrics (finetune_lba) stay clean
-        ctl.load({k: extra.pop(k) for k in list(extra)
-                  if k.startswith("plateau_")})
+    ctl.load(plateau_state)
     return ctl
 
 

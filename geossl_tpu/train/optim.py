@@ -187,8 +187,12 @@ def scale_by_group(factors: dict) -> optax.GradientTransformation:
     Reference analog: ``optim.Adam(model_param_group, lr=args.lr)`` with
     per-group ``"lr":`` overrides (``pretrain_GeoSSL.py:333-343``). torch's
     schedulers multiply every group by the same factor, so composing this
-    with the schedule (and with ReduceLROnPlateau's scale) is exact for the
-    multiplicative schedules the drivers expose."""
+    with the schedule is exact for MULTIPLICATIVE schedules
+    (CosineAnnealingLR with eta_min=0, StepLR, None). It is NOT exact for
+    the two anchored ones — torch pins CosineAnnealingWarmRestarts'
+    eta_min=1e-4 and ReduceLROnPlateau's min_lr floor per group's own base
+    lr, while this factor multiplies post-schedule — so
+    :func:`make_optimizer` rejects those combinations outright."""
     factors = {k: float(v) for k, v in factors.items()}
 
     def init(params):
@@ -199,11 +203,21 @@ def scale_by_group(factors: dict) -> optax.GradientTransformation:
         del params
 
         def f(path, u):
-            for p in path:
-                if isinstance(p, jax.tree_util.DictKey):
-                    fac = factors.get(p.key, 1.0)
-                    return u if fac == 1.0 else u * fac
-            return u
+            # Match ONLY the top-level dict of the params element: path[0]
+            # is the DictKey, or SequenceKey(0) then the DictKey for the
+            # tuple-wrapped (params, extra_vars) trees — extra_vars subtrees
+            # (batch_stats pseudo-updates) must never be scaled even when
+            # they share a group name like "AE_01".
+            key = None
+            if path and isinstance(path[0], jax.tree_util.DictKey):
+                key = path[0].key
+            elif (len(path) >= 2
+                  and isinstance(path[0], jax.tree_util.SequenceKey)
+                  and path[0].idx == 0
+                  and isinstance(path[1], jax.tree_util.DictKey)):
+                key = path[1].key
+            fac = factors.get(key, 1.0) if key is not None else 1.0
+            return u if fac == 1.0 else u * fac
 
         return jax.tree_util.tree_map_with_path(f, updates), state
 
@@ -225,6 +239,17 @@ def make_optimizer(
     decay_step_size: int = 100,
     group_lr_factors: dict | None = None,
 ) -> optax.GradientTransformation:
+    if group_lr_factors and scheduler in ("CosineAnnealingWarmRestarts",
+                                          "ReduceLROnPlateau"):
+        # torch anchors these schedules' floors (eta_min / min_lr) per
+        # group's own base lr; a post-schedule multiplicative factor cannot
+        # reproduce that (see scale_by_group). No reference sweep combines
+        # them (the RR script uses CosineAnnealingLR) — fail loudly rather
+        # than silently diverge.
+        raise ValueError(
+            f"per-group lr factors are not torch-exact under {scheduler} "
+            "(anchored eta_min/min_lr floors); use CosineAnnealingLR, "
+            "StepLR, or None")
     if scheduler == "CosineAnnealingLR":
         sched = cosine_annealing_schedule(lr, epochs, steps_per_epoch, min_lr)
     elif scheduler == "CosineAnnealingWarmRestarts":

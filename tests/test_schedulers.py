@@ -210,6 +210,54 @@ def test_group_lr_unnamed_groups_bitwise_unchanged():
                           np.asarray(s_group.params[1]["AE_01"]))
 
 
+def test_group_lr_never_touches_extra_vars_sharing_a_name():
+    """A factor naming "AE_01" scales ONLY the params element's subtree —
+    the extra_vars element's same-named batch-stats pseudo-updates (the RR
+    (params, extra_vars) tuple) stay bitwise unchanged (ADVICE r3)."""
+    params = ({"model": jnp.ones((3,)), "AE_01": jnp.ones((2,))},
+              {"AE_01": jnp.zeros((2,))})
+    grads = jax.tree_util.tree_map(lambda x: x * 0 + 0.3, params)
+
+    tx_plain = optim.make_optimizer(1e-3, 10, 10, scheduler="None")
+    tx_group = optim.make_optimizer(1e-3, 10, 10, scheduler="None",
+                                    group_lr_factors={"AE_01": 7.0})
+    s_plain = common.apply_updates(
+        common.TrainState.create(params, tx_plain), grads, tx_plain)
+    s_group = common.apply_updates(
+        common.TrainState.create(params, tx_group), grads, tx_group)
+    d_plain = np.asarray(s_plain.params[0]["AE_01"]) - 1.0
+    d_group = np.asarray(s_group.params[0]["AE_01"]) - 1.0
+    np.testing.assert_allclose(d_group, 7.0 * d_plain, rtol=1e-5)
+    # the extra_vars element sharing the group name is NOT scaled
+    assert np.array_equal(np.asarray(s_plain.params[1]["AE_01"]),
+                          np.asarray(s_group.params[1]["AE_01"]))
+
+
+def test_group_lr_rejects_anchored_schedulers():
+    """torch anchors CosineAnnealingWarmRestarts' eta_min and plateau's
+    min_lr per group base lr; a post-schedule factor can't be exact, so the
+    combination is rejected (ADVICE r3)."""
+    import pytest
+
+    for sched in ("CosineAnnealingWarmRestarts", "ReduceLROnPlateau"):
+        with pytest.raises(ValueError, match="not torch-exact"):
+            optim.make_optimizer(1e-3, 10, 10, scheduler=sched,
+                                 group_lr_factors={"AE_01": 2.0})
+
+
+def test_plateau_keys_stripped_under_other_scheduler():
+    """Resuming a plateau checkpoint with a different --lr_scheduler must
+    not leak plateau_* into the driver's metric dict (ADVICE r3:
+    finetune_lba logs extra as test_*_at_best)."""
+    import argparse
+
+    extra = {"best_epoch": 2.0, "plateau_best": 0.5, "plateau_bad": 1.0,
+             "plateau_scale": 0.25}
+    args = argparse.Namespace(lr_scheduler="CosineAnnealingLR")
+    assert common.make_plateau(args, extra) is None
+    assert extra == {"best_epoch": 2.0}
+
+
 def test_driver_plateau_reduces_and_logs(tmp_path):
     """End-to-end: finetune_qm9 under ReduceLROnPlateau with patience 0 on a
     tiny synthetic set runs, checkpoints, and the saved resume state carries
