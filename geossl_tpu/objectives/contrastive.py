@@ -130,9 +130,19 @@ def dual_infonce_loss(x, y, temperature=0.1, graph_mask=None):
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """F.normalize equivalent (``pretrain_GeoSSL.py:92-93``)."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    """F.normalize equivalent (``pretrain_GeoSSL.py:92-93``).
+
+    Written as ``x * rsqrt(max(sum(x^2), eps^2))`` rather than
+    ``x / max(norm(x), eps)``: the two are equal in value, but the latter's
+    GRADIENT at an all-zero row is NaN (d||x||/dx = x/||x|| = 0/0, and
+    ``maximum``'s zero branch multiplies that NaN by 0 = NaN). All-zero rows
+    are routine here — dense padded batches carry empty graph slots whose
+    pooled repr is exactly 0 (the reference's PyG batches never pad, so it
+    cannot hit this) — and one NaN row poisons the shared-backbone gradient
+    for the whole batch. This form's gradient at 0 is a finite constant.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
 
 
 def do_cl(

@@ -368,3 +368,50 @@ def test_exact_count_subsampling_matches_reference_semantics():
     assert np.all(np.asarray(masked)[sel_np] == 8)
     keep = ~sel_np & np.asarray(node_mask)
     assert np.array_equal(np.asarray(masked)[keep], np.asarray(atom_type)[keep])
+
+
+def test_l2_normalize_zero_row_gradient_finite():
+    """Padded batches carry all-zero graph/node repr rows; the gradient of
+    l2_normalize must stay finite there (the naive x/max(||x||, eps) form
+    NaNs: 0/0 through norm, then NaN*0 through maximum — this poisoned every
+    --normalize pretrain on a cached multi-bucket corpus, round-4 RR
+    diagnostic). Values must still match torch F.normalize on real rows."""
+    import torch
+    import torch.nn.functional as F
+
+    x = np.vstack([np.zeros((1, 8)),
+                   np.random.default_rng(0).normal(size=(3, 8))]).astype(
+        np.float32)
+
+    def loss(x):
+        return jnp.sum(obj.l2_normalize(x) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(
+        np.asarray(obj.l2_normalize(jnp.asarray(x))),
+        F.normalize(torch.tensor(x), dim=-1).numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_rr_normalize_finite_with_empty_graph_slot():
+    """RR under --normalize on a batch whose last slot is an EMPTY padded
+    graph (bucketed final-batch padding): loss and backbone grads finite."""
+    from geossl_tpu.objectives import AutoEncoder
+
+    rng = np.random.default_rng(1)
+    g1 = np.zeros((4, 16), np.float32)
+    g2 = np.zeros((4, 16), np.float32)
+    g1[:3], g2[:3] = rng.normal(size=(3, 16)), rng.normal(size=(3, 16))
+    gm = jnp.asarray([True, True, True, False])
+    ae = AutoEncoder(emb_dim=16)
+    v = ae.init(jax.random.PRNGKey(0), jnp.asarray(g1), jnp.asarray(g2))
+
+    def loss(g1):
+        a = obj.l2_normalize(g1)
+        b = obj.l2_normalize(jnp.asarray(g2))
+        out = ae.apply(v, a, b, gm, train=True, mutable=["batch_stats"])
+        return out[0]
+
+    val, grad = jax.value_and_grad(loss)(jnp.asarray(g1))
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
