@@ -106,20 +106,32 @@ def _time_steps(step, state, args, steps=50, windows=5, key_fn=None):
 
 
 
-def _mfu_fields(flop_count, step_seconds):
-    """Absolute-utilization fields for a bench line (utils/flops.py):
-    analytic model FLOPs per step -> achieved TFLOP/s and % of v5e peaks.
-    TPU matmuls run bf16 operands at default precision (which is why the
-    explicit bf16 knob measured neutral), so pct_bf16_peak is the operative
-    MFU; pct_f32_peak bounds the hypothetical multi-pass-f32 ceiling.
-    Useful-FLOP rates above the nominal peak are possible where the
-    symmetric tile-skipping kernel computes fewer hardware FLOPs than the
-    model math counts (docs/PERF.md MFU table)."""
+def _mfu_fields(flop_count, step_seconds, executed=None, occupancy=1.0):
+    """Utilization fields for a bench line (utils/flops.py):
+
+    * ``gflop_per_step`` / ``tflops_dense_eff`` — the DENSE model's FLOPs
+      and the dense-effective rate (what a dense implementation would have
+      to sustain to match this wall-clock; may exceed peak where the
+      occupancy-gated / symmetric kernels skip work — that is the speedup).
+    * ``occupancy`` / ``tflops`` / ``pct_*_peak`` — the EXECUTED fraction
+      of the pair grid (flops.executed_pair_fraction), the hardware
+      FLOP/s actually achieved, and true utilization vs v5e peaks (never
+      above 100). TPU matmuls run bf16 operands at default precision
+      (which is why the explicit bf16 knob measured neutral), so
+      pct_bf16_peak is the operative MFU; pct_f32_peak bounds the
+      hypothetical multi-pass-f32 ceiling.
+
+    ``executed`` is the occupancy-scaled FlopCount for gated configs; None
+    means the config runs dense (executed == dense, occupancy 1.0)."""
     from geossl_tpu.utils import flops as F
 
-    tf, frac16 = F.mfu(flop_count.total, step_seconds)
-    _, frac32 = F.mfu(flop_count.total, step_seconds, F.V5E_PEAK_F32)
+    ex = executed if executed is not None else flop_count
+    tf_dense, _ = F.mfu(flop_count.total, step_seconds)
+    tf, frac16 = F.mfu(ex.total, step_seconds)
+    _, frac32 = F.mfu(ex.total, step_seconds, F.V5E_PEAK_F32)
     return {"gflop_per_step": round(flop_count.total / 1e9, 1),
+            "tflops_dense_eff": round(tf_dense, 1),
+            "occupancy": round(occupancy, 3),
             "tflops": round(tf, 1),
             "pct_f32_peak": round(frac32 * 100, 1),
             "pct_bf16_peak": round(frac16 * 100, 1)}
@@ -312,10 +324,23 @@ def _bench_atom3d(metric, unit, model_3d, use_pallas, batch, n_max,
 
     sps = _time_steps(step, state, flat_args, steps=10, windows=3)
     fc = F.finetune_step(batch, n_max, model=model_3d)
+    # executed FLOPs: occupancy-gated tiles skip empty pair tiles and the
+    # symmetric CFConv halves the band — measure the ACTUAL live-pair grid
+    # of the benched batch (same gate the kernels flag from)
+    cutoff = 5.0 if is_painn else 10.0  # each model's default cutoff
+    occs = []
+    for tower, _ in towers:
+        z, pos, mask = tower[:3]
+        dist, pm = geometry.pairwise_distances(pos, mask)
+        env = np.asarray((dist < cutoff) & pm, np.float32)
+        occs.append(F.executed_pair_fraction(env, model=model_3d))
+    occ = float(np.mean(occs))
+    fe = F.finetune_step(batch, n_max, model=model_3d, pair_frac=occ)
     if dual:
-        fc = fc.scale(2)
+        fc, fe = fc.scale(2), fe.scale(2)
     return {"metric": metric, "value": round(batch * sps, 1),
-            **_mfu_fields(fc, 1 / sps), "unit": unit, "vs_baseline": None}
+            **_mfu_fields(fc, 1 / sps, executed=fe, occupancy=occ),
+            "unit": unit, "vs_baseline": None}
 
 
 def bench_lba(use_pallas):

@@ -1,9 +1,19 @@
 """Analytic FLOP accounting for MFU / roofline reporting.
 
-Counts the arithmetic each bench / driver config actually executes on the
-padded dense formulation (padding included — that is what the chip computes),
-so measured step times convert to achieved FLOP/s and % of peak
-(`docs/PERF.md`). Conventions:
+Counts the arithmetic of the padded DENSE formulation — the model's math,
+padding included. Since the occupancy-gated sparse tiles (kexp5) the chip
+no longer executes all of it: empty pair tiles (out-of-cutoff + padding,
+~45-70% at Atom3D density) skip their whole kernel body, and the symmetric
+CFConv evaluates each unordered tile once. Two rates therefore exist and
+both are reported (`docs/PERF.md`, bench rows):
+
+* **dense-effective** (dense FLOPs / time): the speedup metric — what a
+  dense implementation would have to sustain to match this wall-clock. MAY
+  exceed the hardware peak; that is the point of skipping work.
+* **executed** (dense FLOPs x :func:`executed_pair_fraction` / time): actual
+  hardware utilization; never printed above 100% of peak.
+
+Conventions:
 
 * 1 MAC = 2 FLOP; elementwise transcendentals count 1 FLOP (they cost more
   VPU cycles than an add — the table reports them separately so the binding
@@ -49,9 +59,12 @@ class FlopCount:
                          self.transcendental + o.transcendental)
 
 
-def schnet_forward(n: int, g: int = 51, f: int = 128, blocks: int = 6) -> FlopCount:
-    """Per-graph forward FLOPs at padded size n (``models/schnet.py``)."""
-    pairs = n * n
+def schnet_forward(n: int, g: int = 51, f: int = 128, blocks: int = 6,
+                   pair_frac: float = 1.0) -> FlopCount:
+    """Per-graph forward FLOPs at padded size n (``models/schnet.py``).
+    ``pair_frac`` scales the pair-grid terms to the EXECUTED fraction
+    (:func:`executed_pair_fraction`); 1.0 counts the dense model."""
+    pairs = n * n * pair_frac
     # per block: filter MLP (G->F, F->F) on every pair + lin1/lin2/post Dense
     mm = blocks * (2.0 * pairs * (g * f + f * f) + 3 * 2.0 * n * f * f)
     # final readout MLP (two Dense F->F; the hidden halving of the reference
@@ -65,9 +78,10 @@ def schnet_forward(n: int, g: int = 51, f: int = 128, blocks: int = 6) -> FlopCo
     return FlopCount(mm, ew, ts)
 
 
-def painn_forward(n: int, r: int = 20, f: int = 128, blocks: int = 3) -> FlopCount:
+def painn_forward(n: int, r: int = 20, f: int = 128, blocks: int = 3,
+                  pair_frac: float = 1.0) -> FlopCount:
     """Per-graph PaiNN forward (``models/painn.py``): message + mixing."""
-    pairs = n * n
+    pairs = n * n * pair_frac
     # message: filter matmul R->3F per pair; q/mu reductions (q: 2F,
     # dmu_r: 3 channels * 3F, dmu_m: 3 channels * 3F per pair)
     mm = blocks * (2.0 * pairs * r * 3 * f)
@@ -105,11 +119,12 @@ def ddm_step(batch: int, n: int, g: int = 51, f: int = 128, blocks: int = 6,
 
 
 def finetune_step(batch: int, n: int, model: str = "schnet",
-                  forces: bool = False) -> FlopCount:
+                  forces: bool = False, pair_frac: float = 1.0) -> FlopCount:
     """Regression fine-tune step (linear head ~free). MD17's force loss
     differentiates an inner gradient: approximately doubles the work again
     (inner grad ~= 2x fwd, outer backward over that ~= 2x more)."""
-    bb = schnet_forward(n) if model == "schnet" else painn_forward(n)
+    bb = (schnet_forward(n, pair_frac=pair_frac) if model == "schnet"
+          else painn_forward(n, pair_frac=pair_frac))
     per = train_step(bb)
     if forces:
         per = per.scale(2.0)
@@ -121,3 +136,65 @@ def mfu(flops_per_step: float, step_seconds: float,
     """Returns (achieved TFLOP/s, fraction of peak)."""
     achieved = flops_per_step / step_seconds
     return achieved / 1e12, achieved / peak
+
+
+def executed_pair_fraction(env, model: str = "schnet") -> float:
+    """Fraction of the dense pair-grid FLOPs the gated kernels EXECUTE.
+
+    ``env``: [B, N, N] array, nonzero exactly where a pair is live (inside
+    cutoff x valid) — the same gate the kernels build their occupancy flags
+    from (``ops/pallas_utils.tile_occupancy``). Uses each model's own
+    forward tile geometry:
+
+    * ``schnet``: the symmetric kernel's band grid (``sym_grid_info``) —
+      a tile executes iff it is not fully below the diagonal band AND its
+      occupancy flag is set; each executed off-diagonal tile serves its
+      mirror, so dividing executed tiles by the FULL grid also accounts for
+      the 2x symmetric saving. Falls back to plain occupancy when the
+      symmetric variant is unprofitable at this N (single-tile grids).
+    * ``painn``: plain occupancy gating at the PaiNN message-kernel tiles.
+
+    Approximation: the backward kernels re-derive the same flags at a
+    possibly smaller batch block (their VMEM budget halves bb), which can
+    only LOWER true executed work — this estimate errs high by a few %,
+    i.e. utilization derived from it is an upper bound that still stays
+    honest (<= 100%). Per-node FLOPs are never gated; callers scale only
+    the pair terms (the ``pair_frac`` arguments below).
+    """
+    import numpy as np
+
+    from geossl_tpu.ops.cfconv_pallas import _batch_block
+    from geossl_tpu.ops.pallas_utils import (
+        pair_tiles,
+        sparse_auto,
+        sym_grid_info,
+        tile_occupancy,
+    )
+
+    env = np.asarray(env)
+    b, n, _ = env.shape
+    gated = sparse_auto(n, "auto")  # drivers/bench run the auto policy
+    if model == "schnet":
+        ti, tj, n_skipped = sym_grid_info(n)
+        sym = n_skipped > 0  # mirrors ops.cfconv_pallas.sym_profitable
+        bb = _batch_block(b, ti, tj, budget=8192)
+    else:
+        from geossl_tpu.ops.painn_pallas import _PAINN_BUDGET
+
+        ti, tj = pair_tiles(n, _PAINN_BUDGET)
+        sym = False
+        bb = _batch_block(b, ti, tj, budget=4096)
+    if not gated and not sym:
+        return 1.0  # single-tile grids run dense: every FLOP executes
+    nti, ntj = n // ti, n // tj
+    if gated:
+        flags = np.asarray(tile_occupancy(env, bb, ti, tj)).reshape(
+            b // bb, nti, ntj).astype(bool)
+    else:  # symmetric band-skipping only; no occupancy flags
+        flags = np.ones((b // bb, nti, ntj), bool)
+    if sym:
+        ii, jj = np.meshgrid(np.arange(nti), np.arange(ntj), indexing="ij")
+        in_band = (jj + 1) * tj > ii * ti  # not fully below the diagonal
+        flags = flags & in_band[None]
+    executed = flags.sum() * bb * ti * tj
+    return float(executed) / float(b * n * n)
