@@ -51,6 +51,11 @@ COMMANDS = {
         "geossl_tpu.train.finetune_lep",
         "Atom3D LEP ligand-efficacy fine-tune (dual tower)",
     ),
+    "evalkit": (
+        "geossl_tpu.evalkit",
+        "published downstream protocol from a pretrained checkpoint "
+        "(QM9 12 targets + MD17 8 molecules + LBA/LEP, resumable)",
+    ),
     "serve": (
         "geossl_tpu.serve",
         "batched inference on a trained checkpoint (predict/embed/forces/pairs)",
