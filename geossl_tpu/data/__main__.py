@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--lep_split", default="all",
                    choices=["all", "train", "val", "test"])
     p.add_argument("--lep_droph", action="store_true")
+    p.add_argument("--smiles_drop_file", default=None,
+                   help="qm9 no-RDKit builds: file of 0-based raw-row "
+                        "indices to drop in lieu of the RDKit invalid-"
+                        "SMILES filter (build_qm9 docstring)")
     args = p.parse_args(argv)
     if args.dataset == "molecule3d":
         from geossl_tpu.data.molecule3d import load_molecule3d
@@ -32,7 +36,7 @@ def main(argv=None):
     elif args.dataset == "qm9":
         from geossl_tpu.data.qm9 import load_qm9
 
-        store = load_qm9(args.root)
+        store = load_qm9(args.root, smiles_drop_file=args.smiles_drop_file)
     elif args.dataset == "md17":
         from geossl_tpu.data.md17 import load_md17
 

@@ -148,14 +148,22 @@ def _iter_qm9_arrays(raw: str, skip=frozenset()):
         yield parse_block(block)
 
 
-def build_qm9(root: str, calculate_thermo: bool = True) -> MolStore:
+def build_qm9(root: str, calculate_thermo: bool = True,
+              smiles_drop_file: str | None = None) -> MolStore:
     """Featurize raw QM9 into a MolStore (one-time, CPU).
 
     Without RDKit the invalid-SMILES row filter
     (``AllChem.MolFromSmiles(...) is None``, ``datasets_QM9.py:225``) cannot
-    run — the handful of molecules it would drop are kept (documented
-    delta); the uncharacterized-3054 skip list, thermo corrections and unit
-    conversions apply identically on both paths."""
+    run — the handful of molecules it would drop are kept, which also
+    shifts dataset indices (and so split membership) relative to a
+    reference-built cache. Both paths therefore REPORT the delta: with
+    RDKit the exact dropped count is printed; without it, pass
+    ``smiles_drop_file`` (one 0-based raw-row index per line, computed once
+    on any RDKit machine via
+    ``[i for i, s in enumerate(smiles) if MolFromSmiles(s) is None]``) to
+    reproduce the reference membership bit-exactly. The
+    uncharacterized-3054 skip list, thermo corrections and unit conversions
+    apply identically on every path."""
     import pandas as pd
 
     try:
@@ -175,13 +183,20 @@ def build_qm9(root: str, calculate_thermo: bool = True) -> MolStore:
         skip = set(int(x.split()[0]) - 1 for x in f.read().split("\n")[9:-2])
 
     smiles_list = pd.read_csv(os.path.join(raw, "qm9.csv"))["smiles"].tolist()
+    drop = set()
+    if smiles_drop_file:
+        with open(smiles_drop_file) as f:
+            drop = {int(line) for line in f.read().split() if line.strip()}
 
     records = []
+    dropped = 0
     for i, (arrays, atom_count) in enumerate(_iter_qm9_arrays(raw, skip)):
         if arrays is None:
             continue
         y = _corrected_target(target[i], atom_count, therm, calculate_thermo)
-        if AllChem is not None and AllChem.MolFromSmiles(smiles_list[i]) is None:
+        if i in drop or (AllChem is not None
+                         and AllChem.MolFromSmiles(smiles_list[i]) is None):
+            dropped += 1
             continue
         records.append(
             MolRecord(
@@ -192,10 +207,19 @@ def build_qm9(root: str, calculate_thermo: bool = True) -> MolStore:
                 y=y.astype(np.float32),
             )
         )
+    if AllChem is None and not smiles_drop_file:
+        print(f"qm9: {len(records)} molecules; invalid-SMILES filter "
+              "UNAVAILABLE (no RDKit, no --smiles_drop_file) — rows the "
+              "reference would drop are kept; indices/splits may shift "
+              "by that handful (data/qm9.py docstring)")
+    else:
+        print(f"qm9: {len(records)} molecules; invalid-SMILES rows "
+              f"dropped: {dropped}")
     return MolStore.from_records(records)
 
 
-def load_qm9(root: str, synthetic: bool = False, synthetic_size: int = 256) -> MolStore:
+def load_qm9(root: str, synthetic: bool = False, synthetic_size: int = 256,
+             smiles_drop_file: str | None = None) -> MolStore:
     """Load the cached store, building from raw files if needed; with
     ``synthetic=True`` (or when no raw data exists) return the stand-in."""
     if synthetic:
@@ -211,6 +235,6 @@ def load_qm9(root: str, synthetic: bool = False, synthetic_size: int = 256) -> M
             f"QM9 raw files not found under {root}/raw (no network egress to "
             "download). Use synthetic=True for the stand-in dataset."
         )
-    store = build_qm9(root)
+    store = build_qm9(root, smiles_drop_file=smiles_drop_file)
     store.save(cache)
     return store

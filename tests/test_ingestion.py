@@ -535,3 +535,31 @@ def test_build_qm9_native_rescues_scanner_rejected_blocks(tmp_path):
     np.testing.assert_array_equal(store.atom_type, store_py.atom_type)
     np.testing.assert_allclose(store.positions, store_py.positions)
     np.testing.assert_allclose(store.y, store_py.y)
+
+
+def test_build_qm9_smiles_drop_file(tmp_path, capsys):
+    """The no-RDKit stand-in for the invalid-SMILES filter: a drop-index
+    file reproduces the reference's row membership exactly, and the build
+    REPORTS the delta either way (round-4 doc-sweep item: the kept-rows
+    index shift is now visible, and closable without RDKit)."""
+    from geossl_tpu.data.qm9 import build_qm9
+
+    mols = [
+        make_mol_block(["C", "H", "H"], [(0, 0, 0), (1, 0, 0), (0, 1, 0)],
+                       [(0, 1, 1), (0, 2, 1)]),
+        make_mol_block(["O", "O"], [(0, 0, 0), (1.2, 0, 0)], [(0, 1, 2)]),
+        make_mol_block(["N", "F"], [(0, 0, 0), (1.4, 0, 0)], [(0, 1, 1)]),
+    ]
+    _write_qm9_raw(tmp_path, mols, skip_1based=())
+    # no filter available: all 3 kept, warning printed
+    store = build_qm9(str(tmp_path))
+    assert len(store) == 3
+    assert "filter UNAVAILABLE" in capsys.readouterr().out
+
+    # drop file standing in for RDKit: row 1 (0-based) dropped + reported
+    drop = tmp_path / "drop.txt"
+    drop.write_text("1\n")
+    store = build_qm9(str(tmp_path), smiles_drop_file=str(drop))
+    assert len(store) == 2
+    assert list(store.get(1).atom_type) == [2, 4]  # N F moved up
+    assert "dropped: 1" in capsys.readouterr().out
