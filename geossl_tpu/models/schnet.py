@@ -181,6 +181,17 @@ class SchNet(nn.Module):
     mean: Optional[float] = None
     std: Optional[float] = None
     atomref: Optional[jnp.ndarray] = None  # [node_class] per-type offsets
+    # Dipole-moment readout (``schnet.py:103-118``), RECONSTRUCTED: the
+    # reference's branch is dead code that cannot run — it indexes
+    # ase.data.atomic_masses with the 9-way INDEX-coded types (``:47,105``:
+    # mass[0] for carbon, mass[1]=hydrogen for nitrogen, ...) and broadcasts
+    # ``h [N,hidden] * (pos-c) [N,3]`` which only types at hidden==3. This
+    # implementation keeps the upstream PyG-SchNet semantics the reference
+    # mangled: per-atom charges (Dense(1) on the latent), mass-weighted
+    # center of mass over REAL atoms with TRUE masses for the vocab, graph
+    # dipole = || Σ_i q_i (pos_i − com) ||. When on, mean/std/atomref are
+    # bypassed exactly as the reference gates them.
+    dipole: bool = False
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     filter_mxu: str = "f32"
@@ -227,6 +238,22 @@ class SchNet(nn.Module):
         h = Dense(self.hidden_channels, dtype=self.dtype)(h)
         h = shifted_softplus(h)
         h = Dense(self.hidden_channels, dtype=self.dtype)(h)
+
+        if self.dipole:
+            # per-atom partial charge from the latent (PyG lin2->1 analog)
+            q = Dense(1, dtype=self.dtype)(h).astype(jnp.float32)
+            q = q * node_mask[..., None]
+            # true masses for the index-coded vocab (H C N O F P S Cl, ?=0)
+            masses = jnp.asarray(
+                [1.008, 12.011, 14.007, 15.999, 18.998, 30.974, 32.06,
+                 35.45, 0.0], jnp.float32)
+            m = masses[atom_type] * node_mask  # [B,N]
+            pos = positions.astype(jnp.float32)
+            com = jnp.sum(m[..., None] * pos, axis=1) / jnp.maximum(
+                jnp.sum(m, axis=1, keepdims=True), 1e-9)  # [B,3]
+            mu = jnp.sum(q * (pos - com[:, None, :]), axis=1)  # [B,3]
+            out = jnp.sqrt(jnp.sum(mu * mu, axis=-1, keepdims=True) + 1e-18)
+            return out, h.astype(jnp.float32)
 
         if self.mean is not None and self.std is not None:
             h = h * self.std + self.mean

@@ -214,3 +214,39 @@ def test_filter_mxu_bf16_close_to_f32(schnet_setup):
     for a, b in zip(jax.tree_util.tree_leaves(g32), jax.tree_util.tree_leaves(g16)):
         sa = float(np.abs(np.asarray(a)).mean()) + 1e-8
         assert float(np.abs(np.asarray(a) - np.asarray(b)).mean()) < 0.05 * sa
+
+
+def test_dipole_readout_invariances():
+    """The reconstructed dipole branch (reference schnet.py:103-118 is dead
+    code — wrong mass indexing, shape-invalid broadcast): ||Σ q_i(pos_i-com)||
+    must be rigid-motion invariant (com-centering kills translation, the
+    norm kills rotation), padding-invariant, and positive-finite."""
+    rng = np.random.default_rng(5)
+    model = SchNet(num_interactions=2, dipole=True)
+    z, pos = _random_mol(rng, 7)
+    zp, pp, mask = _pad(z, pos, 12)
+    zb, pb, mb = zp[None], pp[None], mask[None]
+    params = model.init(jax.random.PRNGKey(0), zb, pb, mb)
+
+    out, h = model.apply(params, zb, pb, mb)
+    assert out.shape == (1, 1) and np.isfinite(float(out[0, 0]))
+    assert float(out[0, 0]) >= 0
+
+    # rigid motion: rotate + translate
+    a = 0.7
+    rot = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+                    [0, 0, 1]], np.float32)
+    pb2 = pb @ rot.T + np.array([3.0, -1.0, 2.0], np.float32)
+    out2, _ = model.apply(params, zb, pb2.astype(np.float32), mb)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=2e-4)
+
+    # padding width must not matter
+    zp3, pp3, m3 = _pad(z, pos, 20)
+    out3, _ = model.apply(params, zp3[None], pp3[None], m3[None])
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out), rtol=1e-5)
+
+    # mean/std/atomref are bypassed under dipole (reference gating): same
+    # params, wildly different mean/std must not change the output
+    model_ms = SchNet(num_interactions=2, dipole=True, mean=100.0, std=50.0)
+    out4, _ = model_ms.apply(params, zb, pb, mb)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(out), rtol=1e-6)
