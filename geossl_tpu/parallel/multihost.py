@@ -61,6 +61,24 @@ def initialize(coordinator_address: str, num_processes: int, process_id: int,
         num_processes=num_processes,
         process_id=process_id,
     )
+    # Align processes BEFORE jax's own atexit shutdown barrier: drivers end
+    # at skewed times (process 0 writes final checkpoints after the others
+    # are already exiting), and the skew can fail the coordination
+    # service's shutdown barrier, turning a clean 4-process run into a
+    # fatal "Shutdown barrier has failed". atexit is LIFO, so registering
+    # here (after jax.distributed registered its shutdown) makes the sync
+    # run first.
+    import atexit
+
+    def _sync_before_shutdown():
+        try:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("geossl-exit")
+        except Exception:
+            pass  # peer already dead: the coordination service reports it
+
+    atexit.register(_sync_before_shutdown)
 
 
 def is_multiprocess() -> bool:
