@@ -19,10 +19,29 @@ Configs (BASELINE.md "Reference configs to drive" #1-#5):
      tail-line parse still sees the headline metric.
 
 Each line: {"metric", "value", "unit", "vs_baseline"}. vs_baseline is the
-ratio to the reference's implied V100 budget where one exists (the repo
-publishes no timing numbers — BASELINE.md): DDM must finish 1M molecules x
-100 epochs inside 23 h => 1208 mol/s. Other configs have no published rate;
-their vs_baseline is null.
+ratio to the reference's implied V100 budget (the repo publishes no timing
+numbers — BASELINE.md — but every published run declares a SLURM wall
+budget, and budget + protocol size => the minimum rate the V100 had to
+sustain):
+
+  DDM pretrain: 1M molecules x 100 epochs inside 23 h  => 1208 mol/s
+    (scripts/pretrain_GeoSSL_DDM/submit_pretrain_GeoSSL_DDM.sh:56)
+  QM9:  110k train x 1000 epochs inside 11:59:00       => 2550 mol/s
+    (scripts/finetune/submit_finetune_qm9_schnet.sh:14,31; same budget
+     for PaiNN, submit_finetune_qm9_painn.sh:17,32)
+  MD17: 1000 train x 1000 epochs, batch 5 => 200k steps inside 3:59:00
+                                                       => 71.7 ms/step
+    (scripts/finetune/submit_finetune_md17_schnet.sh:16,33)
+  LBA:  3507 train x 300 epochs inside 1:59:00         => 147.4 complex/s
+  LEP:  304 train x 300 epochs inside 1:59:00          => 12.8 pair/s
+    (scripts/finetune/submit_finetune_lba_lep_schnet.sh:13,40; split
+     sizes are the published Atom3D ones — LBA identity-30 3507/466/490,
+     LEP by-protein 304/110/104, Townshend et al. 2021)
+
+These are LOWER bounds on the reference's rate (-t is a kill limit and
+eval epochs share the budget), so the printed ratio is an UPPER bound on
+the true speedup — stated as such in docs/PERF.md. The serve_* rows keep
+vs_baseline null: the reference has no inference surface at all.
 
 Batch data is passed as jit ARGUMENTS (closing over device arrays measures
 ~7x slower through the remote-compile tunnel — see CLAUDE.md).
@@ -37,6 +56,16 @@ from functools import partial
 import numpy as np
 
 BASELINE_MOLS_PER_SEC = 1208.0  # 1e6 mols * 100 epochs / 23 h (docstring)
+
+# Implied minimum sustained rates from the reference's declared SLURM
+# budgets (module docstring): {metric_prefix: (rate, unit)}. Throughput
+# rows report value/rate; the ms/step row reports budget_ms/value.
+IMPLIED_V100 = {
+    "qm9_mol_per_sec": 110_000 * 1000 / (11 * 3600 + 59 * 60),   # 2549.8
+    "md17_ms_per_step": (3 * 3600 + 59 * 60) * 1e3 / (1000 * 200),  # 71.7
+    "lba_complex_per_sec": 3507 * 300 / (1 * 3600 + 59 * 60),    # 147.4
+    "lep_pair_per_sec": 304 * 300 / (1 * 3600 + 59 * 60),        # 12.8
+}
 
 
 def _setup_cache():
@@ -166,9 +195,11 @@ def bench_schnet_qm9(use_pallas):
 
     sps = _time_steps(step, state, (z, pos, mask, y))
     from geossl_tpu.utils import flops as F
-    return {"metric": "schnet_qm9_throughput", "value": round(batch * sps, 1),
+    mols = batch * sps
+    return {"metric": "schnet_qm9_throughput", "value": round(mols, 1),
             **_mfu_fields(F.finetune_step(batch, n_max), 1 / sps),
-            "unit": "mol/s/chip", "vs_baseline": None}
+            "unit": "mol/s/chip",
+            "vs_baseline": round(mols / IMPLIED_V100["qm9_mol_per_sec"], 2)}
 
 
 def bench_painn_qm9(use_pallas):
@@ -204,9 +235,11 @@ def bench_painn_qm9(use_pallas):
 
     sps = _time_steps(step, state, (z, pos, mask, pair_mask, y))
     from geossl_tpu.utils import flops as F
-    return {"metric": "painn_qm9_throughput", "value": round(batch * sps, 1),
+    mols = batch * sps
+    return {"metric": "painn_qm9_throughput", "value": round(mols, 1),
             **_mfu_fields(F.finetune_step(batch, n_max, model="painn"), 1 / sps),
-            "unit": "mol/s/chip", "vs_baseline": None}
+            "unit": "mol/s/chip",
+            "vs_baseline": round(mols / IMPLIED_V100["qm9_mol_per_sec"], 2)}
 
 
 def bench_md17_force(use_pallas=False):
@@ -249,9 +282,11 @@ def bench_md17_force(use_pallas=False):
 
     sps = _time_steps(step, state, (z, pos, mask, y, forces))
     from geossl_tpu.utils import flops as F
-    return {"metric": "md17_force_step_time", "value": round(1e3 / sps, 3),
+    ms = 1e3 / sps
+    return {"metric": "md17_force_step_time", "value": round(ms, 3),
             **_mfu_fields(F.finetune_step(batch, n_max, forces=True), 1 / sps),
-            "unit": "ms/step", "vs_baseline": None}
+            "unit": "ms/step",
+            "vs_baseline": round(IMPLIED_V100["md17_ms_per_step"] / ms, 2)}
 
 
 def _bench_atom3d(metric, unit, model_3d, use_pallas, batch, n_max,
@@ -338,9 +373,11 @@ def _bench_atom3d(metric, unit, model_3d, use_pallas, batch, n_max,
     fe = F.finetune_step(batch, n_max, model=model_3d, pair_frac=occ)
     if dual:
         fc, fe = fc.scale(2), fe.scale(2)
+    implied = IMPLIED_V100["lep_pair_per_sec" if dual else
+                           "lba_complex_per_sec"]
     return {"metric": metric, "value": round(batch * sps, 1),
             **_mfu_fields(fc, 1 / sps, executed=fe, occupancy=occ),
-            "unit": unit, "vs_baseline": None}
+            "unit": unit, "vs_baseline": round(batch * sps / implied, 2)}
 
 
 def bench_lba(use_pallas):
