@@ -33,7 +33,7 @@ COMMANDS = {
     ),
     "pretrain-baseline": (
         "geossl_tpu.train.pretrain_baselines",
-        "baseline SSL pretraining (supervised/charge/distance/torsion/infograph)",
+        "baseline SSL pretraining (supervised/charge/distance/torsion/infograph/contextpred)",
     ),
     "finetune-qm9": (
         "geossl_tpu.train.finetune_qm9",

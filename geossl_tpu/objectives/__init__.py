@@ -1,4 +1,10 @@
 from geossl_tpu.objectives.autoencoder import AutoEncoder
+from geossl_tpu.objectives.contextpred import (
+    context_masks,
+    contextpred_loss,
+    hop_distances,
+    sample_centers,
+)
 from geossl_tpu.objectives.contrastive import (
     cycle_shift,
     do_cl,

@@ -1,10 +1,14 @@
 """Baseline SSL pretraining drivers: Supervised, ChargePrediction,
-DistancePrediction, TorsionAnglePrediction, 3D-InfoGraph.
+DistancePrediction, TorsionAnglePrediction, 3D-InfoGraph, ContextPred.
 
 One ``main_*`` per workload, mirroring the reference's one-script-per-
 objective layout (``examples/pretrain_{Supervised,ChargePrediction,
-DistancePrediction,TorsionAnglePrediction,3DInfoGraph}.py``). Each saves the
-backbone-only checkpoint on best epoch-mean train loss + a final checkpoint.
+DistancePrediction,TorsionAnglePrediction,3DInfoGraph}.py``; ``contextpred``
+reconstructs the dead ``util.py:79-119`` — see objectives/contextpred.py).
+Each saves the backbone-only checkpoint on best epoch-mean train loss + a
+final checkpoint. AttrMask (``util.py:71-76``, also dead) needs no separate
+driver: ``charge`` already IS mask-atoms-and-classify with the identical
+masked-CE + accuracy semantics.
 
 Run e.g.:
 ``python -m geossl_tpu.train.pretrain_baselines charge --synthetic --epochs 2``
@@ -55,6 +59,20 @@ def build_parser(objective: str):
     if objective == "supervised":
         p.add_argument("--task_id", type=int, default=6)  # pretrain_Supervised.py:159
         p.add_argument("--loss", default="mae", choices=["mae", "mse"])
+    if objective == "contextpred":
+        # the reference's do_ContextPred is dead code with no script
+        # hyperparameters; these defaults map its 2D-bond-graph geometry
+        # (substruct ball = GNN depth, ring l1=K-1..l1+csize, Hu et al.
+        # semantics) onto the bond-scale radius graph
+        p.add_argument("--contextpred_neg_samples", type=int, default=1)
+        p.add_argument("--context_hops", type=int, default=5,
+                       help="substruct ball radius K (hops)")
+        p.add_argument("--context_csize", type=int, default=3,
+                       help="ring width: context spans K-1 .. K-1+csize")
+        p.add_argument("--context_bond_cutoff", type=float, default=1.8,
+                       help="radius (Å) of the hop graph — covalent-bond "
+                            "scale reproduces the reference's 2D bond-graph "
+                            "hops from 3D geometry")
     return p
 
 
@@ -93,6 +111,12 @@ def _run(args, objective: str):
         head = InfoGraphDiscriminator(hidden_dim=args.emb_dim)
         x = jnp.zeros((2, 4, args.emb_dim))
         params["head"] = head.init(rng, x, x)["params"]
+    elif objective == "contextpred":
+        # two encoders, as in the reference (molecule_substruct_model /
+        # molecule_context_model, util.py:82-92): the saved/transferred
+        # backbone is the substruct one; the context encoder is auxiliary
+        params["context_model"] = common.init_backbone(
+            module, jax.random.fold_in(rng, 1), n_max=n_max)
     elif objective == "supervised":
         from geossl_tpu.train.finetune_qm9 import LinearHead
 
@@ -166,6 +190,33 @@ def _run(args, objective: str):
             return infograph_loss(
                 disc, params["head"], node, graph, batch.node_mask, batch.graph_mask
             )
+        if objective == "contextpred":
+            from geossl_tpu.objectives import (
+                context_masks, contextpred_loss, hop_distances, sample_centers,
+            )
+
+            k = args.context_hops
+            l1, l2 = k - 1, k - 1 + args.context_csize
+            dist, pm = geometry.pairwise_distances(
+                batch.positions, batch.node_mask)
+            bond_adj = geometry.radius_adjacency(
+                dist, pm, args.context_bond_cutoff)
+            centers = sample_centers(rng, batch.node_mask)
+            hops = hop_distances(bond_adj, centers, l2)
+            sub_mask, ctx_mask, ov_mask = context_masks(
+                hops, batch.node_mask, k, l1, l2)
+            _, sub_node = backbone_apply(
+                params["model"], batch.atom_type, batch.positions, sub_mask)
+            _, ctx_node = backbone_apply(
+                params["context_model"], batch.atom_type, batch.positions,
+                ctx_mask)
+            substruct = jnp.einsum("bnf,bn->bf", sub_node, centers)
+            ov = ov_mask.astype(jnp.float32)
+            context = (jnp.einsum("bnf,bn->bf", ctx_node, ov)
+                       / jnp.maximum(ov.sum(-1, keepdims=True), 1.0))
+            valid = batch.graph_mask & (ov_mask.sum(-1) > 0)
+            return contextpred_loss(substruct, context, valid,
+                                    args.contextpred_neg_samples)
         if objective == "supervised":
             from geossl_tpu.train.finetune_qm9 import LinearHead
 
@@ -244,7 +295,8 @@ def _run(args, objective: str):
     return state
 
 
-OBJECTIVES = ("supervised", "charge", "distance", "torsion", "infograph")
+OBJECTIVES = ("supervised", "charge", "distance", "torsion", "infograph",
+              "contextpred")
 
 
 def main(argv=None):

@@ -80,3 +80,69 @@ def concordance_index(y: np.ndarray, f: np.ndarray) -> float:
     s = np.where(u > 0, 1.0, np.where(u == 0, 0.5, 0.0))
     z = gt.sum()
     return float((s * gt).sum() / z) if z > 0 else float("nan")
+
+
+# --- OC20-style energy/force metrics (``util.py:187-223``) ---------------
+# The reference defines these for an OC20 pathway it never wires up (no
+# dataset, no driver); reconstructed here with the same reduction semantics
+# so the metric surface is complete. ``fixed_masks`` is 1.0 for FREE atoms
+# (the reference's naming: it multiplies by the mask to keep free atoms),
+# shape [B, N]; forces are [B, N, 3].
+
+
+def energy_mae(pred_e: np.ndarray, e: np.ndarray) -> float:
+    """Sum-reduced L1 on energies (``util.py:189-190``)."""
+    return float(np.abs(np.asarray(pred_e) - np.asarray(e)).sum())
+
+
+def force_mae(pred_f: np.ndarray, f: np.ndarray,
+              fixed_masks: np.ndarray) -> float:
+    """Per-structure-normalized, free-atom-masked L1 force sum
+    (``util.py:192-196``): each atom's |Δf| summed over xyz, divided by its
+    structure's free-atom count, summed over the free atoms."""
+    m = np.asarray(fixed_masks, float)
+    n_free = m.sum(axis=-1, keepdims=True)
+    per_atom = np.abs(np.asarray(pred_f) - np.asarray(f)).sum(axis=-1)
+    return float((per_atom / n_free)[m.astype(bool)].sum())
+
+
+def force_cosine(pred_f: np.ndarray, f: np.ndarray,
+                 fixed_masks: np.ndarray, eps: float = 1e-8) -> float:
+    """Free-atom-masked, per-structure-normalized cosine-similarity sum
+    (``util.py:198-202``; torch cosine_similarity semantics incl. eps
+    clamping of each norm)."""
+    pred_f, f = np.asarray(pred_f, float), np.asarray(f, float)
+    m = np.asarray(fixed_masks, float)
+    na = np.maximum(np.linalg.norm(pred_f, axis=-1), eps)
+    nb = np.maximum(np.linalg.norm(f, axis=-1), eps)
+    cos = (pred_f * f).sum(axis=-1) / (na * nb)
+    n_free = m.sum(axis=-1, keepdims=True)
+    return float((cos / n_free)[m.astype(bool)].sum())
+
+
+def energy_within_threshold(pred_e: np.ndarray, e: np.ndarray,
+                            epsilon: float = 0.02) -> float:
+    """EwT (``util.py:204-210``): fraction of structures with |ΔE| < eps."""
+    return float(np.mean(np.abs(np.asarray(pred_e) - np.asarray(e)) < epsilon))
+
+
+def energy_force_within_threshold(pred_e, e, pred_f, f,
+                                  epsilon: float = 0.02,
+                                  alpha: float = 0.03) -> float:
+    """EFwT (``util.py:212-223``): structures whose |ΔE| < eps AND whose max
+    per-atom summed |ΔF| < alpha. Forces may be [B, N] (pre-summed |ΔF| per
+    atom, the reference's docstring shape) or [B, N, 3].
+
+    Documented deviation: the reference's literal code takes
+    ``max(loss_F, dim=-1)`` AFTER already summing atoms away, so for its
+    own documented [B, N] input the max runs over the BATCH and every
+    structure shares one scalar force gate — dead code with a latent shape
+    bug. This follows the OC20-standard definition instead (per-structure
+    max over atoms), which is what the surrounding docstring describes."""
+    pred_f, f = np.asarray(pred_f, float), np.asarray(f, float)
+    e_ok = np.abs(np.asarray(pred_e) - np.asarray(e)) < epsilon
+    loss_f = np.abs(pred_f - f).sum(axis=-1)
+    if loss_f.ndim > 1:  # [B, N] -> max over atoms (the ref's max(dim=-1))
+        loss_f = loss_f.max(axis=-1)
+    f_ok = np.abs(loss_f) < alpha
+    return float(np.mean(e_ok & f_ok))
