@@ -31,14 +31,8 @@ def atomic_number_to_index(z: int) -> int:
         return UNKNOWN_INDEX
 
 
-def mol_to_arrays(mol) -> Tuple[dict, Dict[int, int]]:
-    """RDKit mol -> dict of numpy arrays + per-element atom counts.
-
-    Mirrors ``mol_to_graph_data_obj_simple_3D`` (``datasets_utils.py:112-176``):
-    ``atom_type [N]`` (index-coded), ``chirality [N]``, ``positions [N,3]``
-    from conformer 0, ``bond_index [2, 2E]`` (both directions),
-    ``bond_attr [2E, 2]`` (type idx, dir idx).
-    """
+def _mol_features(mol) -> Tuple[dict, Dict[int, int]]:
+    """Shared atom/bond featurization (no conformer access)."""
     from rdkit import Chem  # deferred
 
     chirality_list = [
@@ -68,9 +62,6 @@ def mol_to_arrays(mol) -> Tuple[dict, Dict[int, int]]:
         atom_types.append(atomic_number_to_index(z))
         chirality.append(chirality_list.index(atom.GetChiralTag()))
 
-    conformer = mol.GetConformers()[0]
-    positions = np.asarray(conformer.GetPositions(), dtype=np.float32)
-
     edges, edge_attrs = [], []
     for bond in mol.GetBonds():
         i, j = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
@@ -94,12 +85,75 @@ def mol_to_arrays(mol) -> Tuple[dict, Dict[int, int]]:
         dict(
             atom_type=np.asarray(atom_types, dtype=np.int32),
             chirality=np.asarray(chirality, dtype=np.int32),
-            positions=positions,
             bond_index=bond_index,
             bond_attr=bond_attr,
         ),
         dict(atom_count),
     )
+
+
+def mol_to_arrays(mol) -> Tuple[dict, Dict[int, int]]:
+    """RDKit mol -> dict of numpy arrays + per-element atom counts.
+
+    Mirrors ``mol_to_graph_data_obj_simple_3D`` (``datasets_utils.py:112-176``):
+    ``atom_type [N]`` (index-coded), ``chirality [N]``, ``positions [N,3]``
+    from conformer 0, ``bond_index [2, 2E]`` (both directions),
+    ``bond_attr [2E, 2]`` (type idx, dir idx).
+    """
+    arrays, counts = _mol_features(mol)
+    conformer = mol.GetConformers()[0]
+    arrays["positions"] = np.asarray(conformer.GetPositions(), dtype=np.float32)
+    return arrays, counts
+
+
+def mol_to_arrays_2d(mol) -> Tuple[dict, Dict[int, int]]:
+    """2D variant (``mol_to_graph_data_obj_simple_2D``,
+    ``datasets_utils.py:55-109``): identical atom/bond index coding, no
+    conformer — the same arrays as :func:`mol_to_arrays` minus
+    ``positions``. Dead code in the reference (only its 2D SSL leftovers
+    consumed it); provided for API-surface parity."""
+    return _mol_features(mol)
+
+
+def mol_to_arrays_mmff(mol, num_conformers: int) -> Tuple[dict, Dict[int, int]]:
+    """MMFF variant (``mol_to_graph_data_obj_MMFF_3D``,
+    ``datasets_utils.py:179-251``, dead code): positions come from the
+    lowest-MMFF-energy conformer of ``num_conformers`` embeddings (H atoms
+    added for the optimization, removed after), falling back to RDKit 2D
+    coordinates when embedding fails or the molecule exceeds 100 atoms —
+    the reference's exact fallback chain. Requires RDKit; also returns the
+    chosen conformer's MMFF energy under key ``"mmff_energy"``."""
+    from rdkit import Chem  # deferred
+    from rdkit.Chem import AllChem
+
+    try:
+        if len(mol.GetAtoms()) > 100:  # the reference's sider guard (:182)
+            raise ValueError("too many atoms for MMFF embedding")
+        molh = Chem.AddHs(mol)
+        AllChem.EmbedMultipleConfs(molh, num_conformers)
+        opt = AllChem.MMFFOptimizeMoleculeConfs(molh)
+        picked = Chem.RemoveHs(molh)
+        energies = [e for _, e in opt]
+        index = int(np.argmin(energies))
+        energy = float(energies[index])
+        conformer = picked.GetConformer(id=index)
+    except Exception:
+        picked = mol
+        AllChem.Compute2DCoords(picked)
+        energy = 0.0
+        conformer = picked.GetConformer()
+
+    arrays, counts = mol_to_arrays_with_conformer(picked, conformer)
+    arrays["mmff_energy"] = np.float32(energy)
+    return arrays, counts
+
+
+def mol_to_arrays_with_conformer(mol, conformer) -> Tuple[dict, Dict[int, int]]:
+    """:func:`mol_to_arrays` with an explicit conformer (helper for the
+    MMFF path, whose chosen conformer is not index 0)."""
+    arrays, counts = _mol_features(mol)
+    arrays["positions"] = np.asarray(conformer.GetPositions(), np.float32)
+    return arrays, counts
 
 
 def sdf_block_to_arrays(block: str) -> Tuple[dict, Dict[int, int]]:

@@ -563,3 +563,25 @@ def test_build_qm9_smiles_drop_file(tmp_path, capsys):
     assert len(store) == 2
     assert list(store.get(1).atom_type) == [2, 4]  # N F moved up
     assert "dropped: 1" in capsys.readouterr().out
+
+
+def test_2d_and_mmff_variants_are_rdkit_gated():
+    """mol_to_arrays_2d / mol_to_arrays_mmff (datasets_utils.py:55-109,
+    :179-251 — dead code in the reference) share mol_to_arrays' featurizer
+    and defer the rdkit import: importable and cleanly gated without it."""
+    import importlib
+
+    from geossl_tpu.data import featurize as F
+
+    assert callable(F.mol_to_arrays_2d) and callable(F.mol_to_arrays_mmff)
+    if importlib.util.find_spec("rdkit") is not None:
+        pytest.skip("rdkit present: gating path not reachable")
+
+    class FakeMol:  # never touched before the deferred import fires
+        def GetAtoms(self):
+            raise AssertionError("must import rdkit before touching mol")
+
+    with pytest.raises(ModuleNotFoundError):
+        F.mol_to_arrays_2d(FakeMol())
+    with pytest.raises(ModuleNotFoundError):
+        F.mol_to_arrays_mmff(FakeMol(), num_conformers=5)
