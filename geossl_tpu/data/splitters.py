@@ -188,3 +188,85 @@ def atom3d_lba_split(data_root: str, year: int = 2020) -> Split:
         return np.asarray([pdb_id2data_id[i] for i in ids], np.int64)
 
     return load("train"), load("val"), load("test")
+
+
+def kmer_identity_neighbors(sequences, cutoff: float, k: int = 6):
+    """No-BLAST sequence-similarity backend for :func:`identity_split`.
+
+    ``sequences[i]`` is the list of chain sequences of complex i. Two
+    complexes are neighbors when any chain pair's k-mer containment
+    (|kmers(a) ∩ kmers(b)| / min(|a|,|b|)) reaches ``cutoff`` — a standard
+    alignment-free stand-in for BLAST percent identity (the reference
+    shells out to a BLAST db the raw release ships precomputed;
+    ``PDBBind_utils.py:146-147``). Returns ``find_similar(i) -> set``.
+    """
+    kmer_sets = []
+    for chains in sequences:
+        kmer_sets.append([
+            {c[j:j + k] for j in range(max(len(c) - k + 1, 0))} or {c}
+            for c in chains
+        ])
+
+    def find_similar(i: int):
+        out = {i}
+        for j in range(len(kmer_sets)):
+            if j == i:
+                continue
+            hit = False
+            for a in kmer_sets[i]:
+                for b in kmer_sets[j]:
+                    denom = min(len(a), len(b))
+                    if denom and len(a & b) / denom >= cutoff:
+                        hit = True
+                        break
+                if hit:
+                    break
+            if hit:
+                out.add(j)
+        return out
+
+    return find_similar
+
+
+def identity_split(n: int, find_similar, val_split: float = 0.1,
+                   test_split: float = 0.1, min_fam_in_split: int = 5,
+                   seed: int | None = None) -> Split:
+    """Greedy family-based identity split (``PDBBind_utils.py:137-190`` —
+    commented out of the reference's runnable path, which consumes the
+    downloaded index files via :func:`atom3d_lba_split` instead).
+
+    Repeatedly draws a random not-yet-assigned complex, pulls its whole
+    similarity family (``find_similar(i)``, e.g. from
+    :func:`kmer_identity_neighbors` or a real BLAST wrapper), and assigns
+    up to ``ceil(split_size / min_fam_in_split)`` of it to the split so
+    each split holds at least ``min_fam_in_split`` families — the
+    reference's exact loop, val first, then test, remainder = train.
+
+    Reference quirk preserved: family members beyond the per-family cap
+    are removed from ``to_use`` but never assigned to any split — they are
+    DROPPED from the dataset (``_create_identity_split`` adds only
+    ``found[:max_fam_size]`` to the split yet retires all of ``found``),
+    so the three index sets need not cover ``range(n)``.
+    """
+    import math
+
+    rng = np.random.default_rng(seed)
+    to_use = set(range(n))
+
+    def create(split_size: float):
+        split, used = set(), set(range(n)) - to_use
+        while len(split) < split_size and to_use:
+            i = int(rng.choice(sorted(to_use)))
+            found = set(find_similar(i)) - used
+            max_fam_size = int(math.ceil(split_size / min_fam_in_split))
+            split.update(sorted(found)[:max_fam_size])
+            to_use.difference_update(found)
+            used.update(found)
+        return split
+
+    val = create(n * val_split)
+    test = create(n * test_split)
+    train = to_use
+    return (np.asarray(sorted(train), np.int64),
+            np.asarray(sorted(val), np.int64),
+            np.asarray(sorted(test), np.int64))
