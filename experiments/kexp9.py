@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from geossl_tpu.ops.cfconv_pallas import _offsets
+from geossl_tpu.ops.cfconv_pallas import _offsets, _rbf_4d
 from geossl_tpu.ops.painn_pallas import painn_message
 
 B, N, F, R, L = 128, 32, 128, 20, 3
@@ -60,10 +60,10 @@ def mega_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, q_ref,
     coeff = -0.5 / delta**2
     offsets = _offsets(0.0, delta, num_r)
     # RBF hoisted: identical for all blocks (the production chain recomputes
-    # it per block inside each painn_message call)
-    d = dist_ref[...].reshape(bb * n * n, 1)
-    diff = d - offsets
-    phi = jnp.exp(coeff * diff * diff)  # [bb*n*n, R]
+    # it per block inside each painn_message call). _rbf_4d keeps the
+    # reshape Mosaic-legal (major-dim collapse only — a [bb,n,n] ->
+    # [bb*n*n, 1] lane->sublane reshape crashes the remote compiler).
+    phi = _rbf_4d(dist_ref[...], offsets, coeff, bb, n, n, num_r)
     gate4 = gate_ref[...][:, :, :, None]
     dirs4 = (dx_ref[...][:, :, :, None], dy_ref[...][:, :, :, None],
              dz_ref[...][:, :, :, None])
