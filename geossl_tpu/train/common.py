@@ -213,6 +213,41 @@ def scan_mean(body_fn, stacked, k: int):
     return jax.tree_util.tree_map(lambda t: t / k, total)
 
 
+def make_chain_step(step_body):
+    """Fuse ``k`` optimizer steps into ONE dispatch (``--steps_per_call``).
+
+    ``step_body(state, batch, *extra) -> (state, loss)`` is scanned over a
+    stacked batch group (leading axis ``k``, from :func:`accum_groups`).
+    Unlike ``--grad_accum`` this changes NOTHING about the math — the
+    parameter trajectory is the sequential loop's exactly (same steps, same
+    order); the only effect is amortizing the ~8-10 ms per-dispatch latency
+    of a remote-TPU tunnel (docs/PERF.md). Returns
+    ``chain_step(state, stacked, k, *extra) -> (state, losses [k])``; wrap
+    in ``jax.jit(..., static_argnums=(2,), donate_argnums=(0,))`` at the
+    driver.
+    """
+
+    def chain_step(state, stacked, k, *extra):
+        def body(st, batch):
+            return step_body(st, batch, *extra)
+
+        return jax.lax.scan(body, state, stacked, length=k)
+
+    return chain_step
+
+
+def check_chain_args(args) -> None:
+    """--grad_accum and --steps_per_call both consume loader-batch groups
+    and compose confusingly (k*k' batches per dispatch); refuse the mix."""
+    if getattr(args, "grad_accum", 1) > 1 and \
+            getattr(args, "steps_per_call", 1) > 1:
+        raise SystemExit(
+            "--grad_accum fuses loader batches into ONE optimizer step; "
+            "--steps_per_call fuses optimizer steps into one dispatch — "
+            "pick one"
+        )
+
+
 def opt_steps_per_epoch(num_batches: int, grad_accum: int) -> int:
     """Optimizer steps per epoch under gradient accumulation (for the
     per-epoch LR schedules): ceil(batches / k)."""
@@ -392,6 +427,13 @@ def add_common_args(p: argparse.ArgumentParser):
                         "= k * --batch_size in the memory of one microbatch. "
                         "Exactly equal to the large batch for the mean "
                         "losses used here")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="fuse k optimizer steps into ONE device dispatch "
+                        "(lax.scan over stacked batches). Pure dispatch-"
+                        "level optimization — the parameter trajectory "
+                        "equals the unfused loop's; amortizes the ~8-10 ms "
+                        "per-dispatch tunnel latency. Incompatible with "
+                        "--grad_accum")
     p.add_argument("--ckpt_every", type=int, default=1,
                    help="write the full resume state (params + optimizer + "
                         "epoch + best metrics) every k epochs; the state "

@@ -115,6 +115,7 @@ def main(argv=None):
     ]
     train_loader, valid_loader, test_loader = loaders
 
+    common.check_chain_args(args)
     tx = common.make_optimizer_from_args(
         args, common.opt_steps_per_epoch(len(train_loader), args.grad_accum))
     state = common.TrainState.create(params, tx)
@@ -128,10 +129,13 @@ def main(argv=None):
         per = (pred - batch.y[:, 0]) ** 2  # MSE (finetune_lba.py:244)
         return common.graph_masked_mean(per, batch.graph_mask)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch):
+    def step_body(state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         return common.apply_updates(state, grads, tx), loss
+
+    train_step = jax.jit(step_body, donate_argnums=(0,))
+    chain_step = jax.jit(common.make_chain_step(step_body),
+                         donate_argnums=(0,), static_argnums=(2,))
 
     @partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
     def accum_step(state, stacked, k):
@@ -189,14 +193,19 @@ def main(argv=None):
         if args.grad_accum > 1:
             for stacked, kk in common.accum_groups(batches, args.grad_accum):
                 state, loss = accum_step(state, stacked, kk)
-                losses.append(loss)
+                losses.append(jnp.atleast_1d(loss))
+        elif args.steps_per_call > 1:
+            for stacked, kk in common.accum_groups(batches,
+                                                   args.steps_per_call):
+                state, ls = chain_step(state, stacked, kk)
+                losses.append(ls)
         else:
             for b in batches:
                 state, loss = train_step(state, b)
-                losses.append(loss)
+                losses.append(jnp.atleast_1d(loss))
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
-        train_loss = float(jnp.mean(jnp.stack(losses)))
+        train_loss = float(jnp.mean(jnp.concatenate(losses)))
         state = common.plateau_update(state, plateau, train_loss)
         val = evaluate(state.params, valid_loader)
         test = evaluate(state.params, test_loader)

@@ -166,6 +166,7 @@ def main(argv=None):
         for k, (a, i, y) in splits.items()
     }
 
+    common.check_chain_args(args)
     tx = common.make_optimizer_from_args(
         args, common.opt_steps_per_epoch(len(loaders["train"]), args.grad_accum))
     state = common.TrainState.create(params, tx)
@@ -187,10 +188,13 @@ def main(argv=None):
         per = optax.sigmoid_binary_cross_entropy(logits, dual.y)
         return common.graph_masked_mean(per, dual.active.graph_mask)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, dual):
+    def step_body(state, dual):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, dual)
         return common.apply_updates(state, grads, tx), loss
+
+    train_step = jax.jit(step_body, donate_argnums=(0,))
+    chain_step = jax.jit(common.make_chain_step(step_body),
+                         donate_argnums=(0,), static_argnums=(2,))
 
     @partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
     def accum_step(state, stacked, k):
@@ -238,14 +242,19 @@ def main(argv=None):
         if args.grad_accum > 1:
             for stacked, kk in common.accum_groups(batches, args.grad_accum):
                 state, loss = accum_step(state, stacked, kk)
-                losses.append(loss)
+                losses.append(jnp.atleast_1d(loss))
+        elif args.steps_per_call > 1:
+            for stacked, kk in common.accum_groups(batches,
+                                                   args.steps_per_call):
+                state, ls = chain_step(state, stacked, kk)
+                losses.append(ls)
         else:
             for d in batches:
                 state, loss = train_step(state, d)
-                losses.append(loss)
+                losses.append(jnp.atleast_1d(loss))
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
-        train_loss = float(jnp.mean(jnp.stack(losses)))
+        train_loss = float(jnp.mean(jnp.concatenate(losses)))
         state = common.plateau_update(state, plateau, train_loss)
         val, test = evaluate(state.params, loaders["val"]), evaluate(
             state.params, loaders["test"]

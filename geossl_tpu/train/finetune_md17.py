@@ -79,10 +79,13 @@ def make_train_step(energy_and_force, tx, e_coeff, f_coeff):
         )
         return e_coeff * e_loss + f_coeff * f_loss
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch):
+    def step_body(state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         return common.apply_updates(state, grads, tx), loss
+
+    train_step = jax.jit(step_body, donate_argnums=(0,))
+    chain_step = jax.jit(common.make_chain_step(step_body),
+                         donate_argnums=(0,), static_argnums=(2,))
 
     @partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
     def accum_step(state, stacked, k):
@@ -92,7 +95,7 @@ def make_train_step(energy_and_force, tx, e_coeff, f_coeff):
         )
         return common.apply_updates(state, grads, tx), loss
 
-    return train_step, accum_step
+    return train_step, accum_step, chain_step
 
 
 def evaluate(energy_and_force_jit, params, loader, mesh):
@@ -170,7 +173,8 @@ def main(argv=None):
     state = common.TrainState.create(params, tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
     energy_and_force = make_energy_force_fn(backbone_apply, head)
-    train_step, accum_step = make_train_step(
+    common.check_chain_args(args)
+    train_step, accum_step, chain_step = make_train_step(
         energy_and_force, tx, args.md17_energy_coeff, args.md17_force_coeff
     )
     ef_jit = jax.jit(energy_and_force)
@@ -203,14 +207,19 @@ def main(argv=None):
         if args.grad_accum > 1:
             for stacked, kk in common.accum_groups(batches, args.grad_accum):
                 state, loss = accum_step(state, stacked, kk)
-                losses.append(loss)
+                losses.append(jnp.atleast_1d(loss))
+        elif args.steps_per_call > 1:
+            for stacked, kk in common.accum_groups(batches,
+                                                   args.steps_per_call):
+                state, ls = chain_step(state, stacked, kk)
+                losses.append(ls)
         else:
             for b in batches:
                 state, loss = train_step(state, b)
-                losses.append(loss)
+                losses.append(jnp.atleast_1d(loss))
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
-        train_loss = float(jnp.mean(jnp.stack(losses)))
+        train_loss = float(jnp.mean(jnp.concatenate(losses)))
         state = common.plateau_update(state, plateau, train_loss)
         val_e, val_f = evaluate(ef_jit, state.params, valid_loader, mesh)
         test_e, test_f = evaluate(ef_jit, state.params, test_loader, mesh)

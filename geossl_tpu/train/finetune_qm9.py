@@ -56,10 +56,11 @@ def make_train_step(backbone_apply, head, tx, loss_kind: str):
         per = jnp.abs(err) if loss_kind == "mae" else err**2
         return common.graph_masked_mean(per, batch.graph_mask)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch, mean, std):
+    def step_body(state, batch, mean, std):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, mean, std)
         return common.apply_updates(state, grads, tx), loss
+
+    train_step = partial(jax.jit, donate_argnums=(0,))(step_body)
 
     @partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
     def accum_step(state, stacked, mean, std, k):
@@ -69,7 +70,9 @@ def make_train_step(backbone_apply, head, tx, loss_kind: str):
         )
         return common.apply_updates(state, grads, tx), loss
 
-    return train_step, accum_step
+    chain_step = partial(jax.jit, donate_argnums=(0,),
+                         static_argnums=(2,))(common.make_chain_step(step_body))
+    return train_step, accum_step, chain_step
 
 
 def make_eval_step(backbone_apply, head):
@@ -172,7 +175,9 @@ def main(argv=None):
         args, common.opt_steps_per_epoch(len(train_loader), args.grad_accum))
     state = common.TrainState.create(params, tx)
     state = jax.device_put(state, pmesh.replicated(mesh))
-    train_step, accum_step = make_train_step(backbone_apply, head, tx, args.loss)
+    common.check_chain_args(args)
+    train_step, accum_step, chain_step = make_train_step(
+        backbone_apply, head, tx, args.loss)
     eval_step = make_eval_step(backbone_apply, head)
 
     mlog = common.MetricLogger(args.log_file)
@@ -188,14 +193,19 @@ def main(argv=None):
         if args.grad_accum > 1:
             for stacked, kk in common.accum_groups(batches, args.grad_accum):
                 state, loss = accum_step(state, stacked, mean, std, kk)
-                losses.append(loss)
+                losses.append(jnp.atleast_1d(loss))
+        elif args.steps_per_call > 1:
+            for stacked, kk in common.accum_groups(batches,
+                                                   args.steps_per_call):
+                state, ls = chain_step(state, stacked, kk, mean, std)
+                losses.append(ls)
         else:
             for b in batches:
                 state, loss = train_step(state, b, mean, std)
-                losses.append(loss)
+                losses.append(jnp.atleast_1d(loss))
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
-        train_loss = float(jnp.mean(jnp.stack(losses)))
+        train_loss = float(jnp.mean(jnp.concatenate(losses)))
         state = common.plateau_update(state, plateau, train_loss)
         vp, vt = evaluate(eval_step, state.params, valid_loader, mean, std, mesh)
         tp, tt = evaluate(eval_step, state.params, test_loader, mean, std, mesh)

@@ -138,6 +138,7 @@ def _run(args, objective: str):
         store, common.round_batch_to_mesh(args.batch_size, mesh), bucket_sizes,
         shuffle=True, seed=args.seed,
     )
+    common.check_chain_args(args)
     tx = common.make_optimizer_from_args(
         args, common.opt_steps_per_epoch(len(loader), args.grad_accum))
     state = common.TrainState.create(params, tx)
@@ -230,13 +231,28 @@ def _run(args, objective: str):
             return common.graph_masked_mean(per, batch.graph_mask), jnp.zeros(())
         raise ValueError(objective)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch, epoch_key):
+    def step_body(state, batch, epoch_key):
         rng = jax.random.fold_in(epoch_key, state.step)  # on-device step RNG
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
-        return common.apply_updates(state, grads, tx), loss, acc
+        return common.apply_updates(state, grads, tx), (loss, acc)
+
+    def _unpack(fn):
+        def wrapped(state, *a):
+            state, (loss, acc) = fn(state, *a)
+            return state, loss, acc
+        return wrapped
+
+    train_step = _unpack(jax.jit(step_body, donate_argnums=(0,)))
+    # chain k steps into one dispatch; fold_in(epoch_key, state.step) inside
+    # the scan gives each chained step the SAME per-step RNG as the loop
+    _chain = jax.jit(common.make_chain_step(step_body),
+                     donate_argnums=(0,), static_argnums=(2,))
+
+    def chain_step(state, stacked, k, epoch_key):
+        state, (ls, ac) = _chain(state, stacked, k, epoch_key)
+        return state, ls, ac
 
     @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
     def accum_step(state, stacked, epoch_key, k):
@@ -265,17 +281,23 @@ def _run(args, objective: str):
         if args.grad_accum > 1:
             for stacked, kk in common.accum_groups(batches, args.grad_accum):
                 state, loss, acc = accum_step(state, stacked, epoch_key, kk)
-                losses.append(loss)
-                accs.append(acc)
+                losses.append(jnp.atleast_1d(loss))
+                accs.append(jnp.atleast_1d(acc))
+        elif args.steps_per_call > 1:
+            for stacked, kk in common.accum_groups(batches,
+                                                   args.steps_per_call):
+                state, ls, ac = chain_step(state, stacked, kk, epoch_key)
+                losses.append(ls)
+                accs.append(ac)
         else:
             for b in batches:
                 state, loss, acc = train_step(state, b, epoch_key)
-                losses.append(loss)
-                accs.append(acc)
+                losses.append(jnp.atleast_1d(loss))
+                accs.append(jnp.atleast_1d(acc))
         # one device->host transfer per epoch (per-scalar float() costs
         # ~ms over the remote-TPU tunnel x steps/epoch)
-        mean_loss = float(jnp.mean(jnp.stack(losses)))
-        mean_acc = float(jnp.mean(jnp.stack(accs)))
+        mean_loss = float(jnp.mean(jnp.concatenate(losses)))
+        mean_acc = float(jnp.mean(jnp.concatenate(accs)))
         state = common.plateau_update(state, plateau, mean_loss)
         saved = saver.maybe_save_best(
             mean_loss,

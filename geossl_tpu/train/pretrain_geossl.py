@@ -79,11 +79,8 @@ def build_parser():
                    action="store_true", default=True)
     p.add_argument("--no_detach_target", dest="detach_target",
                    action="store_false")
-    p.add_argument("--steps_per_call", type=int, default=1,
-                   help="train steps fused into one dispatch via lax.scan; "
-                        "useful when per-dispatch latency dominates (default "
-                        "1: on this setup the residual epoch cost is batch "
-                        "transfer bandwidth, not dispatch count)")
+    # --steps_per_call comes from add_common_args (since round 4 every
+    # driver chains; this one keeps its RR-aware inline multi_step)
     p.set_defaults(lr=5e-4, epochs=100)
     return p
 
@@ -157,12 +154,7 @@ def main(argv=None):
         store, common.round_batch_to_mesh(args.batch_size, mesh), bucket_sizes,
         shuffle=True, seed=args.seed, transform=transform,
     )
-    if args.grad_accum > 1 and args.steps_per_call > 1:
-        raise SystemExit(
-            "--grad_accum fuses loader batches into ONE optimizer step; "
-            "--steps_per_call fuses optimizer steps into one dispatch — "
-            "pick one"
-        )
+    common.check_chain_args(args)
     group_lr = None
     if args.gnn_2d_lr_scale is not None:
         if args.GeoSSL_option != "RR":

@@ -72,9 +72,14 @@ def test_lep_driver_fused_runs():
     # DualMolBatch is the deepest batch pytree the chain stacks
     from geossl_tpu.train import finetune_lep
 
+    # --bucket 64 like every CPU lep test: the default 512 pad is a
+    # multi-minute CPU compile and irrelevant to the pytree being chained.
+    # size 48 (not 24): the smaller corpus leaves the val split single-class
+    # (ROC undefined -> the driver reports no best epoch, fused or not)
     roc, _ = finetune_lep.main(
-        ["--synthetic", "--synthetic_size", "24", "--epochs", "1",
-         "--batch_size", "4", "--steps_per_call", "3", "--seed", "0"])
+        ["--synthetic", "--synthetic_size", "48", "--epochs", "1",
+         "--batch_size", "4", "--bucket", "64", "--steps_per_call", "3",
+         "--seed", "0"])
     assert 0.0 <= roc <= 1.0
 
 
