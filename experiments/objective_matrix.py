@@ -52,14 +52,18 @@ def build_parser():
                         "protocol (VERDICT r3 #1). Fine-tune stays the "
                         "synthetic QM9 stand-in either way.")
     p.add_argument("--rr_protocol", default="normalize",
-                   choices=["r3", "normalize", "published"],
+                   choices=["r3", "normalize", "published", "published_wd"],
                    help="RR extra flags: 'normalize' adds --normalize (the "
                         "published sweep sets it for RR ONLY; without it the "
                         "encoder can shrink ||g|| into AE-loss collapse — "
                         "experiments/rr_diagnostic.py); 'published' also "
                         "reproduces the reference's param-group quirk (AE "
-                        "heads at ABSOLUTE lr 1.0); 'r3' is round 3's bare "
-                        "config.")
+                        "heads at ABSOLUTE lr 1.0 — submit_pretrain_GeoSSL_RR"
+                        ".sh passes no gnn_2d_lr_scale and the default is 1); "
+                        "'published_wd' is the OFF-protocol mitigation for "
+                        "the repr-norm drift both corpus-scale arms hit "
+                        "(weight decay 1e-4 bounds ||g||); 'r3' is round 3's "
+                        "bare config.")
     p.add_argument("--out_dir", default="/tmp/objective_matrix")
     return p
 
@@ -68,6 +72,8 @@ RR_PROTOCOL_ARGS = {
     "r3": [],
     "normalize": ["--normalize"],
     "published": ["--normalize", "--gnn_2d_lr_scale", "1.0"],
+    "published_wd": ["--normalize", "--gnn_2d_lr_scale", "1.0",
+                     "--decay", "1e-4"],
 }
 
 
