@@ -520,6 +520,51 @@ def bench_serve(use_pallas):
             "unit": "mol/s/chip", "vs_baseline": None}
 
 
+def bench_serve_painn(use_pallas):
+    """PaiNN serving at QM9 scale (16,384 molecules, N<=32) — exercises the
+    whole-stack inference kernel (models/painn.fused_stack_apply, kexp9:
+    1.23x over the per-block chain at this shape). Forward-only counterpart
+    of ``painn_qm9_throughput``."""
+    import jax
+    import jax.numpy as jnp
+
+    from geossl_tpu.config import ModelConfig
+    from geossl_tpu.data.store import MolRecord, MolStore
+    from geossl_tpu.serve import Predictor
+    from geossl_tpu.train import common
+
+    cfg = ModelConfig(model_3d="painn", use_pallas=use_pallas)
+    module, _ = common.make_backbone(cfg)
+    rng = jax.random.PRNGKey(0)
+    head = common.make_head("painn", cfg.emb_dim)
+    params = {
+        "model": common.init_backbone(module, rng, n_max=32),
+        "graph_pred_linear": head.init(
+            rng, jnp.zeros((2, cfg.emb_dim)))["params"],
+    }
+    nrng = np.random.default_rng(0)
+    records = []
+    for _ in range(16384):
+        n = int(nrng.integers(10, 33))
+        records.append(MolRecord(
+            atom_type=nrng.integers(0, 9, n).astype(np.int32),
+            positions=np.cumsum(
+                nrng.normal(scale=0.9, size=(n, 3)), axis=0).astype(np.float32),
+        ))
+    store = MolStore.from_records(records)
+    pred = Predictor(cfg, params, batch_size=128, bucket_sizes=(32,))
+    out = pred.predict(store)
+    assert np.isfinite(out).all()
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pred.predict(store)
+        rates.append(len(store) / (time.perf_counter() - t0))
+    mols = float(np.median(rates))
+    return {"metric": "geossl_serve_painn_throughput", "value": round(mols, 1),
+            "unit": "mol/s/chip", "vs_baseline": None}
+
+
 def bench_serve_lba(use_pallas):
     """Serving at Atom3D scale: 2,048 pocket+ligand complexes (~up to 480
     atoms, bucket 512) through the same Predictor path — Morton sort +
@@ -602,6 +647,7 @@ def main(only=None):
         ("lba_painn", lambda: bench_lba_painn(use_pallas)),
         ("lep_painn", lambda: bench_lep_painn(use_pallas)),
         ("serve", lambda: bench_serve(use_pallas)),
+        ("serve_painn", lambda: bench_serve_painn(use_pallas)),
         ("serve_lba", lambda: bench_serve_lba(use_pallas)),
         ("ddm_e2e", bench_ddm_e2e),
         ("ddm_painn", lambda: bench_ddm(use_pallas, "painn")),

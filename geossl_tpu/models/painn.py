@@ -278,3 +278,75 @@ class PaiNN(nn.Module):
         # Zero padded nodes before pooling (their q drifted via biases).
         out = geometry.readout(q, node_mask, self.readout)
         return out, q
+
+
+def fused_stack_apply(module: PaiNN, params, atom_type, positions, node_mask,
+                      pair_mask=None):
+    """INFERENCE-ONLY whole-stack forward: identical math to
+    ``module.apply`` but the full interaction+mixing chain runs as ONE
+    Pallas program (``ops/painn_pallas.painn_stack_infer`` — kexp9: 1.23x
+    over the per-block fused chain at the QM9/DDM shape). Serving uses
+    this (serve.Predictor); training keeps the per-block custom-VJP path
+    (the mega kernel has no VJP by design — experiments/README.md kexp9).
+
+    Requires the default module configuration (no pair_axis/dtype
+    override) and N <= 64 (VMEM residency); callers fall back to
+    ``module.apply`` otherwise.
+    """
+    if module.pair_axis is not None or module.dtype is not None:
+        raise ValueError("fused_stack_apply: default config only")
+    f = module.n_atom_basis
+    L = module.n_interactions
+
+    emb = params["embedding"]
+    if module.zero_pad_embedding:
+        row_gate = jnp.concatenate(
+            [jnp.zeros((1, 1), emb.dtype),
+             jnp.ones((module.max_z - 1, 1), emb.dtype)])
+        emb = emb * row_gate
+    q0 = emb[atom_type].astype(jnp.float32)
+
+    dist, direction, live_mask = geometry.pairwise_directions(
+        positions.astype(jnp.float32), node_mask)
+    if pair_mask is None:
+        adj = geometry.radius_adjacency(
+            dist, live_mask, module.cutoff, module.max_neighbors)
+    else:
+        adj = pair_mask & live_mask
+    gate = cosine_cutoff(dist, module.cutoff) * adj.astype(jnp.float32)
+
+    def layer(name_fmt, k):
+        return params[name_fmt.format(
+            "shared" if module.shared_interactions else k)]
+
+    fk, fb = params["filter_kernel"], params["filter_bias"]
+    sl = lambda k: (slice(0, 3 * f) if module.shared_filters
+                    else slice(3 * f * k, 3 * f * (k + 1)))
+    # models.common.Dense wraps a flax Dense, adding one "Dense_0" level
+    def dw(block, name, what):
+        return block[name]["Dense_0"][what]
+
+    inter = [layer("PaiNNInteraction_{}", k) for k in range(L)]
+    mix = [layer("PaiNNMixing_{}", k) for k in range(L)]
+    stacked = tuple(
+        jnp.stack(x).astype(jnp.float32) for x in (
+            [dw(b, "Dense_0", "kernel") for b in inter],
+            [dw(b, "Dense_0", "bias") for b in inter],
+            [dw(b, "Dense_1", "kernel") for b in inter],
+            [dw(b, "Dense_1", "bias") for b in inter],
+            [fk[:, sl(k)] for k in range(L)],
+            [fb[sl(k)] for k in range(L)],
+            [dw(b, "mu_channel_mix", "kernel") for b in mix],
+            [dw(b, "Dense_0", "kernel") for b in mix],
+            [dw(b, "Dense_0", "bias") for b in mix],
+            [dw(b, "Dense_1", "kernel") for b in mix],
+            [dw(b, "Dense_1", "bias") for b in mix],
+        )
+    )
+    from geossl_tpu.ops.painn_pallas import painn_stack_infer
+
+    q, _ = painn_stack_infer(
+        dist, gate, direction[..., 0], direction[..., 1], direction[..., 2],
+        q0, stacked, module.cutoff, epsilon=module.epsilon)
+    out = geometry.readout(q, node_mask, module.readout)
+    return out, q

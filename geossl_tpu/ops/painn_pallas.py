@@ -822,3 +822,119 @@ def painn_message(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
                                        wk, bk, cutoff, sp)
     return painn_message_fused(dist, gate, dirx, diry, dirz, x, mu, wk, bk,
                                cutoff, sp)
+
+
+# --------------------------------------------------------------------------
+# Whole-stack inference kernel (kexp9, round 4): the full n_interactions-deep
+# interaction+mixing chain in ONE program, q and the three mu channels
+# resident in VMEM across blocks and the RBF hoisted (the per-block chain
+# recomputes it per layer). FORWARD-ONLY — no custom VJP: training keeps the
+# per-block painn_message path (kexp3's SchNet precedent: the backward is at
+# its compute floor, so whole-stack fusion there bought 6%). Measured at the
+# DDM/QM9 shape (B=128, N=32, F=128): 1.23x over the per-block fused chain,
+# 1.63x over XLA (experiments/README.md kexp9).
+#
+# No N>=128 variant exists BY CONSTRUCTION: one layer's gated filter
+# row-block is 100-400 MB against 128 MB of VMEM, and tiling j back in
+# forces q/mu through HBM per tile — which is exactly the per-block chain.
+
+
+def _stack_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, q_ref,
+                  wd1_ref, bd1_ref, wd2_ref, bd2_ref, wk_ref, bk_ref,
+                  wmix_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  qo_ref, muo_ref, *, bb, n, f, num_r, cutoff, nblocks,
+                  epsilon):
+    coeff = -0.5 / (cutoff / (num_r - 1)) ** 2
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    # RBF hoisted across blocks (Mosaic-legal: minor expand, major collapse)
+    off = _offsets(cutoff, num_r)
+    diff4 = dist_ref[...][:, :, :, None] - off.reshape(1, 1, 1, num_r)
+    phi = jnp.exp(coeff * diff4 * diff4).reshape(bb * n * n, num_r)
+    gate4 = gate_ref[...][:, :, :, None]
+    dirs4 = (dx_ref[...][:, :, :, None], dy_ref[...][:, :, :, None],
+             dz_ref[...][:, :, :, None])
+
+    q = q_ref[...].reshape(bb * n, f)
+    mu = [jnp.zeros((bb * n, f), jnp.float32) for _ in range(3)]
+    for k in range(nblocks):
+        # interaction: per-node x-MLP (MXU)
+        x = jax.nn.silu(dot(q, wd1_ref[k]) + bd1_ref[k : k + 1])
+        x = dot(x, wd2_ref[k]) + bd2_ref[k : k + 1]
+        xq, xr, xm = jnp.split(x, 3, axis=-1)
+        # gated filter slice for this layer (pair grid, MXU)
+        w3 = (dot(phi, wk_ref[k]) + bk_ref[k : k + 1]).reshape(
+            bb, n, n, 3 * f) * gate4
+        wq, wr, wm = jnp.split(w3, 3, axis=-1)
+        # j-reductions
+        xq4 = xq.reshape(bb, 1, n, f)
+        dq = jnp.sum(wq * xq4, axis=2).reshape(bb * n, f)
+        wrx = wr * xr.reshape(bb, 1, n, f)
+        wmx = wm * xm.reshape(bb, 1, n, f)
+        q = q + dq
+        for c in range(3):
+            mu_c4 = mu[c].reshape(bb, 1, n, f)
+            dmu_c = jnp.sum(wrx * dirs4[c] + wmx * mu_c4, axis=2)
+            mu[c] = mu[c] + dmu_c.reshape(bb * n, f)
+        # mixing (per node, MXU)
+        v, w = [], []
+        for c in range(3):
+            v_c, w_c = jnp.split(dot(mu[c], wmix_ref[k]), 2, axis=-1)
+            v.append(v_c)
+            w.append(w_c)
+        vn = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2] + epsilon)
+        ctx = jnp.concatenate([q, vn], axis=-1)
+        x2 = jax.nn.silu(dot(ctx, w1_ref[k]) + b1_ref[k : k + 1])
+        x2 = dot(x2, w2_ref[k]) + b2_ref[k : k + 1]
+        dq_i, dgate, dqmu = jnp.split(x2, 3, axis=-1)
+        vw = v[0] * w[0] + v[1] * w[1] + v[2] * w[2]
+        q = q + dq_i + dqmu * vw
+        for c in range(3):
+            mu[c] = mu[c] + dgate * w[c]
+
+    qo_ref[...] = q.reshape(bb, n, f)
+    muo_ref[...] = jnp.concatenate(mu, axis=-1).reshape(bb, n, 3 * f)
+
+
+def painn_stack_infer(dist, gate, dirx, diry, dirz, q0, stacked, cutoff,
+                      epsilon=1e-8):
+    """Whole-stack PaiNN forward: (q [B,N,F], mu_flat [B,N,3F]) after ALL
+    interaction+mixing blocks. ``stacked`` is the 11-tuple of per-layer
+    weight stacks (wd1 [L,F,F], bd1 [L,F], wd2 [L,F,3F], bd2 [L,3F],
+    wk [L,R,3F], bk [L,3F], wmix [L,F,2F], w1 [L,2F,F], b1 [L,F],
+    w2 [L,F,3F], b2 [L,3F]). Inference only — see the block comment."""
+    b, n, _ = dist.shape
+    f = q0.shape[-1]
+    num_r = stacked[4].shape[1]
+    nblocks = stacked[0].shape[0]
+    if n > 64:
+        raise ValueError(
+            f"painn_stack_infer: N={n} exceeds the VMEM-resident limit (64);"
+            " use the per-block path")
+    bb = _batch_block(b, n, n, budget=4096)
+    kern = partial(
+        _stack_kernel, bb=bb, n=n, f=f, num_r=num_r, cutoff=cutoff,
+        nblocks=nblocks, epsilon=epsilon)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape))
+    pair = pl.BlockSpec((bb, n, n), lambda i: (i, 0, 0))
+    q_out, mu_out = pl.pallas_call(
+        kern,
+        grid=(b // bb,),
+        in_specs=[pair] * 5
+        + [pl.BlockSpec((bb, n, f), lambda i: (i, 0, 0))]
+        + [full(w) for w in stacked],
+        out_specs=[
+            pl.BlockSpec((bb, n, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, n, 3 * f), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3 * f), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20),
+    )(dist, gate, dirx, diry, dirz, q0, *stacked)
+    return q_out, mu_out

@@ -107,15 +107,30 @@ class Predictor:
         head = common.make_head(cfg.model_3d, cfg.emb_dim)
         dual_head = common.DualHead()
 
+        # PaiNN forward-only buckets (N<=64) run the whole-stack inference
+        # kernel (models/painn.fused_stack_apply — kexp9: 1.23x over the
+        # per-block fused chain). The force path keeps backbone_apply: the
+        # stack kernel is deliberately VJP-free.
+        fwd_apply = self.backbone_apply
+        if (cfg.model_3d == "painn" and cfg.use_pallas
+                and self.module.pair_axis is None
+                and self.module.dtype is None):
+            from geossl_tpu.models.painn import fused_stack_apply
+
+            def fwd_apply(p, z, pos, mask, _orig=self.backbone_apply):
+                if pos.shape[1] <= 64:
+                    return fused_stack_apply(self.module, p, z, pos, mask)
+                return _orig(p, z, pos, mask)
+
         @jax.jit
         def _embed(backbone, atom_type, positions, node_mask):
-            graph, _ = self.backbone_apply(
+            graph, _ = fwd_apply(
                 backbone, atom_type, positions, node_mask)
             return graph
 
         @jax.jit
         def _predict(p, atom_type, positions, node_mask):
-            graph, _ = self.backbone_apply(
+            graph, _ = fwd_apply(
                 p["model"], atom_type, positions, node_mask)
             pred = head.apply({"params": p["graph_pred_linear"]}, graph)
             return pred * self.y_std + self.y_mean
@@ -134,8 +149,8 @@ class Predictor:
 
         @jax.jit
         def _pair_logit(p, za, pa, ma, zi, pi, mi):
-            ga, _ = self.backbone_apply(p["model"], za, pa, ma)
-            gi, _ = self.backbone_apply(p["model"], zi, pi, mi)
+            ga, _ = fwd_apply(p["model"], za, pa, ma)
+            gi, _ = fwd_apply(p["model"], zi, pi, mi)
             return dual_head.apply({"params": p["graph_pred_linear"]}, ga, gi)
 
         self._embed_fn = _embed

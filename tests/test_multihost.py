@@ -18,7 +18,16 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _free_port() -> int:
+def _free_port() -> int:  # noqa: D103 — trivial helper
+    return __free_port()
+
+
+# LOAD SENSITIVITY: these tests spawn up to 5 concurrent JAX processes
+# (init + compile each); on a host already running a TPU training job +
+# the rest of the suite they can time out or straggle. Before declaring a
+# regression, re-run the failing test ALONE on a quiet machine — every
+# round-4 "failure" of this module reproduced green in isolation.
+def __free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]

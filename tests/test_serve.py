@@ -289,3 +289,28 @@ def test_serve_cli_pairs_mode(tmp_path):
     assert len(lines) == 5
     vals = np.array([float(l.split(",")[1]) for l in lines])
     assert ((vals > 0) & (vals < 1)).all()
+
+
+def test_predict_painn_fused_stack_matches_per_block():
+    """With use_pallas the PaiNN Predictor routes N<=64 buckets through the
+    whole-stack inference kernel (models/painn.fused_stack_apply, kexp9);
+    predictions must match the per-block path exactly."""
+    from geossl_tpu.serve import Predictor
+    from geossl_tpu.train import common
+    from geossl_tpu.train.common import PaiNNHead
+
+    rng = jax.random.PRNGKey(5)
+    cfg_fused = ModelConfig(model_3d="painn", use_pallas=True)
+    cfg_plain = ModelConfig(model_3d="painn", use_pallas=False)
+    module, _ = common.make_backbone(cfg_plain)
+    params = {
+        "model": common.init_backbone(module, rng, n_max=32),
+        "graph_pred_linear": PaiNNHead(cfg_plain.emb_dim).init(
+            rng, jnp.zeros((2, cfg_plain.emb_dim)))["params"],
+    }
+    store = _synthetic_store(m=6, n_lo=4, n_hi=30, seed=9)
+    out_fused = Predictor(cfg_fused, params, batch_size=4,
+                          bucket_sizes=(32,)).predict(store)
+    out_plain = Predictor(cfg_plain, params, batch_size=4,
+                          bucket_sizes=(32,)).predict(store)
+    np.testing.assert_allclose(out_fused, out_plain, rtol=2e-5, atol=1e-5)
