@@ -267,3 +267,75 @@ class SchNet(nn.Module):
         h = h.astype(jnp.promote_types(jnp.float32, h.dtype))
         out = geometry.readout(h, node_mask, self.readout)
         return out, h
+
+
+def fused_stack_apply(module: SchNet, params, atom_type, positions,
+                      node_mask):
+    """INFERENCE-ONLY whole-stack forward: identical math to
+    ``module.apply`` with the full interaction chain in ONE Pallas program
+    (``ops/cfconv_pallas.schnet_stack_infer`` — kexp2; integrated round 4
+    alongside PaiNN's). Serving routes N<=64 buckets here; training keeps
+    the per-block custom-VJP path. Requires the default module config
+    (no pair_axis/dtype/filter_mxu override)."""
+    if (module.pair_axis is not None or module.dtype is not None
+            or module.filter_mxu != "f32"):
+        raise ValueError("fused_stack_apply: default config only")
+    L = module.num_interactions
+
+    h = params["Embed_0"]["embedding"][atom_type].astype(jnp.float32)
+    dist, pair_mask = geometry.pairwise_distances(
+        positions.astype(jnp.float32), node_mask)
+    adj = geometry.radius_adjacency(
+        dist, pair_mask, module.cutoff, module.max_neighbors)
+    # env is identical for every block: computed ONCE here (the per-block
+    # path recomputes it inside each InteractionBlock)
+    env = cosine_envelope(dist, module.cutoff) * adj.astype(dist.dtype)
+
+    blocks = [params[f"InteractionBlock_{k}"] for k in range(L)]
+    stacked = tuple(
+        jnp.stack(x).astype(jnp.float32) for x in (
+            [b["Dense_0"]["Dense_0"]["kernel"] for b in blocks],   # lin1
+            [b["filter_w1"] for b in blocks],
+            [b["filter_b1"] for b in blocks],
+            [b["filter_w2"] for b in blocks],
+            [b["filter_b2"] for b in blocks],
+            [b["Dense_1"]["Dense_0"]["kernel"] for b in blocks],
+            [b["Dense_1"]["Dense_0"]["bias"] for b in blocks],
+            [b["Dense_2"]["Dense_0"]["kernel"] for b in blocks],
+            [b["Dense_2"]["Dense_0"]["bias"] for b in blocks],
+        )
+    )
+    from geossl_tpu.ops.cfconv_pallas import schnet_stack_infer
+
+    h = schnet_stack_infer(dist, env, h, stacked, 0.0, module.cutoff,
+                           module.num_gaussians)
+
+    h = h @ params["Dense_0"]["Dense_0"]["kernel"] \
+        + params["Dense_0"]["Dense_0"]["bias"]
+    h = shifted_softplus(h)
+    h = h @ params["Dense_1"]["Dense_0"]["kernel"] \
+        + params["Dense_1"]["Dense_0"]["bias"]
+
+    if module.dipole:
+        q = (h @ params["Dense_2"]["Dense_0"]["kernel"]
+             + params["Dense_2"]["Dense_0"]["bias"]).astype(jnp.float32)
+        q = q * node_mask[..., None]
+        masses = jnp.asarray(
+            [1.008, 12.011, 14.007, 15.999, 18.998, 30.974, 32.06,
+             35.45, 0.0], jnp.float32)
+        m = masses[atom_type] * node_mask
+        pos = positions.astype(jnp.float32)
+        com = jnp.sum(m[..., None] * pos, axis=1) / jnp.maximum(
+            jnp.sum(m, axis=1, keepdims=True), 1e-9)
+        mu = jnp.sum(q * (pos - com[:, None, :]), axis=1)
+        out = jnp.sqrt(jnp.sum(mu * mu, axis=-1, keepdims=True) + 1e-18)
+        return out, h.astype(jnp.float32)
+
+    if module.mean is not None and module.std is not None:
+        h = h * module.std + module.mean
+    if module.atomref is not None:
+        h = h + params["atomref"][atom_type].astype(h.dtype)
+
+    h = h.astype(jnp.float32)
+    out = geometry.readout(h, node_mask, module.readout)
+    return out, h

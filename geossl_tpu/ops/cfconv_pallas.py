@@ -702,3 +702,71 @@ def cfconv_fused_reference(dist, env, x, w1, b1, w2, b2, start, stop, num_g,
     acc = jnp.promote_types(jnp.float32, jnp.result_type(w, env, x))
     return jnp.einsum("bijf,bij,bjf->bif", w, env, x, preferred_element_type=acc)
 
+
+
+# --------------------------------------------------------------------------
+# Whole-stack inference kernel (kexp2, integrated round 4 alongside PaiNN's
+# kexp9): the full num_interactions-deep SchNet interaction chain in ONE
+# program — h resident in VMEM across blocks, RBF computed once and reused
+# (the per-block chain recomputes it per block), lin1/post-MLP on the MXU
+# in-program. FORWARD-ONLY, no custom VJP: training keeps the per-block
+# cfconv path (kexp3: a mega-backward bought 6% — the backward is at its
+# compute floor). Measured at the flagship shape: 1.18x over the per-block
+# fused chain on the stack alone (experiments/README.md kexp2). N>=128 is
+# excluded for the same VMEM-residency reason as painn_stack_infer.
+
+
+def _stack_kernel(dist_ref, env_ref, h0_ref, wl1_ref, w1_ref, b1_ref,
+                  w2_ref, b2_ref, wa_ref, ba_ref, wb_ref, bbias_ref,
+                  out_ref, *, start, delta, num_g, coeff, bb, n, f, nblocks):
+    offsets = _offsets(start, delta, num_g)
+    rbf = _rbf_4d(dist_ref[...], offsets, coeff, bb, n, n, num_g)  # hoisted
+    env4 = env_ref[...][:, :, :, None]
+    h = h0_ref[...].reshape(bb * n, f)
+    for k in range(nblocks):
+        x = _dot(h, wl1_ref[k], "f32")                      # lin1 (no bias)
+        s = _ssp(_dot(rbf, w1_ref[k], "f32") + b1_ref[k : k + 1])
+        w = _dot(s, w2_ref[k], "f32") + b2_ref[k : k + 1]
+        w4 = w.reshape(bb, n, n, f) * env4
+        m = jnp.sum(w4 * x.reshape(bb, n, f)[:, None, :, :], axis=2)
+        y = _ssp(_dot(m.reshape(bb * n, f), wa_ref[k], "f32")
+                 + ba_ref[k : k + 1])
+        y = _dot(y, wb_ref[k], "f32") + bbias_ref[k : k + 1]
+        h = h + y
+    out_ref[...] = h.reshape(bb, n, f)
+
+
+def schnet_stack_infer(dist, env, h0, stacked, start, stop, num_g):
+    """Whole-stack SchNet node features after ALL interaction blocks
+    (inference only — see the block comment). ``stacked`` is the 9-tuple of
+    per-layer weight stacks (wl1 [L,F,F], w1 [L,G,F], b1 [L,F], w2 [L,F,F],
+    b2 [L,F], wa [L,F,F], ba [L,F], wb [L,F,F], bbias [L,F])."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, _ = dist.shape
+    f = h0.shape[-1]
+    nblocks = stacked[0].shape[0]
+    if n > 64:
+        raise ValueError(
+            f"schnet_stack_infer: N={n} exceeds the VMEM-resident limit (64);"
+            " use the per-block path")
+    delta = (stop - start) / (num_g - 1)
+    coeff = -0.5 / delta**2
+    bb = _batch_block(b, n, n)
+    kern = partial(_stack_kernel, start=start, delta=delta, num_g=num_g,
+                   coeff=coeff, bb=bb, n=n, f=f, nblocks=nblocks)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape))
+    return pl.pallas_call(
+        kern,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, n, f), lambda i: (i, 0, 0)),
+        ] + [full(w) for w in stacked],
+        out_specs=pl.BlockSpec((bb, n, f), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(dist, env, h0, *stacked)

@@ -107,20 +107,26 @@ class Predictor:
         head = common.make_head(cfg.model_3d, cfg.emb_dim)
         dual_head = common.DualHead()
 
-        # PaiNN forward-only buckets (N<=64) run the whole-stack inference
-        # kernel (models/painn.fused_stack_apply — kexp9: 1.23x over the
-        # per-block fused chain). The force path keeps backbone_apply: the
-        # stack kernel is deliberately VJP-free.
+        # Forward-only buckets (N<=64) run the whole-stack inference kernels
+        # (models/{schnet,painn}.fused_stack_apply — kexp2/kexp9: the full
+        # interaction chain in one Pallas program; serving forward 1.5x for
+        # PaiNN at the QM9 shape). The force path keeps backbone_apply: the
+        # stack kernels are deliberately VJP-free.
         fwd_apply = self.backbone_apply
-        if (cfg.model_3d == "painn" and cfg.use_pallas
-                and self.module.pair_axis is None
+        if (cfg.use_pallas and self.module.pair_axis is None
                 and self.module.dtype is None):
-            from geossl_tpu.models.painn import fused_stack_apply
-
-            def fwd_apply(p, z, pos, mask, _orig=self.backbone_apply):
-                if pos.shape[1] <= 64:
-                    return fused_stack_apply(self.module, p, z, pos, mask)
-                return _orig(p, z, pos, mask)
+            if cfg.model_3d == "painn":
+                from geossl_tpu.models.painn import fused_stack_apply
+                stackable = True
+            else:
+                from geossl_tpu.models.schnet import fused_stack_apply
+                stackable = self.module.filter_mxu == "f32"
+            if stackable:
+                def fwd_apply(p, z, pos, mask, _orig=self.backbone_apply,
+                              _stack=fused_stack_apply):
+                    if pos.shape[1] <= 64:
+                        return _stack(self.module, p, z, pos, mask)
+                    return _orig(p, z, pos, mask)
 
         @jax.jit
         def _embed(backbone, atom_type, positions, node_mask):

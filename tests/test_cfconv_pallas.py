@@ -613,3 +613,54 @@ def test_fused_rectangular_stripe_matches_reference(sparse):
                            ["ddist", "denv", "dx", "dw1", "db1", "dw2", "db2"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=1e-4, err_msg=name)
+
+
+def test_schnet_fused_stack_apply_matches_module_apply():
+    """schnet_stack_infer / fused_stack_apply (kexp2 integration): the
+    whole-stack inference program must reproduce module.apply — default,
+    mean/std+atomref, and dipole configs, padded + single-atom rows."""
+    import numpy as np
+
+    from geossl_tpu.models.schnet import SchNet, fused_stack_apply
+
+    rng = np.random.default_rng(4)
+    B, N = 8, 32
+    z = np.zeros((B, N), np.int32)
+    pos = np.zeros((B, N, 3), np.float32)
+    mask = np.zeros((B, N), bool)
+    for i in range(B):
+        n = int(rng.integers(4, N + 1)) if i else 1
+        z[i, :n] = rng.integers(0, 9, n)
+        pos[i, :n] = np.cumsum(rng.normal(scale=0.9, size=(n, 3)), 0)
+        mask[i, :n] = True
+    z, pos, mask = map(jnp.asarray, (z, pos, mask))
+
+    atomref = np.linspace(-1.0, 1.0, 9).astype(np.float32)
+    for kwargs in ({}, {"mean": 0.3, "std": 1.7, "atomref": atomref},
+                   {"dipole": True}, {"readout": "add"}):
+        m = SchNet(use_pallas=False, **kwargs)
+        params = m.init(jax.random.PRNGKey(1), z, pos, mask)["params"]
+        ref_g, ref_n = m.apply({"params": params}, z, pos, mask)
+        got_g, got_n = fused_stack_apply(m, params, z, pos, mask)
+        np.testing.assert_allclose(np.asarray(got_n), np.asarray(ref_n),
+                                   rtol=2e-5, atol=1e-5,
+                                   err_msg=f"node repr diverged ({kwargs})")
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                                   rtol=2e-5, atol=1e-5)
+
+
+def test_schnet_fused_stack_rejects_large_n():
+    import numpy as np
+    import pytest
+
+    from geossl_tpu.models.schnet import SchNet, fused_stack_apply
+
+    m = SchNet(use_pallas=False)
+    B, N = 2, 128
+    z = jnp.zeros((B, N), jnp.int32)
+    pos = jnp.asarray(np.random.default_rng(0).normal(size=(B, N, 3)),
+                      jnp.float32)
+    mask = jnp.ones((B, N), bool)
+    params = m.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+    with pytest.raises(ValueError, match="VMEM"):
+        fused_stack_apply(m, params, z, pos, mask)

@@ -314,3 +314,27 @@ def test_predict_painn_fused_stack_matches_per_block():
     out_plain = Predictor(cfg_plain, params, batch_size=4,
                           bucket_sizes=(32,)).predict(store)
     np.testing.assert_allclose(out_fused, out_plain, rtol=2e-5, atol=1e-5)
+
+
+def test_predict_schnet_fused_stack_matches_per_block():
+    """SchNet Predictor with use_pallas routes N<=64 buckets through the
+    whole-stack kernel (kexp2 integration); predictions match per-block."""
+    from geossl_tpu.serve import Predictor
+    from geossl_tpu.train import common
+    from geossl_tpu.train.finetune_qm9 import LinearHead
+
+    rng = jax.random.PRNGKey(2)
+    cfg_fused = ModelConfig(use_pallas=True)
+    cfg_plain = ModelConfig(use_pallas=False)
+    module, _ = common.make_backbone(cfg_plain)
+    params = {
+        "model": common.init_backbone(module, rng, n_max=32),
+        "graph_pred_linear": LinearHead().init(
+            rng, jnp.zeros((2, cfg_plain.emb_dim)))["params"],
+    }
+    store = _synthetic_store(m=6, n_lo=4, n_hi=30, seed=1)
+    out_fused = Predictor(cfg_fused, params, batch_size=4,
+                          bucket_sizes=(32,)).predict(store)
+    out_plain = Predictor(cfg_plain, params, batch_size=4,
+                          bucket_sizes=(32,)).predict(store)
+    np.testing.assert_allclose(out_fused, out_plain, rtol=2e-5, atol=1e-5)
