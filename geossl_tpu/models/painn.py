@@ -295,6 +295,10 @@ def fused_stack_apply(module: PaiNN, params, atom_type, positions, node_mask,
     """
     if module.pair_axis is not None or module.dtype is not None:
         raise ValueError("fused_stack_apply: default config only")
+    if positions.dtype != jnp.float32:
+        raise ValueError(
+            f"fused_stack_apply: positions must be float32 (got "
+            f"{positions.dtype}); use module.apply for the f64 parity path")
     f = module.n_atom_basis
     L = module.n_interactions
 

@@ -158,6 +158,27 @@ class InteractionBlock(nn.Module):
         return jax.lax.psum(m, self.pair_axis)
 
 
+# True masses for the index-coded vocab (H C N O F P S Cl, ?=0) — shared by
+# the module's dipole branch and fused_stack_apply so they cannot desync.
+_ATOMIC_MASSES = (1.008, 12.011, 14.007, 15.999, 18.998, 30.974, 32.06,
+                  35.45, 0.0)
+
+
+def dipole_readout(q, atom_type, positions, node_mask):
+    """Graph dipole magnitude from per-atom charges ``q [B,N,1]``:
+    mass-weighted center of mass over REAL atoms, ``|| Σ_i q_i (pos_i−com) ||``
+    (the PyG-SchNet semantics the reference's dead branch mangles — see the
+    ``dipole`` field note below)."""
+    q = q * node_mask[..., None]
+    masses = jnp.asarray(_ATOMIC_MASSES, jnp.float32)
+    m = masses[atom_type] * node_mask  # [B,N]
+    pos = positions.astype(jnp.float32)
+    com = jnp.sum(m[..., None] * pos, axis=1) / jnp.maximum(
+        jnp.sum(m, axis=1, keepdims=True), 1e-9)  # [B,3]
+    mu = jnp.sum(q * (pos - com[:, None, :]), axis=1)  # [B,3]
+    return jnp.sqrt(jnp.sum(mu * mu, axis=-1, keepdims=True) + 1e-18)
+
+
 class SchNet(nn.Module):
     """Dense-batch SchNet (``schnet.py:16-135``).
 
@@ -242,17 +263,7 @@ class SchNet(nn.Module):
         if self.dipole:
             # per-atom partial charge from the latent (PyG lin2->1 analog)
             q = Dense(1, dtype=self.dtype)(h).astype(jnp.float32)
-            q = q * node_mask[..., None]
-            # true masses for the index-coded vocab (H C N O F P S Cl, ?=0)
-            masses = jnp.asarray(
-                [1.008, 12.011, 14.007, 15.999, 18.998, 30.974, 32.06,
-                 35.45, 0.0], jnp.float32)
-            m = masses[atom_type] * node_mask  # [B,N]
-            pos = positions.astype(jnp.float32)
-            com = jnp.sum(m[..., None] * pos, axis=1) / jnp.maximum(
-                jnp.sum(m, axis=1, keepdims=True), 1e-9)  # [B,3]
-            mu = jnp.sum(q * (pos - com[:, None, :]), axis=1)  # [B,3]
-            out = jnp.sqrt(jnp.sum(mu * mu, axis=-1, keepdims=True) + 1e-18)
+            out = dipole_readout(q, atom_type, positions, node_mask)
             return out, h.astype(jnp.float32)
 
         if self.mean is not None and self.std is not None:
@@ -276,10 +287,17 @@ def fused_stack_apply(module: SchNet, params, atom_type, positions,
     (``ops/cfconv_pallas.schnet_stack_infer`` — kexp2; integrated round 4
     alongside PaiNN's). Serving routes N<=64 buckets here; training keeps
     the per-block custom-VJP path. Requires the default module config
-    (no pair_axis/dtype/filter_mxu override)."""
+    (no pair_axis/dtype/filter_mxu override; square feature width — the
+    stack kernel keeps h resident at one width; f32 positions — the f64
+    parity contract belongs to module.apply)."""
     if (module.pair_axis is not None or module.dtype is not None
-            or module.filter_mxu != "f32"):
+            or module.filter_mxu != "f32"
+            or module.num_filters != module.hidden_channels):
         raise ValueError("fused_stack_apply: default config only")
+    if positions.dtype != jnp.float32:
+        raise ValueError(
+            f"fused_stack_apply: positions must be float32 (got "
+            f"{positions.dtype}); use module.apply for the f64 parity path")
     L = module.num_interactions
 
     h = params["Embed_0"]["embedding"][atom_type].astype(jnp.float32)
@@ -319,16 +337,7 @@ def fused_stack_apply(module: SchNet, params, atom_type, positions,
     if module.dipole:
         q = (h @ params["Dense_2"]["Dense_0"]["kernel"]
              + params["Dense_2"]["Dense_0"]["bias"]).astype(jnp.float32)
-        q = q * node_mask[..., None]
-        masses = jnp.asarray(
-            [1.008, 12.011, 14.007, 15.999, 18.998, 30.974, 32.06,
-             35.45, 0.0], jnp.float32)
-        m = masses[atom_type] * node_mask
-        pos = positions.astype(jnp.float32)
-        com = jnp.sum(m[..., None] * pos, axis=1) / jnp.maximum(
-            jnp.sum(m, axis=1, keepdims=True), 1e-9)
-        mu = jnp.sum(q * (pos - com[:, None, :]), axis=1)
-        out = jnp.sqrt(jnp.sum(mu * mu, axis=-1, keepdims=True) + 1e-18)
+        out = dipole_readout(q, atom_type, positions, node_mask)
         return out, h.astype(jnp.float32)
 
     if module.mean is not None and module.std is not None:

@@ -120,7 +120,11 @@ class Predictor:
                 stackable = True
             else:
                 from geossl_tpu.models.schnet import fused_stack_apply
-                stackable = self.module.filter_mxu == "f32"
+                # the stack kernel keeps h resident at ONE width: rectangular
+                # filter configs fall back to the per-block path
+                stackable = (self.module.filter_mxu == "f32"
+                             and self.module.num_filters
+                             == self.module.hidden_channels)
             if stackable:
                 def fwd_apply(p, z, pos, mask, _orig=self.backbone_apply,
                               _stack=fused_stack_apply):

@@ -649,6 +649,64 @@ def test_schnet_fused_stack_apply_matches_module_apply():
                                    rtol=2e-5, atol=1e-5)
 
 
+def test_schnet_fused_stack_guard_rejects_unsupported_configs():
+    """Rectangular filter widths and f64 positions must raise (or, in
+    serving, fall back) — the stack kernel keeps h resident at ONE width
+    and owns no f64 parity contract (review findings, round 4)."""
+    import numpy as np
+    import pytest
+
+    from geossl_tpu.models.schnet import SchNet, fused_stack_apply
+
+    B, N = 2, 16
+    z = jnp.zeros((B, N), jnp.int32)
+    pos = jnp.asarray(np.random.default_rng(0).normal(size=(B, N, 3)),
+                      jnp.float32)
+    mask = jnp.ones((B, N), bool)
+
+    rect = SchNet(use_pallas=False, num_filters=64)
+    params = rect.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+    with pytest.raises(ValueError, match="default config"):
+        fused_stack_apply(rect, params, z, pos, mask)
+
+    m = SchNet(use_pallas=False)
+    params = m.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+    # f16 stands in for any non-f32 dtype (f64 needs the x64 flag flipped)
+    with pytest.raises(ValueError, match="float32"):
+        fused_stack_apply(m, params, z, pos.astype(jnp.float16), mask)
+
+
+def test_predictor_rectangular_filters_falls_back_to_per_block():
+    """serve.Predictor with num_filters != hidden_channels must not route
+    into the stack kernel (it cannot represent the config) — predictions
+    still come out finite via the per-block path."""
+    import numpy as np
+
+    from geossl_tpu.config import ModelConfig, SchNetConfig
+    from geossl_tpu.data.store import MolRecord, MolStore
+    from geossl_tpu.serve import Predictor
+    from geossl_tpu.train import common
+    from geossl_tpu.train.finetune_qm9 import LinearHead
+
+    cfg = ModelConfig(use_pallas=True, schnet=SchNetConfig(num_filters=64))
+    module, _ = common.make_backbone(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = {
+        "model": common.init_backbone(module, rng, n_max=16),
+        "graph_pred_linear": LinearHead().init(
+            rng, jnp.zeros((2, cfg.emb_dim)))["params"],
+    }
+    nrng = np.random.default_rng(0)
+    records = [MolRecord(
+        atom_type=nrng.integers(0, 9, 8).astype(np.int32),
+        positions=np.cumsum(nrng.normal(scale=0.9, size=(8, 3)),
+                            axis=0).astype(np.float32)) for _ in range(4)]
+    store = MolStore.from_records(records)
+    out = Predictor(cfg, params, batch_size=4,
+                    bucket_sizes=(16,)).predict(store)
+    assert np.isfinite(out).all()
+
+
 def test_schnet_fused_stack_rejects_large_n():
     import numpy as np
     import pytest
