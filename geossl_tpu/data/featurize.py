@@ -138,7 +138,9 @@ def mol_to_arrays_mmff(mol, num_conformers: int) -> Tuple[dict, Dict[int, int]]:
         energy = float(energies[index])
         conformer = picked.GetConformer(id=index)
     except Exception:
-        picked = mol
+        # copy first: Compute2DCoords writes conformer 0 in place, and the
+        # caller's molecule must keep its original geometry
+        picked = Chem.Mol(mol)
         AllChem.Compute2DCoords(picked)
         energy = 0.0
         conformer = picked.GetConformer()

@@ -163,7 +163,11 @@ def build_molecule3d(root: str, limit: Optional[int] = None) -> MolStore:
 
     raw = os.path.join(root, "raw")
     props = pd.read_csv(os.path.join(raw, "properties.csv"))
-    prop_np = props.to_numpy(dtype=np.float32)
+    # The reference drops the leading id column: ``data.y =
+    # target_df.iloc[abs_idx, 1:]`` (datasets_Molecule3D.py:154). Keeping it
+    # would shift every target index by one (pretrain_Supervised's
+    # task_id=6 would silently train on the wrong property).
+    prop_np = props.to_numpy(dtype=np.float32)[:, 1:]
 
     # Without RDKit the per-block featurization is exactly what the C++
     # scanner computes — use the one-pass native build when available

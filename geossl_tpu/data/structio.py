@@ -133,11 +133,13 @@ def parse_pdb(text: str) -> PDBStructure:
         # keep both (duplicating the atom).
         if key in seen_altloc:
             continue
-        seen_altloc[key] = altloc
         try:
             x, y, z = float(line[30:38]), float(line[38:46]), float(line[46:54])
         except ValueError:
+            # do NOT mark the key seen: a malformed primary record must not
+            # shadow a later well-formed altloc of the same physical atom
             continue
+        seen_altloc[key] = altloc
         element = line[76:78].strip()
         if element:
             element = element.capitalize()

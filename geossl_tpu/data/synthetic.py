@@ -122,9 +122,11 @@ def write_synthetic_molecule3d_raw(
                 f.write("M  END\n$$$$\n")
                 mol_id += 1
     with open(os.path.join(raw, "properties.csv"), "w") as f:
-        f.write(",".join(f"p{i}" for i in range(num_props)) + "\n")
-        for row in props:
-            f.write(",".join(f"{v:.6f}" for v in row) + "\n")
+        # leading cid column like the real corpus; build_molecule3d drops it
+        # (datasets_Molecule3D.py:154 semantics)
+        f.write(",".join(["cid"] + [f"p{i}" for i in range(num_props)]) + "\n")
+        for k, row in enumerate(props):
+            f.write(",".join([str(k)] + [f"{v:.6f}" for v in row]) + "\n")
 
 
 def synthetic_md17(

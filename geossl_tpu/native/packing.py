@@ -86,12 +86,27 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def _check_bounds(store, indices: np.ndarray, n_max: int, batch_size: int):
+    """The C side memcpys n atoms into n_max-wide rows with no bound check
+    (a mis-bucketed molecule would corrupt adjacent rows / the heap where
+    the NumPy path raises); validate here, once per call, O(batch)."""
+    if len(indices) > batch_size:
+        raise ValueError(
+            f"pack: {len(indices)} molecules > batch_size {batch_size}")
+    sizes = store.offsets[indices + 1] - store.offsets[indices]
+    if len(sizes) and int(sizes.max()) > n_max:
+        raise ValueError(
+            f"pack: molecule with {int(sizes.max())} atoms exceeds the "
+            f"n_max={n_max} bucket (bad bucket assignment upstream)")
+
+
 def pack_batch_from_store(store, indices: np.ndarray, n_max: int, batch_size: int):
     """Pack molecules straight from a MolStore's flat arrays.
     Returns (atom [B,N], pos [B,N,3], node_mask [B,N], graph_mask [B], y or None)."""
     lib = _load()
     assert lib is not None
     indices = np.ascontiguousarray(indices, np.int64)
+    _check_bounds(store, indices, n_max, batch_size)
     atom = np.empty((batch_size, n_max), np.int32)
     pos = np.empty((batch_size, n_max, 3), np.float32)
     node_mask = np.empty((batch_size, n_max), np.uint8)
@@ -124,6 +139,7 @@ def pack_batch_bfs_from_store(store, indices: np.ndarray, n_max: int,
     assert lib is not None
     assert store.bond_index is not None and store.bond_offsets is not None
     indices = np.ascontiguousarray(indices, np.int64)
+    _check_bounds(store, indices, n_max, batch_size)
     atom = np.empty((batch_size, n_max), np.int32)
     pos = np.empty((batch_size, n_max, 3), np.float32)
     node_mask = np.empty((batch_size, n_max), np.uint8)

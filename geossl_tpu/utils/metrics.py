@@ -61,15 +61,26 @@ def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
 
 
 def pr_auc(labels: np.ndarray, scores: np.ndarray) -> float:
-    """Average precision (sklearn ``average_precision_score`` semantics)."""
+    """Average precision (sklearn ``average_precision_score`` semantics).
+
+    Tied scores form ONE threshold block (all samples at a score enter
+    together); a per-sample cumsum would make the result depend on input
+    order whenever the classifier emits duplicate probabilities."""
     labels = np.asarray(labels).astype(bool)
-    if labels.sum() == 0:
+    n_pos = int(labels.sum())
+    if n_pos == 0:
         return float("nan")
-    order = np.argsort(-np.asarray(scores, float), kind="stable")
-    labels = labels[order]
-    tp = np.cumsum(labels)
-    precision = tp / np.arange(1, len(labels) + 1)
-    return float(np.sum(precision * labels) / labels.sum())
+    scores = np.asarray(scores, float)
+    order = np.argsort(-scores, kind="stable")
+    scores, labels = scores[order], labels[order]
+    # last index of each tie block = the threshold points
+    distinct = np.r_[scores[1:] != scores[:-1], True]
+    tp = np.cumsum(labels)[distinct]
+    n_at = np.arange(1, len(labels) + 1)[distinct]
+    precision = tp / n_at
+    recall = tp / n_pos
+    d_recall = np.diff(np.r_[0.0, recall])
+    return float(np.sum(precision * d_recall))
 
 
 def concordance_index(y: np.ndarray, f: np.ndarray) -> float:
@@ -141,8 +152,9 @@ def energy_force_within_threshold(pred_e, e, pred_f, f,
     max over atoms), which is what the surrounding docstring describes."""
     pred_f, f = np.asarray(pred_f, float), np.asarray(f, float)
     e_ok = np.abs(np.asarray(pred_e) - np.asarray(e)) < epsilon
-    loss_f = np.abs(pred_f - f).sum(axis=-1)
-    if loss_f.ndim > 1:  # [B, N] -> max over atoms (the ref's max(dim=-1))
-        loss_f = loss_f.max(axis=-1)
+    d = np.abs(pred_f - f)
+    if d.ndim == 3:  # [B, N, 3] -> per-atom summed |dF|
+        d = d.sum(axis=-1)
+    loss_f = d.max(axis=-1)  # per-structure max over atoms
     f_ok = np.abs(loss_f) < alpha
     return float(np.mean(e_ok & f_ok))

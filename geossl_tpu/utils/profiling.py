@@ -38,7 +38,11 @@ class StepTimer:
         t0 = time.perf_counter()
         yield
         if sync_on is not None:
-            jax.block_until_ready(sync_on)
+            # Fence with a VALUE FETCH, not block_until_ready: on the
+            # remote-TPU tunnel block_until_ready can return before queued
+            # executions finish (measured 20 ms "blocked" vs 4.6 s real —
+            # docs/PERF.md pitfall #1). device_get must wait for the bytes.
+            jax.device_get(jax.tree_util.tree_leaves(sync_on)[:1])
         dt = time.perf_counter() - t0
         if self.first_step_s is None:
             self.first_step_s = dt

@@ -363,9 +363,10 @@ def test_build_molecule3d_without_rdkit(tmp_path):
     for shard in SDF_SHARDS[1:]:
         (raw / shard).write_text("")
     with open(raw / "properties.csv", "w") as f:
-        f.write("p0,p1\n")
+        # leading cid column is DROPPED by the build (datasets_Molecule3D.py:154)
+        f.write("cid,p0,p1\n")
         for i in range(3):
-            f.write(f"{i}.5,{i * 10}.0\n")
+            f.write(f"{900 + i},{i}.5,{i * 10}.0\n")
     store = build_molecule3d(str(tmp_path))
     assert len(store) == 2
     assert list(store.get(0).atom_type) == [1, 3]

@@ -49,6 +49,24 @@ def test_roc_pr_match_sklearn_when_available():
     )
 
 
+def test_pr_auc_tied_scores_order_invariant():
+    """Tied scores form one threshold block (sklearn semantics): the value
+    must not depend on which tied row comes first (review finding, round 4)."""
+    a = metrics.pr_auc(np.array([1, 0]), np.array([0.5, 0.5]))
+    b = metrics.pr_auc(np.array([0, 1]), np.array([0.5, 0.5]))
+    assert a == b == 0.5
+    try:
+        from sklearn.metrics import average_precision_score
+    except ImportError:
+        return
+    rng = np.random.default_rng(1)
+    labels = rng.integers(0, 2, size=300)
+    scores = np.round(rng.normal(size=300) + labels * 0.7, 1)  # many ties
+    np.testing.assert_allclose(
+        metrics.pr_auc(labels, scores),
+        average_precision_score(labels, scores), rtol=1e-9)
+
+
 def test_concordance_index():
     y = np.array([1.0, 2.0, 3.0])
     f = np.array([1.0, 2.0, 3.0])

@@ -211,7 +211,8 @@ def test_native_corpus_build_equals_python(tmp_path, monkeypatch):
 
     root = str(tmp_path)
     write_synthetic_molecule3d_raw(root, 400, seed=3, bad_every=17)
-    prop = pd.read_csv(tmp_path / "raw" / "properties.csv").to_numpy(np.float32)
+    prop = pd.read_csv(
+        tmp_path / "raw" / "properties.csv").to_numpy(np.float32)[:, 1:]
 
     for limit in (None, 150):
         s_nat = m3d._build_molecule3d_native(str(tmp_path / "raw"), prop, limit)
@@ -294,10 +295,10 @@ def test_native_corpus_build_rescues_python_parseable_blocks(tmp_path):
     for shard in m3d.SDF_SHARDS[1:]:
         (raw / shard).write_text("")
     with open(raw / "properties.csv", "w") as f:
-        f.write("p0\n")
+        f.write("cid,p0\n")
         for i in range(len(blocks)):
-            f.write(f"{i}.25\n")
-    prop = pd.read_csv(raw / "properties.csv").to_numpy(np.float32)
+            f.write(f"{i},{i}.25\n")
+    prop = pd.read_csv(raw / "properties.csv").to_numpy(np.float32)[:, 1:]
 
     s_nat = m3d._build_molecule3d_native(str(raw), prop, None)
     import os

@@ -80,3 +80,14 @@ def test_efwt_2d_forces_is_per_structure_not_batch_max():
     f = np.zeros((2, 2))
     got = M.energy_force_within_threshold(pred_e, e, pred_f, f)
     assert got == 0.5  # structure 0 passes, structure 1 fails
+
+
+def test_efwt_2d_forces_gates_on_max_not_sum():
+    """[B,N] input is PER-ATOM summed |dF|; the structure gate is the max
+    over atoms (OC20 definition), not their sum — a structure whose every
+    atom is within alpha must pass regardless of atom count."""
+    pred_e = np.zeros(1)
+    e = np.zeros(1)
+    pred_f = np.full((1, 10), 0.02)  # each atom within alpha=0.03
+    f = np.zeros((1, 10))
+    assert M.energy_force_within_threshold(pred_e, e, pred_f, f) == 1.0
