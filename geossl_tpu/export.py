@@ -66,9 +66,14 @@ def _batch_specs(batch: int, n: int):
 
 
 def _tree_specs(tree):
-    return jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), tree
-    )
+    # Read dtype off the leaf itself (device arrays carry it) — np.asarray
+    # here would pull every parameter to host over the TPU tunnel just to
+    # look at its dtype.
+    def spec(a):
+        dtype = a.dtype if hasattr(a, "dtype") else np.asarray(a).dtype
+        return jax.ShapeDtypeStruct(np.shape(a), dtype)
+
+    return jax.tree_util.tree_map(spec, tree)
 
 
 def seal(
@@ -271,9 +276,12 @@ def build_parser():
     p.add_argument("--platforms", nargs="+", default=None,
                    help="target platforms, e.g. --platforms tpu cpu "
                         "(default: current backend)")
-    p.add_argument("--use_pallas", default=None, action="store_true",
-                   help="fused kernels in the sealed programs (default: "
-                        "on when the current backend is TPU)")
+    p.add_argument("--use_pallas", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="fused kernels in the sealed programs (default: on "
+                        "when the current backend is TPU; --no-use_pallas "
+                        "forces portable XLA-only programs, required for "
+                        "dual-platform --platforms tpu cpu artifacts)")
     return p
 
 

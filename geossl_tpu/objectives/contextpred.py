@@ -93,6 +93,10 @@ def contextpred_loss(substruct_repr: jnp.ndarray, context_repr: jnp.ndarray,
     valid. Returns (loss, acc) with the reference's reduction:
     ``mean_BCE(pos) + neg_samples * mean_BCE(all negs)``.
     """
+    if neg_samples < 1:
+        raise ValueError(
+            f"neg_samples must be >= 1, got {neg_samples}: with no negatives "
+            "the BCE objective is all-positive and collapses trivially")
     valid = valid.astype(jnp.float32)
     pos = jnp.sum(substruct_repr * context_repr, axis=-1)
 

@@ -63,6 +63,10 @@ def _ebm_terms(
 
     Negative pairs where either side is a padded slot are excluded (the
     reference never forms them — its batches are unpadded)."""
+    if num_neg < 1:
+        raise ValueError(
+            f"num_neg must be >= 1, got {num_neg}: an EBM loss with no "
+            "negatives is all-positive and collapses trivially")
     pred_pos = jnp.sum(x * y, axis=1) / temperature
     negs, masks = [], []
     for k in range(num_neg):

@@ -86,14 +86,7 @@ def _rbf_4d(d3, offsets, coeff, bb, ti, tj, num_g):
     return rbf4.reshape(bb * ti * tj, num_g)
 
 
-def _batch_block(b, ti, tj, budget=8192):
-    """Batch rows per kernel program. Tiny per-graph tiles (N=32 -> 32x32)
-    would otherwise spend the step on per-program overhead and under-feed the
-    MXU; blocking bb graphs per program amortizes both. Keeps
-    bb*ti*tj <= budget so live [bb*ti*tj, F] intermediates stay a few MB."""
-    from geossl_tpu.ops.pallas_utils import _largest_legal_divisor
-
-    return _largest_legal_divisor(b, max(1, budget // (ti * tj)), 1)
+from geossl_tpu.ops.pallas_utils import batch_block as _batch_block  # noqa: E402
 
 
 def _fwd_kernel(*refs, start, delta, num_g, coeff, bb, ti, tj, mxu, sparse):

@@ -80,20 +80,7 @@ def _gated_filters_blocked(d3, gate3, wk_ref, bk_ref, cutoff, num_r, coeff,
     return phi, w4
 
 
-def _batch_block(b, ti, tj, budget):
-    """Graphs per kernel program. The round-2 kernels ran per-graph grids
-    ((b, i, j) — 128 programs per call at the N=32 flagship); blocking bb
-    graphs per program mirrors ``cfconv_pallas._batch_block``. Measured
-    effect (round-3 interleaved A/B, bitwise-identical outputs): ~1.02x on
-    a 3-layer chained grad — the kernel is bound by the in-kernel VPU
-    reductions, not per-program overhead — kept for the tighter variance
-    and structural consistency with the CFConv kernels. Keeps
-    bb*ti*tj <= budget so live [bb*ti*tj, 3F] tensors stay a few MB;
-    large-N shapes (ti*tj >= budget) degrade to bb=1, the old per-graph
-    behavior."""
-    from geossl_tpu.ops.pallas_utils import _largest_legal_divisor
-
-    return _largest_legal_divisor(b, max(1, budget // (ti * tj)), 1)
+from geossl_tpu.ops.pallas_utils import batch_block as _batch_block  # noqa: E402
 
 
 def _fwd_kernel(*refs, cutoff, num_r, coeff, bb, ti, tj, f, sparse):

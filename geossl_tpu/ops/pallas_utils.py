@@ -20,6 +20,19 @@ def _largest_legal_divisor(n: int, cap: int, unit: int) -> int:
     return n
 
 
+def batch_block(b: int, ti: int, tj: int, budget: int = 8192) -> int:
+    """Graphs per kernel program for a (b, i, j) pair-tile grid. Tiny
+    per-graph tiles (N=32 -> 32x32) would otherwise spend the step on
+    per-program overhead and under-feed the MXU; blocking bb graphs per
+    program amortizes both. Keeps bb*ti*tj <= budget so live
+    [bb*ti*tj, F] intermediates stay a few MB; large-N shapes
+    (ti*tj >= budget) degrade to bb=1, per-graph programs. (For the PaiNN
+    kernels the measured win is only ~1.02x — they are bound by in-kernel
+    VPU reductions — kept there for variance and structural consistency;
+    round-3 interleaved A/B, bitwise-identical outputs.)"""
+    return _largest_legal_divisor(b, max(1, budget // (ti * tj)), 1)
+
+
 def pair_tiles(n: int, row_budget: int = 4096) -> tuple[int, int]:
     """(ti, tj) tile shape for an [N, N] pair grid.
 

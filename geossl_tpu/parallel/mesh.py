@@ -37,6 +37,10 @@ def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
                 "devices: a multi-process mesh must include every process's "
                 "chips (a prefix slice would leave some processes without "
                 "addressable shards)")
+        if not 1 <= num_devices <= len(devices):
+            raise ValueError(
+                f"--num_devices {num_devices} out of range: this process "
+                f"sees {len(devices)} device(s)")
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), axis_names=("data",))
 

@@ -391,14 +391,16 @@ def main(argv=None):
             bucket_sizes=args.bucket,
             spatial_sort=args.spatial_sort, num_devices=args.num_devices)
     store = load_input_store(args.input)
+    if args.mode == "pairs" and not args.input_inactive:
+        # Validate BEFORE opening --output: open(..., "w") truncates an
+        # existing results file, which a usage error must never do.
+        raise SystemExit("--mode pairs needs --input_inactive")
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     try:
         if args.mode == "predict":
             for i, v in enumerate(pred.predict(store)):
                 out.write(f"{i},{v}\n")
         elif args.mode == "pairs":
-            if not args.input_inactive:
-                raise SystemExit("--mode pairs needs --input_inactive")
             inactive = load_input_store(args.input_inactive)
             for i, v in enumerate(pred.predict_pairs(store, inactive)):
                 out.write(f"{i},{v}\n")

@@ -139,3 +139,11 @@ def test_driver_smoke(tmp_path):
     ckpt = serialization.msgpack_restore(
         (out / "model_final.ckpt").read_bytes())
     assert set(ckpt) == {"model"}  # backbone only — context tower not saved
+
+
+def test_neg_samples_zero_rejected():
+    """neg_samples=0 must raise an actionable error, not crash inside jit
+    on an empty jnp.concatenate."""
+    z = jnp.zeros((4, 8))
+    with pytest.raises(ValueError, match="neg_samples"):
+        contextpred_loss(z, z, jnp.ones((4,), bool), 0)

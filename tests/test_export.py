@@ -188,3 +188,16 @@ def test_cli_seal_subcommand_listed():
     from geossl_tpu.__main__ import COMMANDS
 
     assert "seal" in COMMANDS
+
+
+def test_seal_parser_use_pallas_tristate():
+    """--use_pallas is a true tristate: explicit on, explicit OFF
+    (--no-use_pallas, needed for dual-platform tpu+cpu artifacts), or
+    None -> backend-conditional default."""
+    from geossl_tpu.export import build_parser
+
+    p = build_parser()
+    base = ["--ckpt", "x", "--out", "y"]
+    assert p.parse_args(base).use_pallas is None
+    assert p.parse_args(base + ["--use_pallas"]).use_pallas is True
+    assert p.parse_args(base + ["--no-use_pallas"]).use_pallas is False

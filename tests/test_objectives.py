@@ -415,3 +415,15 @@ def test_rr_normalize_finite_with_empty_graph_slot():
     val, grad = jax.value_and_grad(loss)(jnp.asarray(g1))
     assert np.isfinite(float(val))
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_ebm_num_neg_zero_rejected():
+    """num_neg=0 must raise an actionable error, not crash inside jit on an
+    empty jnp.concatenate."""
+    import pytest
+
+    from geossl_tpu.objectives.contrastive import ebm_nce_loss
+
+    x = jnp.ones((4, 8))
+    with pytest.raises(ValueError, match="num_neg"):
+        ebm_nce_loss(x, x, num_neg=0)

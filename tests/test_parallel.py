@@ -204,3 +204,14 @@ def test_ddm_resume_reproduces_straight_run(tmp_path, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(straight),
                     jax.tree_util.tree_leaves(resumed)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_make_mesh_rejects_out_of_range_num_devices():
+    """Single-process make_mesh must error on num_devices the host cannot
+    satisfy — devices[:n] silently truncating to fewer chips is a silent
+    loss of the requested parallelism."""
+    with pytest.raises(ValueError, match="out of range"):
+        pmesh.make_mesh(num_devices=99)
+    with pytest.raises(ValueError, match="out of range"):
+        pmesh.make_mesh(num_devices=0)
+    assert pmesh.make_mesh(num_devices=2).size == 2

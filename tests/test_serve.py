@@ -338,3 +338,25 @@ def test_predict_schnet_fused_stack_matches_per_block():
     out_plain = Predictor(cfg_plain, params, batch_size=4,
                           bucket_sizes=(32,)).predict(store)
     np.testing.assert_allclose(out_fused, out_plain, rtol=2e-5, atol=1e-5)
+
+
+def test_serve_cli_usage_error_preserves_output(tmp_path):
+    """--mode pairs without --input_inactive must error BEFORE opening
+    --output: a usage mistake must not truncate an existing results file."""
+    from geossl_tpu import serve
+    from geossl_tpu.train import checkpoints
+
+    cfg = ModelConfig()
+    params = dict(_manual_params(cfg), y_mean=np.float32(0.0),
+                  y_std=np.float32(1.0))
+    ckpt = str(tmp_path / "model.ckpt")
+    checkpoints.save_checkpoint(ckpt, params)
+    store = _synthetic_store(m=3)
+    npz = str(tmp_path / "mols.npz")
+    store.save(npz)
+    out_csv = tmp_path / "preds.csv"
+    out_csv.write_text("precious\n")
+    with pytest.raises(SystemExit):
+        serve.main(["--ckpt", ckpt, "--input", npz, "--mode", "pairs",
+                    "--output", str(out_csv), "--batch_size", "4"])
+    assert out_csv.read_text() == "precious\n"
