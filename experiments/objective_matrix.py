@@ -37,6 +37,10 @@ BASELINES = ["supervised", "charge", "distance", "torsion", "infograph"]
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--platform", default=None, help="cpu to force CPU")
+    p.add_argument("--model_3d", default="schnet", choices=["schnet", "painn"],
+                   help="backbone for BOTH pretrain and fine-tune (the paper "
+                        "claims DDM transfer for both; VERDICT r4 #3 asks for "
+                        "the PaiNN column at corpus scale)")
     p.add_argument("--pretrain_size", type=int, default=2048)
     p.add_argument("--finetune_size", type=int, default=512)
     p.add_argument("--epochs", type=int, default=30, help="pretrain epochs")
@@ -89,7 +93,8 @@ def main(argv=None):
 
     os.makedirs(args.out_dir, exist_ok=True)
     # --use_pallas defaults to "auto" in every driver: fused kernels on TPU
-    common = ["--batch_size", str(args.batch_size), "--num_devices", "1"]
+    common = ["--batch_size", str(args.batch_size), "--num_devices", "1",
+              "--model_3d", args.model_3d]
     if args.data_root:
         pre_corpus = ["--data_root", args.data_root,
                       "--dataset", f"Molecule3D_{args.pretrain_size}"]

@@ -207,9 +207,25 @@ def kmer_identity_neighbors(sequences, cutoff: float, k: int = 6):
             for c in chains
         ])
 
+    # Inverted index (kmer -> complex ids containing it): find_similar then
+    # only scores candidates sharing >=1 k-mer instead of every complex —
+    # O(n·chains²) per query would be ~O(n³) at PDBBind scale inside
+    # identity_split's greedy loop.
+    posting: dict = {}
+    for idx, chains in enumerate(kmer_sets):
+        for a in chains:
+            for km in a:
+                posting.setdefault(km, set()).add(idx)
+
     def find_similar(i: int):
         out = {i}
-        for j in range(len(kmer_sets)):
+        if cutoff <= 0:  # degenerate: everything matches
+            return set(range(len(kmer_sets)))
+        candidates = set()
+        for a in kmer_sets[i]:
+            for km in a:
+                candidates |= posting[km]
+        for j in candidates:
             if j == i:
                 continue
             hit = False
@@ -251,22 +267,26 @@ def identity_split(n: int, find_similar, val_split: float = 0.1,
     import math
 
     rng = np.random.default_rng(seed)
-    to_use = set(range(n))
+    # boolean availability vector: np.flatnonzero(available) IS
+    # sorted(to_use), so draws are identical to the original set-based loop
+    # without the O(n log n) re-sort per draw
+    available = np.ones(n, bool)
 
     def create(split_size: float):
-        split, used = set(), set(range(n)) - to_use
-        while len(split) < split_size and to_use:
-            i = int(rng.choice(sorted(to_use)))
+        split = set()
+        used = set(np.flatnonzero(~available).tolist())
+        while len(split) < split_size and available.any():
+            i = int(rng.choice(np.flatnonzero(available)))
             found = set(find_similar(i)) - used
             max_fam_size = int(math.ceil(split_size / min_fam_in_split))
             split.update(sorted(found)[:max_fam_size])
-            to_use.difference_update(found)
+            available[list(found)] = False
             used.update(found)
         return split
 
     val = create(n * val_split)
     test = create(n * test_split)
-    train = to_use
+    train = set(np.flatnonzero(available).tolist())
     return (np.asarray(sorted(train), np.int64),
             np.asarray(sorted(val), np.int64),
             np.asarray(sorted(test), np.int64))

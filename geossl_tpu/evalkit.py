@@ -181,7 +181,10 @@ def report(results, expected):
         for metric, val in results[key].items():
             exp = exp_group.get(name, {}).get(metric) if isinstance(
                 exp_group.get(name), dict) else None
-            delta = ("—" if exp in (None, 0)
+            # exp is None => no published number; exp == 0 => a legitimate
+            # zero, where a relative delta is undefined — print the absolute
+            delta = ("—" if exp is None
+                     else f"{val - exp:+.5f} (abs)" if exp == 0
                      else f"{100 * (val - exp) / abs(exp):+.1f}%")
             lines.append(f"| {key} | {metric} | {val:.5f} | "
                          f"{exp if exp is not None else '—'} | {delta} |")

@@ -24,9 +24,11 @@ Behavioral parity notes:
   filter-layer bias at torch's default uniform init by accident
   (``schnet.py:157-158`` zeroes ``mlp[0]`` twice) — we use zeros, the
   evident intent.
-* The reference's dipole branch is not implemented: it is dead code for every
-  runnable workload (it indexes an atomic-mass table by *index-coded* atom
-  types, which would be incorrect with ``node_class=9``).
+* The reference's dipole branch (dead code for every runnable workload — it
+  indexes an atomic-mass table by *index-coded* atom types, which would be
+  incorrect with ``node_class=9``) is reconstructed with the evident PyG
+  semantics: ``dipole_readout`` below uses TRUE masses for the index-coded
+  vocab (``_ATOMIC_MASSES``) and the mass-weighted center of mass.
 """
 
 from __future__ import annotations

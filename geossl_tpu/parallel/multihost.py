@@ -70,13 +70,28 @@ def initialize(coordinator_address: str, num_processes: int, process_id: int,
     # run first.
     import atexit
 
-    def _sync_before_shutdown():
-        try:
-            from jax.experimental import multihost_utils
+    def _sync_before_shutdown(timeout_s: float = 60.0):
+        # Bounded: a peer that dies in a way the coordination service does
+        # not detect promptly leaves the collective BLOCKED (not raising), so
+        # run it in a daemon thread and give up after timeout_s — exit then
+        # degrades to jax's own shutdown-barrier error instead of hanging.
+        import threading
 
-            multihost_utils.sync_global_devices("geossl-exit")
-        except Exception:
-            pass  # peer already dead: the coordination service reports it
+        def _sync():
+            try:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("geossl-exit")
+            except Exception:
+                pass  # peer already dead: the coordination service reports it
+
+        t = threading.Thread(target=_sync, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if t.is_alive():
+            print("[multihost] exit sync timed out after "
+                  f"{timeout_s:.0f}s (peer unreachable?); proceeding to "
+                  "shutdown", flush=True)
 
     atexit.register(_sync_before_shutdown)
 

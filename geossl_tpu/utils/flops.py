@@ -138,7 +138,8 @@ def mfu(flops_per_step: float, step_seconds: float,
     return achieved / 1e12, achieved / peak
 
 
-def executed_pair_fraction(env, model: str = "schnet") -> float:
+def executed_pair_fraction(env, model: str = "schnet",
+                           symmetric: bool = True) -> float:
     """Fraction of the dense pair-grid FLOPs the gated kernels EXECUTE.
 
     ``env``: [B, N, N] array, nonzero exactly where a pair is live (inside
@@ -146,7 +147,10 @@ def executed_pair_fraction(env, model: str = "schnet") -> float:
     from (``ops/pallas_utils.tile_occupancy``). Uses each model's own
     forward tile geometry:
 
-    * ``schnet``: the symmetric kernel's band grid (``sym_grid_info``) —
+    * ``schnet``: the symmetric kernel's band grid (``sym_grid_info``),
+      gated on ``symmetric`` — pass ``module.max_neighbors is None``: a
+      max_neighbors-truncated adjacency is not symmetric, so cfconv
+      dispatches the plain kernel and no band tiles are skipped —
       a tile executes iff it is not fully below the diagonal band AND its
       occupancy flag is set; each executed off-diagonal tile serves its
       mirror, so dividing executed tiles by the FULL grid also accounts for
@@ -176,7 +180,9 @@ def executed_pair_fraction(env, model: str = "schnet") -> float:
     gated = sparse_auto(n, "auto")  # drivers/bench run the auto policy
     if model == "schnet":
         ti, tj, n_skipped = sym_grid_info(n)
-        sym = n_skipped > 0  # mirrors ops.cfconv_pallas.sym_profitable
+        # mirrors the ops.cfconv_pallas dispatch: symmetric kernel only when
+        # the adjacency is symmetric AND sym_profitable
+        sym = symmetric and n_skipped > 0
         bb = _batch_block(b, ti, tj, budget=8192)
     else:
         from geossl_tpu.ops.painn_pallas import _PAINN_BUDGET
