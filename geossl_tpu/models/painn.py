@@ -319,6 +319,23 @@ def fused_stack_apply(module: PaiNN, params, atom_type, positions, node_mask,
         adj = pair_mask & live_mask
     gate = cosine_cutoff(dist, module.cutoff) * adj.astype(jnp.float32)
 
+    stacked = _stack_params(module, params)
+    from geossl_tpu.ops.painn_pallas import painn_stack_infer
+
+    q, _ = painn_stack_infer(
+        dist, gate, direction[..., 0], direction[..., 1], direction[..., 2],
+        q0, stacked, module.cutoff, epsilon=module.epsilon)
+    out = geometry.readout(q, node_mask, module.readout)
+    return out, q
+
+
+def _stack_params(module: PaiNN, params):
+    """The 11-tuple of per-layer weight stacks the whole-stack kernels
+    consume (ops/painn_pallas.painn_stack_infer docstring). Differentiable:
+    plain stack/slice of the flax tree, so gradients flow back to it."""
+    f = module.n_atom_basis
+    L = module.n_interactions
+
     def layer(name_fmt, k):
         return params[name_fmt.format(
             "shared" if module.shared_interactions else k)]
@@ -332,7 +349,7 @@ def fused_stack_apply(module: PaiNN, params, atom_type, positions, node_mask,
 
     inter = [layer("PaiNNInteraction_{}", k) for k in range(L)]
     mix = [layer("PaiNNMixing_{}", k) for k in range(L)]
-    stacked = tuple(
+    return tuple(
         jnp.stack(x).astype(jnp.float32) for x in (
             [dw(b, "Dense_0", "kernel") for b in inter],
             [dw(b, "Dense_0", "bias") for b in inter],
@@ -347,10 +364,43 @@ def fused_stack_apply(module: PaiNN, params, atom_type, positions, node_mask,
             [dw(b, "Dense_1", "bias") for b in mix],
         )
     )
-    from geossl_tpu.ops.painn_pallas import painn_stack_infer
 
-    q, _ = painn_stack_infer(
+
+def stack_train_apply(module: PaiNN, params, atom_type, positions, node_mask,
+                      pair_mask=None):
+    """DIFFERENTIABLE whole-stack forward (kexp10): the interaction+mixing
+    chain runs as the ONE-program stack kernel on the forward pass while the
+    backward reuses the per-block machinery (ops/painn_pallas.
+    painn_stack_train — the forward saves the block-boundary (q, mu) values
+    it already holds in VMEM; no mega-VJP exists or is needed). Same
+    contract and constraints as :func:`fused_stack_apply` (default config,
+    N <= 64, f32); gradients flow to params AND positions."""
+    if module.pair_axis is not None or module.dtype is not None:
+        raise ValueError("stack_train_apply: default config only")
+    f = module.n_atom_basis
+
+    emb = params["embedding"]
+    if module.zero_pad_embedding:
+        row_gate = jnp.concatenate(
+            [jnp.zeros((1, 1), emb.dtype),
+             jnp.ones((module.max_z - 1, 1), emb.dtype)])
+        emb = emb * row_gate
+    q0 = emb[atom_type].astype(jnp.float32)
+
+    dist, direction, live_mask = geometry.pairwise_directions(
+        positions.astype(jnp.float32), node_mask)
+    if pair_mask is None:
+        adj = geometry.radius_adjacency(
+            dist, live_mask, module.cutoff, module.max_neighbors)
+    else:
+        adj = pair_mask & live_mask
+    gate = cosine_cutoff(dist, module.cutoff) * adj.astype(jnp.float32)
+
+    stacked = _stack_params(module, params)
+    from geossl_tpu.ops.painn_pallas import painn_stack_train
+
+    q, _ = painn_stack_train(
         dist, gate, direction[..., 0], direction[..., 1], direction[..., 2],
-        q0, stacked, module.cutoff, epsilon=module.epsilon)
+        q0, stacked, module.cutoff, module.epsilon)
     out = geometry.readout(q, node_mask, module.readout)
     return out, q

@@ -81,15 +81,27 @@ class NCSNv3(_NCSNBase):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, rng, node_feat, dist, sel_mask, graph_mask=None):
+    def __call__(self, rng, node_feat, dist, sel_mask, graph_mask=None,
+                 sigmas=None, noise=None):
+        """``sigmas [B]`` / ``noise [B,N,N]``, when given, replace the
+        internal draws (``rng`` may then be None) — the cross-framework
+        overlays (experiments/cross_framework_overlay.py) inject one shared
+        numpy noise stream into both arms so loss curves are comparable
+        step-by-step."""
         b = node_feat.shape[0]
         emb = self.emb_dim
-        rng_sigma, rng_noise = jax.random.split(rng)
         # σ/ε follow dist's dtype (≥f32) so the float64 parity path is exact
         ddtype = jnp.promote_types(jnp.float32, dist.dtype)
-        used_g = self._sample_sigmas(rng_sigma, b, ddtype)  # [B]
+        if (sigmas is None) != (noise is None):
+            raise ValueError("supply sigmas and noise together")
+        if sigmas is None:
+            rng_sigma, rng_noise = jax.random.split(rng)
+            used_g = self._sample_sigmas(rng_sigma, b, ddtype)  # [B]
+            noise = jax.random.normal(rng_noise, dist.shape, ddtype)
+        else:
+            used_g = jnp.asarray(sigmas, ddtype)
+            noise = jnp.asarray(noise, ddtype)
         used = used_g[:, None, None]
-        noise = jax.random.normal(rng_noise, dist.shape, ddtype)
 
         glorot = nn.initializers.glorot_uniform()
         zeros = nn.initializers.zeros

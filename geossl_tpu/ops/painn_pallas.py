@@ -829,8 +829,13 @@ def painn_message(dist, gate, dirx, diry, dirz, x, mu, wk, bk, cutoff,
 def _stack_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, q_ref,
                   wd1_ref, bd1_ref, wd2_ref, bd2_ref, wk_ref, bk_ref,
                   wmix_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                  qo_ref, muo_ref, *, bb, n, f, num_r, cutoff, nblocks,
-                  epsilon):
+                  qo_ref, muo_ref, *res_refs, bb, n, f, num_r, cutoff,
+                  nblocks, epsilon):
+    # res_refs (save_residuals mode, painn_stack_train): qs/mus = q/mu at
+    # interaction entry, qps/mups = at mixing entry — the per-block
+    # boundaries the XLA-side backward chain resumes from (kexp10).
+    if res_refs:
+        qs_ref, mus_ref, qps_ref, mups_ref = res_refs
     coeff = -0.5 / (cutoff / (num_r - 1)) ** 2
 
     def dot(a, b):
@@ -847,6 +852,9 @@ def _stack_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, q_ref,
     q = q_ref[...].reshape(bb * n, f)
     mu = [jnp.zeros((bb * n, f), jnp.float32) for _ in range(3)]
     for k in range(nblocks):
+        if res_refs:
+            qs_ref[:, k] = q.reshape(bb, n, f)
+            mus_ref[:, k] = jnp.concatenate(mu, axis=-1).reshape(bb, n, 3 * f)
         # interaction: per-node x-MLP (MXU)
         x = jax.nn.silu(dot(q, wd1_ref[k]) + bd1_ref[k : k + 1])
         x = dot(x, wd2_ref[k]) + bd2_ref[k : k + 1]
@@ -865,6 +873,10 @@ def _stack_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, q_ref,
             mu_c4 = mu[c].reshape(bb, 1, n, f)
             dmu_c = jnp.sum(wrx * dirs4[c] + wmx * mu_c4, axis=2)
             mu[c] = mu[c] + dmu_c.reshape(bb * n, f)
+        if res_refs:
+            qps_ref[:, k] = q.reshape(bb, n, f)
+            mups_ref[:, k] = jnp.concatenate(mu, axis=-1).reshape(
+                bb, n, 3 * f)
         # mixing (per node, MXU)
         v, w = [], []
         for c in range(3):
@@ -885,43 +897,161 @@ def _stack_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, q_ref,
     muo_ref[...] = jnp.concatenate(mu, axis=-1).reshape(bb, n, 3 * f)
 
 
-def painn_stack_infer(dist, gate, dirx, diry, dirz, q0, stacked, cutoff,
-                      epsilon=1e-8):
-    """Whole-stack PaiNN forward: (q [B,N,F], mu_flat [B,N,3F]) after ALL
-    interaction+mixing blocks. ``stacked`` is the 11-tuple of per-layer
-    weight stacks (wd1 [L,F,F], bd1 [L,F], wd2 [L,F,3F], bd2 [L,3F],
-    wk [L,R,3F], bk [L,3F], wmix [L,F,2F], w1 [L,2F,F], b1 [L,F],
-    w2 [L,F,3F], b2 [L,3F]). Inference only — see the block comment."""
+def _stack_pallas(dist, gate, dirx, diry, dirz, q0, stacked, cutoff,
+                  epsilon, save_residuals=False):
     b, n, _ = dist.shape
     f = q0.shape[-1]
     num_r = stacked[4].shape[1]
     nblocks = stacked[0].shape[0]
     if n > 64:
         raise ValueError(
-            f"painn_stack_infer: N={n} exceeds the VMEM-resident limit (64);"
-            " use the per-block path")
+            f"painn stack kernel: N={n} exceeds the VMEM-resident limit "
+            "(64); use the per-block path")
     bb = _batch_block(b, n, n, budget=4096)
     kern = partial(
         _stack_kernel, bb=bb, n=n, f=f, num_r=num_r, cutoff=cutoff,
         nblocks=nblocks, epsilon=epsilon)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape))
     pair = pl.BlockSpec((bb, n, n), lambda i: (i, 0, 0))
-    q_out, mu_out = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((bb, n, f), lambda i: (i, 0, 0)),
+        pl.BlockSpec((bb, n, 3 * f), lambda i: (i, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+        jax.ShapeDtypeStruct((b, n, 3 * f), jnp.float32),
+    ]
+    if save_residuals:
+        L = nblocks
+        for width in (f, 3 * f, f, 3 * f):  # qs, mus, qps, mups
+            out_specs.append(
+                pl.BlockSpec((bb, L, n, width), lambda i: (i, 0, 0, 0)))
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, L, n, width), jnp.float32))
+    return pl.pallas_call(
         kern,
         grid=(b // bb,),
         in_specs=[pair] * 5
         + [pl.BlockSpec((bb, n, f), lambda i: (i, 0, 0))]
         + [full(w) for w in stacked],
-        out_specs=[
-            pl.BlockSpec((bb, n, f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bb, n, 3 * f), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, 3 * f), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2**20),
     )(dist, gate, dirx, diry, dirz, q0, *stacked)
-    return q_out, mu_out
+
+
+def painn_stack_infer(dist, gate, dirx, diry, dirz, q0, stacked, cutoff,
+                      epsilon=1e-8):
+    """Whole-stack PaiNN forward: (q [B,N,F], mu_flat [B,N,3F]) after ALL
+    interaction+mixing blocks. ``stacked`` is the 11-tuple of per-layer
+    weight stacks (wd1 [L,F,F], bd1 [L,F], wd2 [L,F,3F], bd2 [L,3F],
+    wk [L,R,3F], bk [L,3F], wmix [L,F,2F], w1 [L,2F,F], b1 [L,F],
+    w2 [L,F,3F], b2 [L,3F]). Inference only — see the block comment;
+    the differentiable variant is :func:`painn_stack_train`."""
+    return _stack_pallas(dist, gate, dirx, diry, dirz, q0, stacked, cutoff,
+                         epsilon, save_residuals=False)
+
+
+# --------------------------------------------------------------------------
+# kexp10 (round 5): differentiable whole-stack forward. The mega kernel has
+# no VJP of its own; instead the forward saves the per-block (q, mu)
+# boundary values it already holds in VMEM, and the backward REUSES the
+# existing per-block machinery — XLA vjps for the x-MLP/mixing halves and
+# the _painn_bwd kernel (which recomputes its pair grid in-kernel) for the
+# message half. Net effect on a training step: the forward pass runs the
+# stack kernel (1.23x over the per-block fused chain at the DDM shape,
+# kexp9) while the backward work is unchanged.
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def painn_stack_train(dist, gate, dirx, diry, dirz, q0, stacked, cutoff,
+                      epsilon=1e-8):
+    """Differentiable whole-stack PaiNN forward (same contract as
+    :func:`painn_stack_infer`). First-order AD only; grads flow to every
+    array input (dist, gate, directions, q0, the 11 weight stacks)."""
+    return _stack_pallas(dist, gate, dirx, diry, dirz, q0, stacked, cutoff,
+                         epsilon, save_residuals=False)
+
+
+def _xmlp(q, wd1, bd1, wd2, bd2):
+    x = jax.nn.silu(q @ wd1 + bd1)
+    return x @ wd2 + bd2
+
+
+def _mixing(qp, mup_flat, wmix, w1, b1, w2, b2, epsilon):
+    """PaiNNMixing math on [B,N,·] tensors (models/painn.py:155-178)."""
+    b, n, f = qp.shape
+    mu = mup_flat.reshape(b, n, 3, f)
+    mu_mix = mu @ wmix
+    mu_v, mu_w = jnp.split(mu_mix, 2, axis=-1)
+    mu_vn = jnp.sqrt(jnp.sum(mu_v * mu_v, axis=-2) + epsilon)
+    ctx = jnp.concatenate([qp, mu_vn], axis=-1)
+    x = jax.nn.silu(ctx @ w1 + b1)
+    x = x @ w2 + b2
+    dq_intra, dmu_gate, dqmu_intra = jnp.split(x, 3, axis=-1)
+    vw = jnp.sum(mu_v * mu_w, axis=-2)
+    q_out = qp + dq_intra + dqmu_intra * vw
+    mu_out = mu + dmu_gate[:, :, None, :] * mu_w
+    return q_out, mu_out.reshape(b, n, 3 * f)
+
+
+def _stack_train_fwd(dist, gate, dirx, diry, dirz, q0, stacked, cutoff,
+                     epsilon):
+    q, mu, qs, mus, qps, mups = _stack_pallas(
+        dist, gate, dirx, diry, dirz, q0, stacked, cutoff, epsilon,
+        save_residuals=True)
+    return (q, mu), (dist, gate, dirx, diry, dirz, stacked, qs, mus, qps,
+                     mups)
+
+
+def _stack_train_bwd(cutoff, epsilon, res, cots):
+    dist, gate, dirx, diry, dirz, stacked, qs, mus, qps, mups = res
+    gq, gmu = cots
+    wd1, bd1, wd2, bd2, wk, bk, wmix, w1, b1, w2, b2 = stacked
+    L = wd1.shape[0]
+    g_stack = [jnp.zeros_like(t) for t in stacked]
+    gdist = jnp.zeros_like(dist)
+    ggate = jnp.zeros_like(gate)
+    gdx = jnp.zeros_like(dirx)
+    gdy = jnp.zeros_like(diry)
+    gdz = jnp.zeros_like(dirz)
+    for k in reversed(range(L)):
+        # mixing half (XLA vjp; recomputes its per-node intermediates)
+        _, mix_vjp = jax.vjp(
+            partial(_mixing, epsilon=epsilon),
+            qps[:, k], mups[:, k], wmix[k], w1[k], b1[k], w2[k], b2[k])
+        gqp, gmup, gwmix, gw1, gb1, gw2, gb2 = mix_vjp((gq, gmu))
+        g_stack[6] = g_stack[6].at[k].add(gwmix)
+        g_stack[7] = g_stack[7].at[k].add(gw1)
+        g_stack[8] = g_stack[8].at[k].add(gb1)
+        g_stack[9] = g_stack[9].at[k].add(gw2)
+        g_stack[10] = g_stack[10].at[k].add(gb2)
+        # message half: the existing per-block backward kernel (recomputes
+        # the pair grid in-kernel from the saved block inputs)
+        x_k, xmlp_vjp = jax.vjp(
+            _xmlp, qs[:, k], wd1[k], bd1[k], wd2[k], bd2[k])
+        dd, dg, ddx, ddy, ddz, dx, dmu_in, dwk, dbk = _painn_bwd(
+            dist, gate, dirx, diry, dirz, x_k, mus[:, k], wk[k], bk[k],
+            gqp, gmup, cutoff, False)
+        gdist += dd
+        ggate += dg
+        gdx += ddx
+        gdy += ddy
+        gdz += ddz
+        g_stack[4] = g_stack[4].at[k].add(dwk)
+        g_stack[5] = g_stack[5].at[k].add(dbk)
+        gq_from_x, gwd1, gbd1, gwd2, gbd2 = xmlp_vjp(dx)
+        g_stack[0] = g_stack[0].at[k].add(gwd1)
+        g_stack[1] = g_stack[1].at[k].add(gbd1)
+        g_stack[2] = g_stack[2].at[k].add(gwd2)
+        g_stack[3] = g_stack[3].at[k].add(gbd2)
+        # residual identity paths into the block inputs
+        gq = gqp + gq_from_x
+        gmu = gmup + dmu_in
+    # mu0 is created inside the op (zeros): its cotangent is dropped
+    return gdist, ggate, gdx, gdy, gdz, gq, tuple(g_stack)
+
+
+painn_stack_train.defvjp(_stack_train_fwd, _stack_train_bwd)
