@@ -210,6 +210,33 @@ def build_molecule3d(root: str, limit: Optional[int] = None) -> MolStore:
     return MolStore.from_records(records)
 
 
+def process_molecule3d(root: str,
+                       subsets: "tuple[int, ...]" = (1_000_000, 2_000_000),
+                       ) -> "MolStore":
+    """The reference's full ``process()`` (``datasets_Molecule3D.py:61-149``):
+    ONE scan of the raw SDF shards building the full corpus cache, then the
+    head subsets (the reference writes 1M and 2M via
+    ``np.arange(sample_size)`` over the full list) — each subset cache is
+    byte-identical to a direct ``limit=k`` build because subsets are heads
+    of the same scan order (``MolStore.head``). Returns the full store.
+    Idempotent: existing caches are left untouched."""
+    full_cache = os.path.join(root, "processed", "molecule3d_store.npz")
+    if os.path.exists(full_cache):
+        store = MolStore.load(full_cache)
+    else:
+        store = build_molecule3d(root, limit=None)
+        store.save(full_cache)
+    for k in subsets:
+        path = os.path.join(root, "processed", f"molecule3d_{k}_store.npz")
+        if os.path.exists(path):
+            continue
+        if k > len(store):
+            raise ValueError(
+                f"subset {k} exceeds the corpus size {len(store)}")
+        store.head(k).save(path)
+    return store
+
+
 def load_molecule3d(
     root: str,
     subset: Optional[int] = 1_000_000,

@@ -77,6 +77,31 @@ class MolStore:
     def __getitem__(self, i: int) -> MolRecord:
         return self.get(i)
 
+    def head(self, k: int) -> "MolStore":
+        """First ``k`` molecules as a new store — the reference's subset
+        semantics (``datasets_Molecule3D.py:128-135``: head subsets of the
+        full scan order via ``np.arange(sample_size)``). Views, not copies;
+        ``save`` writes only the sliced ranges, so a saved head cache is
+        byte-identical to one built directly with ``limit=k``."""
+        if not 0 < k <= len(self):
+            raise ValueError(f"head: k={k} out of range (1..{len(self)})")
+        a_end = self.offsets[k]
+        bond_index = bond_offsets = None
+        if self.bond_index is not None:
+            bond_offsets = self.bond_offsets[: k + 1]
+            bond_index = self.bond_index[:, : self.bond_offsets[k]]
+        return MolStore(
+            atom_type=self.atom_type[:a_end],
+            positions=self.positions[:a_end],
+            offsets=self.offsets[: k + 1],
+            chirality=(None if self.chirality is None
+                       else self.chirality[:a_end]),
+            bond_index=bond_index,
+            bond_offsets=bond_offsets,
+            y=None if self.y is None else self.y[:k],
+            forces=None if self.forces is None else self.forces[:a_end],
+        )
+
     # -- construction / io ---------------------------------------------------
 
     @staticmethod

@@ -729,6 +729,13 @@ def _stack_kernel(dist_ref, env_ref, h0_ref, wl1_ref, w1_ref, b1_ref,
     out_ref[...] = h.reshape(bb, n, f)
 
 
+# Largest N the whole-stack kernel accepts. Round 4 guarded at 64 by VMEM
+# analysis; kexp10 MEASURED N=128 on the chip: compiles, bitwise vs the
+# per-block forward, 1.18x at B=32 / 1.25x at B=128 — so the pretrain
+# ladder's top bucket serves through the stack too (kexp10_results.json).
+STACK_MAX_N = 128
+
+
 def schnet_stack_infer(dist, env, h0, stacked, start, stop, num_g):
     """Whole-stack SchNet node features after ALL interaction blocks
     (inference only — see the block comment). ``stacked`` is the 9-tuple of
@@ -739,10 +746,10 @@ def schnet_stack_infer(dist, env, h0, stacked, start, stop, num_g):
     b, n, _ = dist.shape
     f = h0.shape[-1]
     nblocks = stacked[0].shape[0]
-    if n > 64:
+    if n > STACK_MAX_N:
         raise ValueError(
-            f"schnet_stack_infer: N={n} exceeds the VMEM-resident limit (64);"
-            " use the per-block path")
+            f"schnet_stack_infer: N={n} exceeds the VMEM-resident limit "
+            f"({STACK_MAX_N}); use the per-block path")
     delta = (stop - start) / (num_g - 1)
     coeff = -0.5 / delta**2
     bb = _batch_block(b, n, n)

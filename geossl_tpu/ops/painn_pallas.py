@@ -897,16 +897,25 @@ def _stack_kernel(dist_ref, gate_ref, dx_ref, dy_ref, dz_ref, q_ref,
     muo_ref[...] = jnp.concatenate(mu, axis=-1).reshape(bb, n, 3 * f)
 
 
+# Largest N the whole-stack kernels accept. 64 was the round-4 VMEM
+# analysis; kexp10 MEASURED N=128 on the chip: compiles (bb=1 fits the
+# [bb,128,128,3F] gated filter block under the 110 MB window), parity at
+# the usual bf16 drift (8.2e-4 rel), 1.32x over the per-block fused chain
+# at B=128 (kexp10_results.json part3). N=512 stays impossible by
+# construction — the kexp9 docstring analysis.
+STACK_MAX_N = 128
+
+
 def _stack_pallas(dist, gate, dirx, diry, dirz, q0, stacked, cutoff,
                   epsilon, save_residuals=False):
     b, n, _ = dist.shape
     f = q0.shape[-1]
     num_r = stacked[4].shape[1]
     nblocks = stacked[0].shape[0]
-    if n > 64:
+    if n > STACK_MAX_N:
         raise ValueError(
             f"painn stack kernel: N={n} exceeds the VMEM-resident limit "
-            "(64); use the per-block path")
+            f"({STACK_MAX_N}); use the per-block path")
     bb = _batch_block(b, n, n, budget=4096)
     kern = partial(
         _stack_kernel, bb=bb, n=n, f=f, num_r=num_r, cutoff=cutoff,
@@ -1011,7 +1020,11 @@ def _stack_train_bwd(cutoff, epsilon, res, cots):
     gq, gmu = cots
     wd1, bd1, wd2, bd2, wk, bk, wmix, w1, b1, w2, b2 = stacked
     L = wd1.shape[0]
-    g_stack = [jnp.zeros_like(t) for t in stacked]
+    # per-k gradient pieces collected in lists and stacked at the end:
+    # .at[k].add scatters here fuse (with all nine kernel outputs live)
+    # into one XLA fusion whose scoped-VMEM allocation blows the 16 MB
+    # limit at the flagship shape
+    per_k = [[None] * L for _ in range(11)]
     gdist = jnp.zeros_like(dist)
     ggate = jnp.zeros_like(gate)
     gdx = jnp.zeros_like(dirx)
@@ -1023,11 +1036,8 @@ def _stack_train_bwd(cutoff, epsilon, res, cots):
             partial(_mixing, epsilon=epsilon),
             qps[:, k], mups[:, k], wmix[k], w1[k], b1[k], w2[k], b2[k])
         gqp, gmup, gwmix, gw1, gb1, gw2, gb2 = mix_vjp((gq, gmu))
-        g_stack[6] = g_stack[6].at[k].add(gwmix)
-        g_stack[7] = g_stack[7].at[k].add(gw1)
-        g_stack[8] = g_stack[8].at[k].add(gb1)
-        g_stack[9] = g_stack[9].at[k].add(gw2)
-        g_stack[10] = g_stack[10].at[k].add(gb2)
+        per_k[6][k], per_k[7][k], per_k[8][k] = gwmix, gw1, gb1
+        per_k[9][k], per_k[10][k] = gw2, gb2
         # message half: the existing per-block backward kernel (recomputes
         # the pair grid in-kernel from the saved block inputs)
         x_k, xmlp_vjp = jax.vjp(
@@ -1040,18 +1050,16 @@ def _stack_train_bwd(cutoff, epsilon, res, cots):
         gdx += ddx
         gdy += ddy
         gdz += ddz
-        g_stack[4] = g_stack[4].at[k].add(dwk)
-        g_stack[5] = g_stack[5].at[k].add(dbk)
+        per_k[4][k], per_k[5][k] = dwk, dbk
         gq_from_x, gwd1, gbd1, gwd2, gbd2 = xmlp_vjp(dx)
-        g_stack[0] = g_stack[0].at[k].add(gwd1)
-        g_stack[1] = g_stack[1].at[k].add(gbd1)
-        g_stack[2] = g_stack[2].at[k].add(gwd2)
-        g_stack[3] = g_stack[3].at[k].add(gbd2)
+        per_k[0][k], per_k[1][k] = gwd1, gbd1
+        per_k[2][k], per_k[3][k] = gwd2, gbd2
         # residual identity paths into the block inputs
         gq = gqp + gq_from_x
         gmu = gmup + dmu_in
+    g_stack = tuple(jnp.stack(pieces) for pieces in per_k)
     # mu0 is created inside the op (zeros): its cotangent is dropped
-    return gdist, ggate, gdx, gdy, gdz, gq, tuple(g_stack)
+    return gdist, ggate, gdx, gdy, gdz, gq, g_stack
 
 
 painn_stack_train.defvjp(_stack_train_fwd, _stack_train_bwd)

@@ -107,19 +107,22 @@ class Predictor:
         head = common.make_head(cfg.model_3d, cfg.emb_dim)
         dual_head = common.DualHead()
 
-        # Forward-only buckets (N<=64) run the whole-stack inference kernels
-        # (models/{schnet,painn}.fused_stack_apply — kexp2/kexp9: the full
-        # interaction chain in one Pallas program; serving forward 1.5x for
-        # PaiNN at the QM9 shape). The force path keeps backbone_apply: the
-        # stack kernels are deliberately VJP-free.
+        # Forward-only buckets up to each kernel's measured VMEM-residency
+        # limit run the whole-stack inference kernels (models/{schnet,painn}
+        # .fused_stack_apply — kexp2/kexp9/kexp10: the full interaction
+        # chain in one Pallas program; serving forward 1.5x for PaiNN at
+        # the QM9 shape, 1.18-1.25x for SchNet at N=128). The force path
+        # keeps backbone_apply: the stack kernels are deliberately VJP-free.
         fwd_apply = self.backbone_apply
         if (cfg.use_pallas and self.module.pair_axis is None
                 and self.module.dtype is None):
             if cfg.model_3d == "painn":
                 from geossl_tpu.models.painn import fused_stack_apply
+                from geossl_tpu.ops.painn_pallas import STACK_MAX_N
                 stackable = True
             else:
                 from geossl_tpu.models.schnet import fused_stack_apply
+                from geossl_tpu.ops.cfconv_pallas import STACK_MAX_N
                 # the stack kernel keeps h resident at ONE width: rectangular
                 # filter configs fall back to the per-block path
                 stackable = (self.module.filter_mxu == "f32"
@@ -127,8 +130,8 @@ class Predictor:
                              == self.module.hidden_channels)
             if stackable:
                 def fwd_apply(p, z, pos, mask, _orig=self.backbone_apply,
-                              _stack=fused_stack_apply):
-                    if pos.shape[1] <= 64:
+                              _stack=fused_stack_apply, _max=STACK_MAX_N):
+                    if pos.shape[1] <= _max:
                         return _stack(self.module, p, z, pos, mask)
                     return _orig(p, z, pos, mask)
 

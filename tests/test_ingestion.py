@@ -586,3 +586,53 @@ def test_2d_and_mmff_variants_are_rdkit_gated():
         F.mol_to_arrays_2d(FakeMol())
     with pytest.raises(ModuleNotFoundError):
         F.mol_to_arrays_mmff(FakeMol(), num_conformers=5)
+
+
+def test_process_molecule3d_multi_subset(tmp_path):
+    """process_molecule3d (datasets_Molecule3D.py:61-149): ONE raw scan
+    writes the full cache plus head-subset caches, and each subset cache
+    holds exactly the arrays a direct limit=k build produces."""
+    from geossl_tpu.data.molecule3d import (
+        SDF_SHARDS,
+        build_molecule3d,
+        load_molecule3d,
+        process_molecule3d,
+    )
+    from geossl_tpu.data.store import MolStore
+
+    rng = np.random.default_rng(5)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    mols = []
+    for i in range(8):
+        n = int(rng.integers(2, 6))
+        els = [["C", "N", "O"][int(rng.integers(3))] for _ in range(n)]
+        coords = rng.normal(size=(n, 3)).round(3)
+        bonds = [(j, j + 1, 1) for j in range(n - 1)]
+        mols.append(make_mol_block(els, coords, bonds))
+    (raw / SDF_SHARDS[0]).write_text(
+        "".join(m.rstrip("\n") + "\n$$$$\n" for m in mols))
+    for shard in SDF_SHARDS[1:]:
+        (raw / shard).write_text("")
+    with open(raw / "properties.csv", "w") as f:
+        f.write("cid,p0,p1\n")
+        for i in range(8):
+            f.write(f"{900 + i},{i}.5,{i * 10}.0\n")
+
+    full = process_molecule3d(str(tmp_path), subsets=(3, 5))
+    assert len(full) == 8
+    direct = build_molecule3d(str(tmp_path), limit=3)
+    sub = MolStore.load(
+        str(tmp_path / "processed" / "molecule3d_3_store.npz"))
+    assert len(sub) == 3
+    for name in ("atom_type", "positions", "offsets", "bond_index",
+                 "bond_offsets", "y"):
+        np.testing.assert_array_equal(getattr(sub, name),
+                                      getattr(direct, name), err_msg=name)
+    # load_molecule3d picks the subset cache up directly
+    again = load_molecule3d(str(tmp_path), subset=5)
+    assert len(again) == 5
+    np.testing.assert_array_equal(again.get(4).atom_type,
+                                  full.get(4).atom_type)
+    with pytest.raises(ValueError, match="exceeds"):
+        process_molecule3d(str(tmp_path), subsets=(9,))

@@ -531,7 +531,7 @@ def test_fused_stack_rejects_large_n():
     from geossl_tpu.models.painn import PaiNN, fused_stack_apply
 
     m = PaiNN(use_pallas=False)
-    B, N = 2, 128
+    B, N = 2, 256  # kexp10 raised STACK_MAX_N to 128
     z = jnp.zeros((B, N), jnp.int32)
     pos = jnp.asarray(np.random.default_rng(0).normal(size=(B, N, 3)),
                       jnp.float32)
@@ -539,3 +539,27 @@ def test_fused_stack_rejects_large_n():
     params = m.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
     with pytest.raises(ValueError, match="VMEM"):
         fused_stack_apply(m, params, z, pos, mask)
+
+
+def test_painn_fused_stack_n128_matches_module_apply():
+    """kexp10 raised STACK_MAX_N to 128 (measured 1.32x on chip at the
+    kernel family's usual bf16 drift): pin parity at the new top bucket."""
+    import numpy as np
+
+    from geossl_tpu.models.painn import PaiNN, fused_stack_apply
+
+    rng = np.random.default_rng(4)
+    B, N = 2, 128
+    z = rng.integers(1, 9, (B, N)).astype(np.int32)
+    pos = np.cumsum(rng.normal(scale=0.9, size=(B, N, 3)), 1).astype(
+        np.float32)
+    mask = np.ones((B, N), bool)
+    mask[1, 70:] = False
+    z[1, 70:] = 0
+    z, pos, mask = map(jnp.asarray, (z, pos, mask))
+    m = PaiNN(use_pallas=False)
+    params = m.init(jax.random.PRNGKey(0), z, pos, mask)["params"]
+    ref_g, _ = m.apply({"params": params}, z, pos, mask)
+    got_g, _ = fused_stack_apply(m, params, z, pos, mask)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=2e-5, atol=1e-5)

@@ -82,7 +82,7 @@ def test_stack_train_cached_pair_mask_and_zero_row():
 
 
 def test_stack_train_rejects_large_n():
-    z, pos, mask = _batch(n=96)
+    z, pos, mask = _batch(n=256)  # kexp10 raised STACK_MAX_N to 128
     mod = PaiNN()
     params = mod.init(jax.random.PRNGKey(1), z, pos, mask)["params"]
     with pytest.raises(ValueError, match="VMEM-resident"):
