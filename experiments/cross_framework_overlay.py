@@ -72,7 +72,52 @@ def build_parser():
     p.add_argument("--sigma", type=float, default=0.3)
     p.add_argument("--mask_ratio", type=float, default=0.3)
     p.add_argument("--out", default=None)
+    p.add_argument("--save_params_every", type=int, default=0,
+                   help="jax arm: save a flat-npz param snapshot every N "
+                        "steps (for drift-regime continuation arms)")
+    p.add_argument("--init_params", default=None,
+                   help="start from a snapshot npz instead of fresh init "
+                        "(optimizer state starts FRESH in both arms — the "
+                        "continuation protocol is identical either way)")
+    p.add_argument("--skip_steps", type=int, default=0,
+                   help="fast-forward the shared batch/noise streams by N "
+                        "steps before training (aligns a continuation arm "
+                        "with the snapshot's position in the stream)")
     return p
+
+
+# ----------------------------------------------------- snapshot (de)serial
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_snapshot(path, params, extra_vars):
+    flat = _flatten({"params": params, "extra_vars": extra_vars})
+    np.savez(path, **flat)
+
+
+def load_snapshot(path):
+    with np.load(path) as z:
+        tree = _unflatten({k: z[k] for k in z.files})
+    return tree["params"], tree.get("extra_vars", {})
 
 
 # --------------------------------------------------------- shared machinery
@@ -254,7 +299,7 @@ def run_check(args, module, params, extra_vars, stream):
 
 
 # -------------------------------------------------------------- torch arm
-def run_torch(args, params, extra_vars, stream, probe_np):
+def run_torch(args, params, extra_vars, stream, probe_np, writer=None):
     import torch
 
     from experiments import torch_twin as tw
@@ -289,6 +334,8 @@ def run_torch(args, params, extra_vars, stream, probe_np):
             for g, base in zip(opt.param_groups, base_lrs):
                 g["lr"] = base * f
         nz = noise_for(noise_rng, b, objective)
+        if step < args.skip_steps:
+            continue  # stream/noise consumed; no compute
         z = torch.tensor(np.asarray(b.atom_type), dtype=torch.long)
         pos1 = torch.tensor(np.asarray(b.positions))
         mask = torch.tensor(np.asarray(b.node_mask))
@@ -325,11 +372,13 @@ def run_torch(args, params, extra_vars, stream, probe_np):
                   f"norm {probes[-1]['mean_norm']:.4g} "
                   f"cos {probes[-1]['mean_pairwise_cos']:.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+            if writer is not None:
+                writer(losses, probes)  # partial result survives a kill
     return losses, probes
 
 
 # ---------------------------------------------------------------- jax arm
-def run_jax(args, module, params, extra_vars, stream, probe_np):
+def run_jax(args, module, params, extra_vars, stream, probe_np, writer=None):
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -411,23 +460,44 @@ def run_jax(args, module, params, extra_vars, stream, probe_np):
 
     pv = (params, extra_vars)
     noise_rng = np.random.default_rng(args.noise_seed)
-    losses, probes, t0 = [], [], time.time()
+    # losses stay ON DEVICE (async dispatch) and come back in window fetches
+    # — a per-step float() costs a ~10 ms tunnel roundtrip (CLAUDE.md)
+    losses, pending, probes, t0 = [], [], [], time.time()
+
+    def drain():
+        nonlocal pending
+        if pending:
+            losses.extend(np.asarray(jnp.stack(pending)).tolist())
+            pending = []
+
     for step, epoch, b in stream:
         nz = noise_for(noise_rng, b, objective)
+        if step < args.skip_steps:
+            continue  # stream/noise consumed; no compute
         batch = (jnp.asarray(b.atom_type), jnp.asarray(b.positions),
                  jnp.asarray(b.node_mask), jnp.asarray(b.graph_mask))
         nzj = {k: jnp.asarray(v) for k, v in nz.items()}
         f = cosine_lr_factor(epoch, args.epochs_for_schedule)
         pv, opt_state, loss = train_step(pv, opt_state, batch, nzj,
                                          jnp.float32(f))
-        losses.append(float(loss))  # value fetch = fence (CLAUDE.md)
+        pending.append(loss)
+        if args.save_params_every and step and \
+                step % args.save_params_every == 0:
+            snap = (args.out or "/tmp/overlay") + f".step{step}.npz"
+            save_snapshot(snap, jax.device_get(pv[0]),
+                          jax.device_get(pv[1]))
+            print(f"[jax {objective}] snapshot {snap}", flush=True)
         if step % args.probe_every == 0 or step == args.steps - 1:
+            drain()
             gp = np.asarray(probe_fn(pv[0]["model"]))
             probes.append({"step": step, **repr_probe(gp)})
             print(f"[jax {objective}] step {step} loss {losses[-1]:.5f} "
                   f"norm {probes[-1]['mean_norm']:.4g} "
                   f"cos {probes[-1]['mean_pairwise_cos']:.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+            if writer is not None:
+                writer(losses, probes)  # partial result survives a kill
+    drain()
     return losses, probes
 
 
@@ -445,35 +515,49 @@ def main(argv=None):
 
     loader = make_loader(args)
     module, params, extra_vars = init_params(args, args.objective)
+    if args.init_params:
+        params, extra_vars = load_snapshot(args.init_params)
+        print(f"[overlay] initialized from {args.init_params}", flush=True)
     probe_np = probe_batch_np()
     stream = batch_stream(loader, args.steps)
     t0 = time.time()
     if args.arm == "check":
         run_check(args, module, params, extra_vars, stream)
         return
-    if args.arm == "torch":
-        losses, probes = run_torch(args, params, extra_vars, stream, probe_np)
-    else:
-        losses, probes = run_jax(args, module, params, extra_vars, stream,
-                                 probe_np)
     out = args.out or (f"/root/corpora/overlay_{args.objective}_{args.arm}"
                        f"_{args.platform or 'default'}_s{args.noise_seed}.json")
-    with open(out, "w") as f:
-        json.dump({
-            "objective": args.objective, "arm": args.arm,
-            "platform": args.platform or "default",
-            "steps": args.steps, "noise_seed": args.noise_seed,
-            "protocol": {
-                "corpus": f"{args.data_root} subset {args.size}",
-                "batch_size": args.batch_size, "lr": args.lr,
-                "cosine_T_max_epochs": args.epochs_for_schedule,
-                "sigma": args.sigma, "mask_ratio": args.mask_ratio,
-                "rr_quirk": "AE heads at absolute lr 1.0" if
-                            args.objective == "RR" else None,
-            },
-            "wall_s": round(time.time() - t0, 1),
-            "losses": losses, "probes": probes,
-        }, f)
+
+    def write_out(losses, probes, done=False):
+        # atomic replace so a kill mid-write can't corrupt the result
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "objective": args.objective, "arm": args.arm,
+                "platform": args.platform or "default",
+                "steps": args.steps, "noise_seed": args.noise_seed,
+                "skip_steps": args.skip_steps,
+                "init_params": args.init_params,
+                "completed": bool(done),
+                "protocol": {
+                    "corpus": f"{args.data_root} subset {args.size}",
+                    "batch_size": args.batch_size, "lr": args.lr,
+                    "cosine_T_max_epochs": args.epochs_for_schedule,
+                    "sigma": args.sigma, "mask_ratio": args.mask_ratio,
+                    "rr_quirk": "AE heads at absolute lr 1.0" if
+                                args.objective == "RR" else None,
+                },
+                "wall_s": round(time.time() - t0, 1),
+                "losses": losses, "probes": probes,
+            }, f)
+        os.replace(tmp, out)
+
+    if args.arm == "torch":
+        losses, probes = run_torch(args, params, extra_vars, stream, probe_np,
+                                   writer=write_out)
+    else:
+        losses, probes = run_jax(args, module, params, extra_vars, stream,
+                                 probe_np, writer=write_out)
+    write_out(losses, probes, done=True)
     print(f"wrote {out}", flush=True)
 
 
