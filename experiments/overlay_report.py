@@ -101,8 +101,13 @@ def main(argv=None):
         # exponential rate fit on the second half (the plateau ends there)
         tail_s, tail_n = np.asarray(s[lo:]), n[lo:]
         rate = np.polyfit(tail_s, np.log(np.maximum(tail_n, 1e-12)), 1)[0]
+        # drift onset: first probe where the norm leaves the plateau by 10x
+        plateau = float(np.median(n[:max(2, len(n) // 10)]))
+        onset = next((int(si) for si, ni in zip(s, n) if ni > 10 * plateau),
+                     None)
         return {"norm_first": float(n[0]), "norm_last": float(n[-1]),
-                "exp_rate_per_step": float(rate)}
+                "exp_rate_per_step": float(rate),
+                "plateau_norm": plateau, "jump_onset_step": onset}
 
     out["norm_growth"] = {"torch": growth(t), "jax": growth(j),
                           "yardstick": growth(y)}
