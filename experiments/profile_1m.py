@@ -51,6 +51,11 @@ def main(argv=None):
     from geossl_tpu.data.molecule3d import load_molecule3d
 
     res = {}
+
+    def dump():  # partial results survive a crash in a later stage
+        with open(args.results_out, "w") as f:
+            json.dump(res, f, indent=1)
+
     t0 = time.time()
     store = load_molecule3d(args.root, subset=args.size)
     res["store_load_s"] = round(time.time() - t0, 1)
@@ -74,6 +79,7 @@ def main(argv=None):
         if label == "bfs03":
             res["bucket_batches_sampled"] = counts
         print(f"[A] host-only {label}: {mols / dt:.0f} mol/s", flush=True)
+        dump()
 
     # ---- B: device-only step rate per bucket -------------------------
     # the DDM train step from the driver, on ONE resident batch per bucket,
@@ -160,10 +166,12 @@ def main(argv=None):
     # blended ceiling over the sampled bucket mix
     counts = res["bucket_batches_sampled"]
     tot_b = sum(counts.values())
+    # time for bucket k = counts[k] batches * (128 / rates[k]) seconds;
+    # blended mol/s = (tot_b * 128) / total_time = tot_b / sum(counts/rates)
     blended = tot_b / sum(counts[k] / rates[int(k)] for k in counts)
-    res["device_blended_mol_per_s"] = round(blended * 128, 1)
-    print(f"[B] blended device ceiling: {blended * 128:.0f} mol/s",
-          flush=True)
+    res["device_blended_mol_per_s"] = round(blended, 1)
+    print(f"[B] blended device ceiling: {blended:.0f} mol/s", flush=True)
+    dump()
 
     # ---- C: real epochs, k=1 vs k=8 ----------------------------------
     if not args.skip_driver:
@@ -183,12 +191,13 @@ def main(argv=None):
             subprocess.run(cmd, cwd="/root/repo", check=True)
             res[f"driver_k{k}_wall_s"] = round(time.time() - t0, 1)
             with open(log) as f:
-                epochs = [json.loads(l) for l in f if "epoch" in l]
+                epochs = [d for d in map(json.loads, f) if "epoch" in d]
             steady = [d["time_s"] for d in epochs if d["epoch"] > 1]
             res[f"driver_k{k}_steady_epoch_s"] = steady[-1]
             res[f"driver_k{k}_mol_per_s"] = round(args.size / steady[-1], 1)
             print(f"[C] k={k}: steady epoch {steady[-1]:.1f}s = "
                   f"{args.size / steady[-1]:.0f} mol/s", flush=True)
+            dump()
 
     with open(args.results_out, "w") as f:
         json.dump(res, f, indent=1)
