@@ -70,11 +70,16 @@ def main(argv=None):
                     "yardstick": f"{y['platform']} seed {y['noise_seed']}"},
            "protocol": j["protocol"], "steps": j["steps"]}
 
-    # loss-curve agreement: cross-framework gap vs the run-to-run yardstick
-    out["loss_gap_torch_vs_jax"] = loss_gap(t, j)
-    out["loss_gap_jax_vs_yardstick"] = loss_gap(j, y)
-    out["loss_gap_torch_vs_jax_ep50"] = smoothed_loss_gap(t, j)
-    out["loss_gap_jax_vs_yardstick_ep50"] = smoothed_loss_gap(j, y)
+    # loss-curve agreement: cross-framework gap vs the run-to-run yardstick,
+    # all pairs truncated to the COMMON horizon so the comparison windows
+    # are identical even when one arm is shorter (partial torch runs)
+    n0 = min(len(t["losses"]), len(j["losses"]), len(y["losses"]))
+    cut = lambda r: {**r, "losses": r["losses"][:n0]}
+    t_c, j_c, y_c = cut(t), cut(j), cut(y)
+    out["loss_gap_torch_vs_jax"] = loss_gap(t_c, j_c)
+    out["loss_gap_jax_vs_yardstick"] = loss_gap(j_c, y_c)
+    out["loss_gap_torch_vs_jax_ep50"] = smoothed_loss_gap(t_c, j_c)
+    out["loss_gap_jax_vs_yardstick_ep50"] = smoothed_loss_gap(j_c, y_c)
 
     # probe trajectories (norm/cos), tabulated at the shared cadence
     table = []
