@@ -43,6 +43,7 @@ def smoothed_loss_gap(a, b, window=50):
     """Same, on window-averaged curves — the scale training curves are read
     at; removes per-step noise-ordering sensitivity."""
     la, lb = np.asarray(a["losses"]), np.asarray(b["losses"])
+    window = max(1, min(window, min(len(la), len(lb))))  # short curves: one window
     n = (min(len(la), len(lb)) // window) * window
     la = la[:n].reshape(-1, window).mean(1)
     lb = lb[:n].reshape(-1, window).mean(1)
