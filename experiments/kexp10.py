@@ -19,7 +19,14 @@ Part 2 — SchNet whole-stack inference kernel at N=128 (the pretrain ladder's
   the per-block fused forward at B=32/128. Records the measured verdict the
   round-4 guard only asserted.
 
-Run (TPU): python experiments/kexp10.py
+Part 3 — PaiNN whole-stack inference kernel at N=128, B=128: A/B of the
+  production ``models.painn.fused_stack_apply`` (which accepts N=128 since
+  the STACK_MAX_N raise this experiment justified) vs ``module.apply``.
+  This is the measurement behind the 1.32x row in kexp10_results.json.
+
+Run (TPU): python experiments/kexp10.py [part1 part2 part3]
+  (no args = all parts; results merge into kexp10_results.json so a
+  partial rerun never deletes the other parts' recorded evidence)
 """
 
 import json
@@ -274,12 +281,77 @@ def part2():
     return results
 
 
-def main():
-    out = {"part1_ddm_painn_train": part1(),
-           "part2_schnet_stack_n128": part2()}
+# ------------------------------------------------------------------ part 3
+def part3():
+    from geossl_tpu.models.painn import PaiNN, fused_stack_apply
+
+    n = 128
+    results = {}
+    for b in (128,):
+        rng = np.random.default_rng(2)
+        z, pos, mask = make_batch(rng, b=b, n=n)
+        mod = PaiNN(use_pallas=True)
+        params = mod.init(jax.random.PRNGKey(4), z, pos, mask)["params"]
+
+        # batch passed as ARGUMENTS (CLAUDE.md benchmark pitfall #2)
+        @jax.jit
+        def f_stack(p, z, pos, mask):
+            return fused_stack_apply(mod, p, z, pos, mask)[0]
+
+        @jax.jit
+        def f_prod(p, z, pos, mask):
+            return mod.apply({"params": p}, z, pos, mask)[0]
+
+        ref = f_stack(params, z, pos, mask)
+        gref = f_prod(params, z, pos, mask)
+        err = float(jnp.max(jnp.abs(ref - gref))
+                    / (jnp.max(jnp.abs(gref)) + 1e-9))
+        print(f"[part3] B={b} N={n} stack-vs-perblock rel err: {err:.2e}",
+              flush=True)
+        reps, rounds = 20, 5
+        times = {"stack": [], "perblock": []}
+        fns = {"stack": f_stack, "perblock": f_prod}
+        for r in range(rounds):
+            for name, fn in fns.items():
+                o = fn(params, z, pos, mask)
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    o = fn(params, z, pos, mask)
+                _ = float(jnp.sum(o))  # value fetch = the only honest fence
+                times[name].append((time.perf_counter() - t0) / reps * 1e3)
+        row = {"rel_err": round(err, 6)}
+        for v, ts in times.items():
+            ts = sorted(ts)
+            row[v + "_ms"] = round(ts[len(ts) // 2], 3)
+        row["speedup"] = round(row["perblock_ms"] / row["stack_ms"], 2)
+        row["note"] = ("parity at the kernel family's usual bf16 drift "
+                       "(kexp9 measured 9.3e-4 at N=32)")
+        results[f"B{b}"] = row
+        print(f"[part3] B={b}: stack {row['stack_ms']:.3f} ms vs perblock "
+              f"{row['perblock_ms']:.3f} ms = {row['speedup']:.2f}x",
+              flush=True)
+    return results
+
+
+PARTS = {"part1": ("part1_ddm_painn_train", part1),
+         "part2": ("part2_schnet_stack_n128", part2),
+         "part3": ("part3_painn_stack_n128", part3)}
+
+
+def main(argv=None):
+    want = (argv if argv else sys.argv[1:]) or list(PARTS)
     path = "/root/repo/experiments/kexp10_results.json"
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    out = {}
+    try:
+        with open(path) as f:
+            out = json.load(f)  # merge: a partial rerun keeps other parts
+    except FileNotFoundError:
+        pass
+    for name in want:
+        key, fn = PARTS[name]
+        out[key] = fn()
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
     print(f"wrote {path}", flush=True)
 
 

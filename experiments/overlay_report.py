@@ -103,9 +103,14 @@ def main(argv=None):
     def growth(run):
         s, n = probe_series(run, "mean_norm")
         n = np.asarray(n)
-        lo = max(1, len(n) // 4)
-        # exponential rate fit on the second half (the plateau ends there)
+        # exponential rate fit on the last three quarters; a partial arm
+        # (crash-safe writer) can hold a single probe — fit what exists
+        lo = max(1, len(n) // 4) if len(n) > 2 else 0
         tail_s, tail_n = np.asarray(s[lo:]), n[lo:]
+        if len(tail_n) < 2:
+            return {"norm_first": float(n[0]), "norm_last": float(n[-1]),
+                    "exp_rate_per_step": None, "plateau_norm": float(n[0]),
+                    "jump_onset_step": None}
         rate = np.polyfit(tail_s, np.log(np.maximum(tail_n, 1e-12)), 1)[0]
         # drift onset: first probe where the norm leaves the plateau by 10x
         plateau = float(np.median(n[:max(2, len(n) // 10)]))

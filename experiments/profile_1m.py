@@ -120,7 +120,11 @@ def main(argv=None):
         params["NCSN_01"] = ncsn.init(k1, k1, h0, d0, s0)["params"]
         params["NCSN_02"] = ncsn.init(k2, k2, h0, d0, s0)["params"]
 
-        def loss_fn(p, rngs):
+        # batch tensors passed as jit ARGUMENTS, not closed-over constants
+        # (CLAUDE.md benchmark pitfall #2 — constants measure slower on this
+        # tunnel; the first recording of this stage closed over them, so its
+        # per-bucket rates understated the ceiling)
+        def loss_fn(p, rngs, z, pos, mask, gmask):
             kv, kn1, kn2 = rngs
             pos2 = pos + 0.3 * jax.random.normal(kv, pos.shape)
             _, h1 = mod.apply({"params": p["model"]}, z, pos, mask)
@@ -135,11 +139,12 @@ def main(argv=None):
         CHAIN = 10
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def chain(p, opt_state, ekey):
+        def chain(p, opt_state, ekey, z, pos, mask, gmask):
             def body(carry, i):
                 p, o = carry
                 rngs = tuple(jax.random.split(jax.random.fold_in(ekey, i), 3))
-                loss, grads = jax.value_and_grad(loss_fn)(p, rngs)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    p, rngs, z, pos, mask, gmask)
                 up, o = tx.update(grads, o, p)
                 return (optax.apply_updates(p, up), o), loss
             (p, o), losses = jax.lax.scan(body, (p, opt_state),
@@ -148,13 +153,15 @@ def main(argv=None):
 
         o = tx.init(params)
         p = params
-        p, o, losses = chain(p, o, jax.random.PRNGKey(1))  # compile
+        p, o, losses = chain(p, o, jax.random.PRNGKey(1),
+                             z, pos, mask, gmask)  # compile
         _ = float(jnp.sum(losses))
         best = []
         for r in range(3):
             t0 = time.time()
             for i in range(3):
-                p, o, losses = chain(p, o, jax.random.PRNGKey(2 + r))
+                p, o, losses = chain(p, o, jax.random.PRNGKey(2 + r),
+                                     z, pos, mask, gmask)
             _ = float(jnp.sum(losses))
             best.append((time.time() - t0) / (3 * CHAIN))
         step_s = min(best)

@@ -290,8 +290,8 @@ def fused_stack_apply(module: PaiNN, params, atom_type, positions, node_mask,
     (the mega kernel has no VJP by design — experiments/README.md kexp9).
 
     Requires the default module configuration (no pair_axis/dtype
-    override) and N <= 64 (VMEM residency); callers fall back to
-    ``module.apply`` otherwise.
+    override) and N <= ops.painn_pallas.STACK_MAX_N (= 128 since kexp10;
+    VMEM residency); callers fall back to ``module.apply`` otherwise.
     """
     if module.pair_axis is not None or module.dtype is not None:
         raise ValueError("fused_stack_apply: default config only")
@@ -299,8 +299,6 @@ def fused_stack_apply(module: PaiNN, params, atom_type, positions, node_mask,
         raise ValueError(
             f"fused_stack_apply: positions must be float32 (got "
             f"{positions.dtype}); use module.apply for the f64 parity path")
-    f = module.n_atom_basis
-    L = module.n_interactions
 
     emb = params["embedding"]
     if module.zero_pad_embedding:
@@ -374,10 +372,13 @@ def stack_train_apply(module: PaiNN, params, atom_type, positions, node_mask,
     painn_stack_train — the forward saves the block-boundary (q, mu) values
     it already holds in VMEM; no mega-VJP exists or is needed). Same
     contract and constraints as :func:`fused_stack_apply` (default config,
-    N <= 64, f32); gradients flow to params AND positions."""
+    N <= STACK_MAX_N = 128, f32); gradients flow to params AND positions."""
     if module.pair_axis is not None or module.dtype is not None:
         raise ValueError("stack_train_apply: default config only")
-    f = module.n_atom_basis
+    if positions.dtype != jnp.float32:
+        raise ValueError(
+            f"stack_train_apply: positions must be float32 (got "
+            f"{positions.dtype}); use module.apply for the f64 parity path")
 
     emb = params["embedding"]
     if module.zero_pad_embedding:

@@ -287,7 +287,8 @@ def fused_stack_apply(module: SchNet, params, atom_type, positions,
     """INFERENCE-ONLY whole-stack forward: identical math to
     ``module.apply`` with the full interaction chain in ONE Pallas program
     (``ops/cfconv_pallas.schnet_stack_infer`` — kexp2; integrated round 4
-    alongside PaiNN's). Serving routes N<=64 buckets here; training keeps
+    alongside PaiNN's). Serving routes N <= STACK_MAX_N (= 128 since
+    kexp10) buckets here; training keeps
     the per-block custom-VJP path. Requires the default module config
     (no pair_axis/dtype/filter_mxu override; square feature width — the
     stack kernel keeps h resident at one width; f32 positions — the f64

@@ -87,3 +87,15 @@ def test_stack_train_rejects_large_n():
     params = mod.init(jax.random.PRNGKey(1), z, pos, mask)["params"]
     with pytest.raises(ValueError, match="VMEM-resident"):
         stack_train_apply(mod, params, z, pos, mask)
+
+
+def test_stack_train_rejects_f64_positions():
+    # same contract as fused_stack_apply: the f64 numerics-parity path must
+    # raise, not silently downcast to f32
+    z, pos, mask = _batch()
+    mod = PaiNN()
+    params = mod.init(jax.random.PRNGKey(1), z, pos, mask)["params"]
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="float32"):
+        stack_train_apply(mod, params, z, pos.astype(jnp.float64), mask)
