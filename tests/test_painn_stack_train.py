@@ -91,11 +91,17 @@ def test_stack_train_rejects_large_n():
 
 def test_stack_train_rejects_f64_positions():
     # same contract as fused_stack_apply: the f64 numerics-parity path must
-    # raise, not silently downcast to f32
+    # raise, not silently downcast to f32. conftest pins jax_enable_x64=False,
+    # under which astype(float64) is a silent no-op — build the f64 array
+    # inside an enable_x64 scope so the guard actually sees float64.
     z, pos, mask = _batch()
     mod = PaiNN()
     params = mod.init(jax.random.PRNGKey(1), z, pos, mask)["params"]
-    import jax.numpy as jnp
-
-    with pytest.raises(ValueError, match="float32"):
-        stack_train_apply(mod, params, z, pos.astype(jnp.float64), mask)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        pos64 = jnp.asarray(np.asarray(pos, np.float64))
+        assert pos64.dtype == jnp.float64
+        with pytest.raises(ValueError, match="float32"):
+            stack_train_apply(mod, params, z, pos64, mask)
+    finally:
+        jax.config.update("jax_enable_x64", False)
